@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine numeric-determinism helpers shared by all query modules.
+  *
+  * Problem: a double sum is order-dependent in its last ulps, and the test
+  * data's money columns sit exactly on the decimal grid (l_extendedprice
+  * has 2 decimals, discount 2 → revenue terms have exactly 4), so ANY
+  * fixed-point rounding of a plain double sum flips .xx5 boundaries
+  * between Spark and the DuckDB oracle.
+  *
+  * Fix: round each per-row term to the DECIMAL(30,8) grid (per-row double
+  * ops are IEEE-identical across engines, and the term's distance to a
+  * grid midpoint is ~5e-9 vs ~1e-11 double error, so both engines round
+  * identically), sum EXACTLY in decimal, and cast the result back to
+  * double. The result is bit-identical regardless of aggregation order —
+  * which also makes it stable across cluster sizes / AQE replans at 100 TB,
+  * not just vs the oracle.
+  */
+object Q {
+
+  /** Order-independent exact sum of a (money-like) double expression. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
+
+  /** Order-independent average (NULLs excluded, like SQL avg). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** DuckDB-side twin of [[dsum]]. */
+  def DSUM(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(30,8))) AS DOUBLE)"
+
+  /** DuckDB-side twin of [[davg]]. */
+  def DAVG(e: String): String = s"(${DSUM(e)} / count($e))"
+
+  /** The lineitem revenue term used across queries. */
+  val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  val REVENUE: String = "l_extendedprice * (1 - l_discount)"
+}

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare (builder tooling,
+not engine code). Reads Verify output parquet + oracle_sql.json, runs each
+SQL in DuckDB over the sf tables, and diffs: row count, schema (sorted
+column names), and per-column values (exact after the queries' own
+rounding). Usage: check_oracle.py <sfDir> <verifyOut>"""
+import sys, json, glob
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{files[0]}'").fetchall()
+        gotcols = [d[0] for d in con.sql(f"SELECT * FROM '{files[0]}' LIMIT 0").description]
+        exp = con.sql(sql).fetchall()
+        expcols = [d[0] for d in con.sql(f"SELECT * FROM ({sql}) LIMIT 0").description]
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fail += 1; continue
+    if sorted(gotcols) != sorted(expcols):
+        print(f"FAIL {name}: cols {sorted(gotcols)} != {sorted(expcols)}"); fail += 1; continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fail += 1; continue
+    gi = [gotcols.index(c) for c in sorted(gotcols)]
+    ei = [expcols.index(c) for c in sorted(expcols)]
+    bad = None
+    for r, (g, e) in enumerate(zip(got, exp)):
+        gv = tuple(g[i] for i in gi); ev = tuple(e[i] for i in ei)
+        if gv != ev:
+            bad = (r, gv, ev); break
+    if bad:
+        print(f"FAIL {name}: row {bad[0]}\n  got {bad[1]}\n  exp {bad[2]}"); fail += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)")
+print(f"{'ALL OK' if fail == 0 else str(fail) + ' FAILURES'}")
+sys.exit(1 if fail else 0)
