@@ -19,11 +19,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-    graft.queries.ParityQueries.queries
+    graft.queries.ParityQueries.queries ++
+    graft.queries.RelationalQueries.queries ++
+    graft.queries.AnalyticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
-    graft.queries.ParityQueries.oracles
+    graft.queries.ParityQueries.oracles ++
+    graft.queries.RelationalQueries.oracles ++
+    graft.queries.AnalyticQueries.oracles
 }

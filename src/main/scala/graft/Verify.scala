@@ -16,6 +16,9 @@ object Verify {
       // Spark 4 flips the default, so pin it for parity (SURVEY.md §7.5).
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet stores TIMESTAMP(NANOS); read as long, converted
+      // to TimestampType in graft.io.Tables.load.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -93,9 +93,22 @@ object Tables {
     "embeddings" -> embeddings)
 
   /** Read one test table from an sf directory. Column-pruned and
-    * filter-pushed automatically by the parquet source. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    * filter-pushed automatically by the parquet source.
+    *
+    * `events.ts` is physically TIMESTAMP(NANOS), which Spark reads only
+    * as a nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong,
+    * set in every session builder here); convert to TimestampType by
+    * truncating to micros — the same truncation DuckDB applies, keeping
+    * the oracle aligned. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // NOTE: integral `div`, not `/` — fractional division would round-trip
+    // ~1.7e18 nanos through a double and lose microsecond precision.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Cast a frame to the declared schema (name-matched). Used when a
     * source (CSV, JSON) yields looser types than the contract. */
