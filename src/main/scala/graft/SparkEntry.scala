@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
     graft.queries.ParityQueries.queries ++
     graft.queries.RelationalQueries.queries ++
-    graft.queries.AnalyticQueries.queries
+    graft.queries.AnalyticQueries.queries ++
+    graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracles ++
     graft.queries.ParityQueries.oracles ++
     graft.queries.RelationalQueries.oracles ++
-    graft.queries.AnalyticQueries.oracles
+    graft.queries.AnalyticQueries.oracles ++
+    graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.multimodal.Multimodal
+import graft.text.{Dedup, Similarity, TextStats}
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`:
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+  * search (brute-force + LSH), text analysis (tokens, quality, lang-ID,
+  * fingerprint), multimodal plumbing. Exact/deterministic operators carry
+  * DuckDB oracles; hash-seeded approximate ones (MinHash uses engine
+  * xxhash64, SimHash ditto, LSH planes) are rows-only EXCEPT
+  * q_dedup_minhash, whose output is exact-Jaccard-verified and therefore
+  * oracle-checked against the exact pair query.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  private val jacThreshold = 0.8
+  private val dim = 64
+
+  // ---- text analysis ----
+
+  def qTextStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TextStats.tokenCount(col("text")).as("n_tokens"),
+      TextStats.regexTokenCount(col("text")).as("n_regex_tokens"),
+      length(col("text")).as("n_chars"),
+      round(TextStats.avgWordLen(col("text")), 6).as("avg_word_len"),
+      round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      round(TextStats.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    val scoreCols = TextStats.langs.map(l =>
+      TextStats.langScore(col("text"), l).as(s"score_$l"))
+    docs(s, d).select(
+      (col("doc_id") +: scoreCols :+
+        TextStats.predictedLang(col("text")).as("predicted") :+
+        col("lang").as("labeled")): _*)
+      .orderBy("doc_id")
+  }
+
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TextStats.fingerprint(col("text")).as("fingerprint"),
+      sha2(col("text").cast("binary"), 256).as("sha"))
+      .orderBy("doc_id")
+
+  // ---- dedup ----
+
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(docs(s, d)).orderBy("fingerprint")
+
+  def qDedupJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, d), jacThreshold).orderBy("doc_a", "doc_b")
+
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(docs(s, d), jacThreshold).orderBy("doc_a", "doc_b")
+
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(docs(s, d), maxDist = 6).orderBy("doc_a", "doc_b")
+
+  // ---- similarity search ----
+
+  def qAnnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < lit(10L)), k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  def qCosinePairs(s: SparkSession, d: String): DataFrame =
+    Similarity.cosinePairs(embs(s, d), threshold = 0.45)
+      .orderBy("vec_a", "vec_b")
+
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < lit(10L)), dim, k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  // ---- multimodal ----
+
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.fromDocuments(docs(s, d))
+      .select(col("media_id"), col("meta.mime").as("mime"),
+              col("meta.n_bytes").as("n_bytes"),
+              md5(col("content")).as("content_md5"))
+      .orderBy("media_id")
+
+  def qMultimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromDocuments(docs(s, d)), dim = 8)
+    feats.select(col("media_id"), col("dim"),
+        round(sqrt(Similarity.dot(col("features"), col("features"))), 4).as("feat_norm"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"          -> qTextStats,
+    "q_lang_id"             -> qLangId,
+    "q_fingerprint"         -> qFingerprint,
+    "q_dedup_exact"         -> qDedupExact,
+    "q_dedup_jaccard"       -> qDedupJaccard,
+    "q_dedup_minhash"       -> qDedupMinhash,
+    "q_dedup_simhash"       -> qDedupSimhash, // rows-only (engine hash)
+    "q_ann_brute"           -> qAnnBrute,
+    "q_cosine_pairs"        -> qCosinePairs,
+    "q_ann_lsh"             -> qAnnLsh,       // rows-only (recall < 1 by design)
+    "q_multimodal_meta"     -> qMultimodalMeta,
+    "q_multimodal_features" -> qMultimodalFeatures) // rows-only (stub decode)
+
+  private val T = TextStats.TOKENS("text")
+
+  private val JACCARD_SQL =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${Dedup.SHINGLES("text")} AS s FROM documents
+       |), x AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, common,
+       |       round(common / (la.n + lb.n - common), 6) AS jaccard
+       |FROM p JOIN sizes la ON la.doc_id = doc_a
+       |       JOIN sizes lb ON lb.doc_id = doc_b
+       |WHERE common / (la.n + lb.n - common) >= $jacThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $T AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_regex_tokens,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks), 6) AS avg_word_len,
+         |  round(CAST(len(list_filter(toks, t -> t IN (${TextStats.stopwords.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+         |  round(least(greatest(least(len(toks) / 100.0, 1.0)
+         |    * (1.0 - coalesce(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text), 0.0))
+         |    * (0.5 + coalesce(CAST(len(list_filter(toks, t -> t IN (${TextStats.stopwords.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks), 0.0)), 0.0), 1.0), 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id,
+         |${TextStats.langs.map(l => s"  ${TextStats.scoreSql("text", l)} AS score_$l").mkString(",\n")},
+         |  ${TextStats.predictedSql("text")} AS predicted,
+         |  lang AS labeled
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, ${TextStats.FINGERPRINT("text")} AS fingerprint,
+         |  sha256(text) AS sha
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      s"""SELECT ${TextStats.FINGERPRINT("text")} AS fingerprint,
+         |  count(*) AS n_docs, min(doc_id) AS keeper
+         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_dedup_jaccard" -> JACCARD_SQL,
+    "q_dedup_minhash" -> JACCARD_SQL, // LSH-verified == exact pairs (see Dedup doc)
+    "q_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |         ${Similarity.COSINE("qe", "ce", dim)} AS cos
+         |  FROM q JOIN c ON query_id <> neighbor_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM s)
+         |SELECT query_id, rk, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q_cosine_pairs" ->
+      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
+         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
+         |s AS (
+         |  SELECT vec_a, vec_b, ${Similarity.COSINE("ea", "eb", dim)} AS cos
+         |  FROM a JOIN b ON vec_a < vec_b)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos
+         |FROM s WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

@@ -1,0 +1,158 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines, each designed
+  * around its 100 TB shuffle profile:
+  *
+  *  - '''exact''': hash-groupBy on a canonical fingerprint — one shuffle
+  *    keyed by a 128-bit hash; no skew (hash keys are uniform).
+  *  - '''n-gram Jaccard''' (exact near-dup): shingle explode + self-join
+  *    on shingle. Quadratic in the worst case — correct baseline and the
+  *    ORACLE for the approximate methods, but the join on hot shingles
+  *    skews at scale; that's precisely what MinHash/LSH replaces.
+  *  - '''MinHash + LSH''': k permutation-min signatures per doc, banded
+  *    into buckets; candidate pairs = docs sharing a band bucket —
+  *    shuffle is O(docs × bands), independent of pair count. Candidates
+  *    are then verified with exact Jaccard, so the OUTPUT equals the
+  *    exact method's (up to the ~1e-10 LSH miss probability at the 0.8
+  *    threshold with 16 bands × 4 rows).
+  *  - '''SimHash''': 64-bit weighted-token signature; near-dup = small
+  *    Hamming distance, found by joining on one of 4 16-bit chunks
+  *    (pigeonhole: distance ≤3 ⇒ some chunk equal).
+  */
+object Dedup {
+
+  /** 3-word shingles (mirrors the DuckDB slice construction in
+    * [[SHINGLES]]). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextStats.tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  def SHINGLES(e: String, n: Int = 3): String =
+    s"""list_distinct(list_transform(
+       |  range(greatest(len(${TextStats.TOKENS(e)}) - ${n - 1}, 0)),
+       |  i -> array_to_string(${TextStats.TOKENS(e)}[i+1:i+$n], ' ')))""".stripMargin
+
+  /** doc_id → exploded distinct shingle rows. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+
+  /** Exact Jaccard ≥ threshold pairs via shingle self-join (the oracle
+    * path; see class doc for its scale limits). */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = shingleRows(docs)
+    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = s.as("a").join(s.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+              round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature columns: k universal-hash permutations
+    * `(a_i * h + b_i) mod p` over xxhash64 shingle hashes, min per doc.
+    * Constants from a fixed LCG seed — deterministic across runs. */
+  def minhashSignatures(docs: DataFrame, k: Int = 64): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1)) + 1 ->
+                             math.abs(rnd.nextLong()) % p)
+    val h = shingleRows(docs)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"mh_$i")
+    }
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
+    * bucket-join docs sharing any band hash. */
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup detection, exact-verified: candidates from
+    * [[lshCandidates]] are checked with true Jaccard — output matches
+    * [[jaccardPairs]] while shuffling only O(docs × bands) rows. */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = shingleRows(docs).cache()
+    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val cands = lshCandidates(minhashSignatures(docs))
+    val sa = s.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = s.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = cands.join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+              round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash: per token-hash bit, sum ±1 across tokens; sign →
+    * signature bit. Computed with array expressions (no UDF — stays in
+    * codegen). */
+  def simhash(text: Column): Column = {
+    val toks = TextStats.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= lit(0L), lit(1L))
+          .otherwise(lit(-1L)))
+      when(bitSum > lit(0L), lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming-≤ maxDist SimHash pairs via 16-bit chunk pigeonhole join. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        col("sig").bitwiseAND(lit(0xFFFFL << (c * 16))).as("piece"))
+    }
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.piece"))
+    val popcount = (x: Column) => bit_count(x)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.piece") === col("b.piece") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              popcount(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= lit(maxDist))
+  }
+
+  /** Exact dedup groups: canonical fingerprint → group size + keeper
+    * (min doc_id). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(TextStats.fingerprint(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+}

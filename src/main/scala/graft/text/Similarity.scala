@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  *  - '''Brute force''': broadcast the (small) query set against the
+  *    corpus; cosine per pair via array expressions (codegen'd, no UDF);
+  *    per-query top-k with a ranking window. Exact — the baseline and
+  *    oracle. Scales as O(|corpus| × |queries|): fine when queries
+  *    broadcast, wrong when both sides are large.
+  *  - '''LSH (random hyperplanes)''': sign-bit signature per vector from
+  *    deterministic pseudo-hyperplanes; candidates share a signature
+  *    chunk (pigeonhole); exact cosine re-rank within candidates. The
+  *    100 TB path: shuffle keyed by bucket, never all-pairs.
+  *
+  * Cosine is computed dot/(sqrt(na)·sqrt(nb)) with a left-to-right fold
+  * in index order, float widened to double per element — matching the
+  * DuckDB oracle's `list_sum(list_transform(range(...)))` arithmetic so
+  * results agree to the last ulp (rounded to 6 anyway).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB twin of [[cosine]] (explicit index-ordered double fold). */
+  def COSINE(a: String, b: String, dim: Int): String = {
+    def d(x: String, y: String) =
+      s"list_sum(list_transform(range($dim), i -> CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE)))"
+    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+  }
+
+  /** Exact top-k neighbors for each query vector (query side broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+                           col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= lit(k))
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
+  }
+
+  /** All pairs above a cosine threshold (embedding near-dup). Exact /
+    * quadratic — the oracle; LSH below is the scale path. */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= lit(threshold))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component g(j,i) in [-1,1):
+    * derived from a hash of (j,i) — no RNG state, reproducible on any
+    * cluster. */
+  private def plane(j: Int, i: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((j, i, 1234567))
+    (h % 100000) / 100000.0
+  }
+
+  /** nBits-bit random-hyperplane signature of an embedding. */
+  def lshSignature(emb: Column, dim: Int, nBits: Int = 16): Column = {
+    val bits = (0 until nBits).map { j =>
+      val planes = (0 until dim).map(i => plane(j, i))
+      val s = aggregate(
+        zip_with(emb, typedLit(planes), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > lit(0.0), lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH bucketing: vectors sharing an 8-bit signature chunk are
+    * candidates; exact cosine re-ranks; top-k per query. Recall < 1 by
+    * design — compare against [[bruteForceTopK]] to measure. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
+    def keyed(df: DataFrame, idCol: String, embCol: String) = {
+      val sig = lshSignature(col(embCol), dim)
+      val chunks = (0 until 2).map(c =>
+        struct(lit(c).as("chunk"),
+          sig.bitwiseAND(lit(0xFFL << (c * 8))).as("piece")))
+      df.select(col(idCol), col(embCol), explode(array(chunks: _*)).as("ck"))
+        .select(col(idCol), col(embCol), col("ck.chunk"), col("ck.piece"))
+    }
+    val q = keyed(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), "query_id", "q_emb")
+    val c = keyed(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb")), "neighbor_id", "c_emb")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("chunk", "piece"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .distinct() // a pair can collide in multiple chunks
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= lit(k))
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * quality scoring, language ID (stopword/n-gram heuristic), document
+  * fingerprinting. All are narrow per-row expressions (no shuffle, fully
+  * codegen'd built-ins) — they scale linearly and pipeline inside the scan
+  * stage at 100 TB.
+  *
+  * Language-ID scoring is generated from [[stopwords]] for BOTH engines
+  * (Spark Columns here, DuckDB SQL via [[scoreSql]]) so the oracle is the
+  * same heuristic by construction.
+  */
+object TextStats {
+
+  /** Deterministic tiebreak order = list order (first wins on equal
+    * scores). */
+  val langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "une", "dans", "pour", "que", "il"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "ren2", "wo3", "zai4", "you3", "ta1", "zhe4"))
+
+  /** Whitespace tokens, empties dropped (mirrors DuckDB
+    * `list_filter(string_split(text,' '), t -> t <> '')`). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex token count: letter runs, digit runs, single
+    * punctuation — the classic pre-tokenizer shape. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      length(text)
+
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    size(filter(tokens(text), t => t.isInCollection(all))).cast("double") /
+      size(tokens(text))
+  }
+
+  /** Per-language stopword hit count. */
+  def langScore(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords(lang))))
+
+  /** argmax over [[langScore]]s, ties broken by [[langs]] order. */
+  def predictedLang(text: Column): Column = {
+    val scores = langs.map(l => l -> langScore(text, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s === best && s > lit(0), lit(l)).otherwise(els)
+    }
+  }
+
+  /** Simple quality score in [0,1]: favors mid-length docs with low
+    * punctuation and some stopwords (the standard cheap heuristics). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punct = coalesce(punctRatio(text), lit(0.0))
+    val stop = coalesce(stopwordRatio(text), lit(0.0))
+    least(greatest(lenScore * (lit(1.0) - punct) * (lit(0.5) + stop),
+      lit(0.0)), lit(1.0))
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
+    * text. md5 is bit-standard across engines → oracle-comparable. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  // ---- DuckDB twins (generated from the same lists) ----
+
+  def TOKENS(e: String): String =
+    s"list_filter(string_split($e, ' '), t -> t <> '')"
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  def scoreSql(e: String, lang: String): String =
+    s"CAST(len(list_filter(${TOKENS(e)}, t -> t IN (${inList(stopwords(lang))}))) AS INTEGER)"
+
+  def predictedSql(e: String): String = {
+    val best = langs.map(l => scoreSql(e, l)).mkString("greatest(", ", ", ")")
+    langs.reverse.foldLeft("'und'") { (els, l) =>
+      s"CASE WHEN ${scoreSql(e, l)} = $best AND ${scoreSql(e, l)} > 0 THEN '$l' ELSE $els END"
+    }
+  }
+
+  def FINGERPRINT(e: String): String =
+    s"md5(trim(regexp_replace(lower($e), '\\s+', ' ', 'g')))"
+}
