@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.ParityQueries.queries ++
     graft.queries.RelationalQueries.queries ++
     graft.queries.AnalyticQueries.queries ++
-    graft.queries.PipelineQueries.queries
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.ParityQueries.oracles ++
     graft.queries.RelationalQueries.oracles ++
     graft.queries.AnalyticQueries.oracles ++
-    graft.queries.PipelineQueries.oracles
+    graft.queries.PipelineQueries.oracles ++
+    graft.queries.StreamingQueries.oracles
 }

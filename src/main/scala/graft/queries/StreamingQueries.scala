@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.streaming.Events
+
+/** Streaming + advanced time-window queries (SURVEY.md §7.3 step 5).
+  * `q_stream_hourly` executes a REAL readStream→writeStream pipeline
+  * (AvailableNow replay, memory sink); its oracle is the plain batch SQL
+  * — streaming and batch must agree on bounded input. Sliding and
+  * session windows run in batch mode (same `window`/`session_window`
+  * expressions Structured Streaming uses).
+  */
+object StreamingQueries {
+
+  def qStreamHourly(s: SparkSession, d: String): DataFrame =
+    Events.hourlyByType(s, d)
+
+  /** Sliding window: 2-hour windows every hour — each event lands in 2
+    * windows. */
+  def qSlidingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+              col("event_type"), col("n"), col("total_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Session windows per user: sessions close after a 1-hour silence
+    * (session end = last event + gap, Spark semantics). */
+  def qSessionWindows(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("session_value"))
+      .select(col("user_id"),
+              date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+              date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+              col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_hourly"   -> qStreamHourly,
+    "q_sliding_windows" -> qSlidingWindows,
+    "q_session_windows" -> qSessionWindows)
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  event_type, count(*) AS n, ${Q.DSUM("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_sliding_windows" ->
+      s"""WITH x AS (
+         |  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS win_start,
+         |         event_type, value
+         |  FROM events, (SELECT unnest([0, 1]) AS o))
+         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  event_type, count(*) AS n, ${Q.DSUM("value")} AS total_value
+         |FROM x GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "q_session_windows" ->
+      s"""WITH m AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), s AS (
+         |  SELECT user_id, ts, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |  strftime(max(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         |  count(*) AS n_events, ${Q.DSUM("value")} AS session_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table — the engine's
+  * replacement for the reference's scheduler-driven batch model
+  * (APScheduler one-shot jobs, ref `controller/app.py:63-91`): instead of
+  * re-running a job per request, events stream through a windowed
+  * aggregation with a watermark-bounded state store.
+  *
+  * Deterministic testing: the parquet file is replayed through a real
+  * `readStream` → `writeStream` pair with `Trigger.AvailableNow` into a
+  * memory sink — same code path as a live Kafka/file stream, but
+  * synchronous and exactly reproducible, so the result can be
+  * oracle-checked against the batch twin.
+  *
+  * Scale notes: state is keyed by (window, event_type) — cardinality
+  * bounded by time × types, not event count; the watermark bounds state
+  * retention for append-mode sinks. Aggregation is partial per
+  * micro-batch task before the state-store shuffle.
+  */
+object Events {
+
+  /** Streaming reader needs an explicit schema; ts arrives as
+    * TIMESTAMP(NANOS) → long (nanosAsLong), converted to micros. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(rawSchema)
+      // file stream source wants a directory; select just the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window count/sum per event type, with a 1-hour watermark.
+    * Complete output mode so every window is emitted in the single
+    * AvailableNow replay (append would hold back windows newer than the
+    * final watermark — correct live, but non-deterministic for a replay
+    * oracle). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(30, 8))).cast(DoubleType).as("total_value"))
+
+  private val runId = new AtomicInteger(0)
+
+  /** Run a streaming aggregation to completion on the bounded input and
+    * return its final result as a batch DataFrame. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame,
+                      mode: String = "complete"): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** The full streaming query, result shaped for the oracle (window
+    * start as string — raw timestamps don't round-trip parquet across
+    * engines). */
+  def hourlyByType(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, tumblingHourly(readStream(spark, sfDir)))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("hour", "event_type")
+}
