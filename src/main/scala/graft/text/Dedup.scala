@@ -38,9 +38,12 @@ object Dedup {
        |  range(greatest(len(${TextStats.TOKENS(e)}) - ${n - 1}, 0)),
        |  i -> array_to_string(${TextStats.TOKENS(e)}[i+1:i+$n], ' ')))""".stripMargin
 
-  /** doc_id → exploded distinct shingle rows. */
+  /** doc_id → exploded distinct shingle rows. Repartitioned first: a
+    * single-file parquet source otherwise leaves the shingle/hash compute
+    * on one partition (one core), regardless of shuffle.partitions. */
   def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
 
   /** Exact Jaccard ≥ threshold pairs via shingle self-join (the oracle
     * path; see class doc for its scale limits). */
@@ -115,24 +118,33 @@ object Dedup {
               round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash: per token-hash bit, sum ±1 across tokens; sign →
-    * signature bit. Computed with array expressions (no UDF — stays in
-    * codegen). */
-  def simhash(text: Column): Column = {
-    val toks = TextStats.tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= lit(0L), lit(1L))
-          .otherwise(lit(-1L)))
-      when(bitSum > lit(0L), lit(1L << j)).otherwise(lit(0L))
+  /** 64-bit SimHash signatures: per token-hash bit, sum ±1 across a
+    * doc's tokens; sign → signature bit.
+    *
+    * Shape: explode tokens → xxhash64 → 64 conditional-sum aggregates →
+    * recombine bits. Everything is a codegen'd built-in (the earlier
+    * array-lambda formulation ran interpreted, 64 passes per doc); the
+    * single groupBy(doc_id) shuffle carries 64 longs per doc and
+    * parallelizes by doc at any scale. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextStats.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val sums = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= lit(0L), lit(1L))
+        .otherwise(lit(-1L))).as(s"b$j")
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val sig = (0 until 64)
+      .map(j => when(col(s"b$j") > lit(0L), lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
   }
 
   /** Hamming-≤ maxDist SimHash pairs via 16-bit chunk pigeonhole join. */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 6): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val sigs = simhashSignatures(docs)
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         col("sig").bitwiseAND(lit(0xFFFFL << (c * 16))).as("piece"))

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4 made `ExpressionUtils` private[sql] (Column wraps a
+  * ColumnNode, not an Expression, since the connect/classic split), so
+  * libraries adding custom expressions need a shim inside the sql
+  * package namespace — the established pattern for Spark extension
+  * libraries. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
