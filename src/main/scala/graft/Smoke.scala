@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,6 +20,10 @@ object Smoke {
     val n = df.count()
     df.show(5, truncate = false)
     println(s"ENTRY_ROWS=$n")
+    // extension smoke: native expression reachable from plain SQL
+    val d = spark.sql("SELECT vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .first().getDouble(0)
+    println(s"VECTOR_DOT_SQL=$d")
     spark.stop()
     if (n <= 0) sys.exit(1)
   }
