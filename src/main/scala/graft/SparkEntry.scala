@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
     graft.queries.AnalyticQueries.queries ++
     graft.queries.PipelineQueries.queries ++
-    graft.queries.StreamingQueries.queries
+    graft.queries.StreamingQueries.queries ++
+    graft.queries.ExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracles ++
     graft.queries.AnalyticQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++
-    graft.queries.StreamingQueries.oracles
+    graft.queries.StreamingQueries.oracles ++
+    graft.queries.ExtraQueries.oracles
 }

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Second breadth wave: SQL-entry queries (GROUPING SETS, correlated
+  * EXISTS — exercising `spark.sql` as a first-class surface alongside the
+  * DataFrame API), ordered/exact percentiles, arg-min/max, array
+  * aggregation, date arithmetic, regex extraction, statistical
+  * aggregates. */
+object ExtraQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private def viewed(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+
+  /** GROUPING SETS through the SQL front end (same text runs in DuckDB
+    * modulo the decimal-sum macro). */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    viewed(s, d, "orders")
+    s.sql(s"""
+      |SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n, ${Q.DSUM("o_totalprice")} AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** Correlated EXISTS subquery via SQL (decorrelated by Catalyst into a
+    * semi-join — same physical shape as q_semi_join). */
+  def qExistsSql(s: SparkSession, d: String): DataFrame = {
+    viewed(s, d, "customer", "orders")
+    s.sql("""
+      |SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`). The 100 TB variant is
+    * `approx_percentile` (t-digest-style sketch) — included rows-only in
+    * `q_approx_percentile`. */
+  def qPercentile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+           min(col("l_quantity")).as("min_qty"),
+           max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_returnflag")
+
+  def qApproxPercentile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("approx_p"))
+      .orderBy("l_returnflag")
+
+  /** arg-min/arg-max. DuckDB's min_by only orders by scalars, so the
+    * (price, key) composite is encoded as one exact BIGINT:
+    * price×10⁴ (integral — 2-decimal money) shifted, plus the unique
+    * order key as tiebreak. Identical integer arithmetic both engines. */
+  private val ordKey =
+    (round(col("o_totalprice") * lit(10000.0)).cast("long") * lit(10000000L)) +
+      col("o_orderkey")
+
+  def qMinMaxBy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(min_by(col("o_orderkey"), ordKey).as("cheapest_order"),
+           max_by(col("o_orderkey"), ordKey).as("priciest_order"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderpriority")
+
+  /** Array aggregation: distinct sorted collect. */
+  def qArrayAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+           sort_array(collect_set(col("l_linenumber"))).as("linenumbers"))
+      .orderBy("l_returnflag")
+
+  /** Date arithmetic battery. */
+  def qDateArith(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderkey") < lit(200L))
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("days_since_epoch_start"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("month_end"),
+        trunc(col("o_orderdate"), "month").as("month_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .orderBy("o_orderkey")
+
+  /** Regex extraction battery. */
+  def qRegexpExtract(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .filter(col("c_custkey") < lit(100L))
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        regexp_extract(col("c_name"), "^([A-Za-z]+)", 1).as("name_word"),
+        col("c_name").rlike("[0-9]{3}").as("has_3digits"))
+      .orderBy("c_custkey")
+
+  /** Statistical aggregates (corr / stddev / variance). */
+  def qStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+           round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+           round(var_samp(col("l_tax")), 6).as("var_tax"),
+           round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets"     -> qGroupingSets,
+    "q_exists_sql"        -> qExistsSql,
+    "q_percentile"        -> qPercentile,
+    "q_approx_percentile" -> qApproxPercentile, // rows-only (sketch)
+    "q_minmax_by"         -> qMinMaxBy,
+    "q_array_agg"         -> qArrayAgg,
+    "q_date_arith"        -> qDateArith,
+    "q_regexp_extract"    -> qRegexpExtract,
+    "q_stats"             -> qStats)
+
+  val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |       COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       count(*) AS n, ${Q.DSUM("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin,
+    "q_exists_sql" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  min_by(o_orderkey, CAST(round(o_totalprice * 10000) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
+        |  max_by(o_orderkey, CAST(round(o_totalprice * 10000) AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_array_agg" ->
+      """SELECT l_returnflag,
+        |  list_sort(list_distinct(list(l_linestatus))) AS statuses,
+        |  list_sort(list_distinct(list(l_linenumber))) AS linenumbers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch_start,
+        |  (CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)::DATE AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "q_regexp_extract" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |  regexp_extract(c_name, '^([A-Za-z]+)', 1) AS name_word,
+        |  regexp_matches(c_name, '[0-9]{3}') AS has_3digits
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(stddev_samp(l_discount), 6) AS sd_disc,
+        |  round(var_samp(l_tax), 6) AS var_tax,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
