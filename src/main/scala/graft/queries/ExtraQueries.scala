@@ -120,7 +120,15 @@ object ExtraQueries {
            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** Skew-safe salted aggregation (ops.Scale) — result identical to a
+    * direct groupBy (decimal-exact partials), oracle is the plain SQL. */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.ops.Scale.saltedSum(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", salts = 8)
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg"        -> qSaltedAgg,
     "q_grouping_sets"     -> qGroupingSets,
     "q_exists_sql"        -> qExistsSql,
     "q_percentile"        -> qPercentile,
@@ -132,6 +140,9 @@ object ExtraQueries {
     "q_stats"             -> qStats)
 
   val oracles: Map[String, String] = Map(
+    "q_salted_agg" ->
+      s"""SELECT l_returnflag, ${Q.DSUM("l_extendedprice")} AS total, count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_grouping_sets" ->
       s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
          |       COALESCE(o_orderpriority, 'ALL') AS priority,
