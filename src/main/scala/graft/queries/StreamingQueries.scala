@@ -40,12 +40,21 @@ object StreamingQueries {
               col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Custom state machine via mapGroupsWithState (see
+    * [[graft.streaming.Events.statefulUserTotals]]). */
+  def qStatefulTotals(s: SparkSession, d: String): DataFrame =
+    Events.statefulUserTotals(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_hourly"   -> qStreamHourly,
-    "q_sliding_windows" -> qSlidingWindows,
-    "q_session_windows" -> qSessionWindows)
+    "q_stream_hourly"    -> qStreamHourly,
+    "q_sliding_windows"  -> qSlidingWindows,
+    "q_session_windows"  -> qSessionWindows,
+    "q_stateful_totals"  -> qStatefulTotals)
 
   val oracles: Map[String, String] = Map(
+    "q_stateful_totals" ->
+      s"""SELECT user_id, count(*) AS n_events, ${Q.DSUM("value")} AS total_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          |  event_type, count(*) AS n, ${Q.DSUM("value")} AS total_value

@@ -81,4 +81,43 @@ object Events {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy("hour", "event_type")
+
+  /** Custom streaming state via `mapGroupsWithState`: per-user running
+    * (count, total) maintained in a `GroupState` — the building block for
+    * arbitrary sessionization/enrichment state machines that windowed
+    * aggs can't express. State accumulates in exact decimal so the
+    * result is independent of both micro-batch slicing and in-group
+    * iteration order (and matches the oracle bit-for-bit as double). */
+  def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val events = readStream(spark, sfDir)
+      .select(col("user_id").as[Long], col("value").as[Double])
+    val updated = events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, java.math.BigDecimal)]) =>
+          var (n, total) = state.getOption
+            .getOrElse((0L, java.math.BigDecimal.ZERO))
+          rows.foreach { case (_, v) =>
+            n += 1
+            total = total.add(new java.math.BigDecimal(v)
+              .setScale(8, java.math.RoundingMode.HALF_UP))
+          }
+          state.update((n, total))
+          (uid, n, total.doubleValue())
+      }
+      .toDF("user_id", "n_events", "total_value")
+    // Update mode emits one row per key per micro-batch; AvailableNow over
+    // one file = one batch, but keep only the LAST update per key anyway
+    // so the query stays correct under maxFilesPerTrigger re-slicing.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    runToCompletion(spark, updated, mode = OutputMode.Update().toString.toLowerCase)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"), col("total_value"))
+      .orderBy("user_id")
+  }
 }
