@@ -127,7 +127,28 @@ object ExtraQueries {
         "l_extendedprice", salts = 8)
       .orderBy("l_returnflag")
 
+  /** As-of join (ops.AsOf): each lineitem "trade" priced against the
+    * most recent WEEKLY revenue quote of its returnflag series at or
+    * before its ship date. Oracle uses DuckDB's native ASOF JOIN —
+    * independent implementations, same operator semantics. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val quotes = li
+      .groupBy(col("l_returnflag").as("asset"),
+               trunc(to_date(col("l_shipdate")), "week").as("day"))
+      .agg(Q.dsum(Q.revenue).as("wk_price"))
+    val trades = li.filter(col("l_orderkey") < lit(400L))
+      .select(col("l_returnflag").as("asset"), to_date(col("l_shipdate")).as("day"),
+              col("l_orderkey"), col("l_linenumber"))
+    graft.ops.AsOf.asofJoin(trades, quotes, "day",
+        keyCols = Seq("asset"), valueCols = Seq("wk_price"))
+      .select(col("asset"), col("day"), col("l_orderkey"), col("l_linenumber"),
+              col("wk_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"         -> qAsofJoin,
     "q_salted_agg"        -> qSaltedAgg,
     "q_grouping_sets"     -> qGroupingSets,
     "q_exists_sql"        -> qExistsSql,
@@ -140,6 +161,19 @@ object ExtraQueries {
     "q_stats"             -> qStats)
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      s"""WITH wq AS (
+         |  SELECT l_returnflag AS asset,
+         |         date_trunc('week', CAST(l_shipdate AS DATE)) AS wk,
+         |         ${Q.DSUM(Q.REVENUE)} AS wk_price
+         |  FROM lineitem GROUP BY 1, 2),
+         |tr AS (
+         |  SELECT l_returnflag AS asset, CAST(l_shipdate AS DATE) AS day,
+         |         l_orderkey, l_linenumber
+         |  FROM lineitem WHERE l_orderkey < 400)
+         |SELECT tr.asset, tr.day, tr.l_orderkey, tr.l_linenumber, wq.wk_price
+         |FROM tr ASOF JOIN wq ON tr.asset = wq.asset AND tr.day >= wq.wk
+         |ORDER BY tr.l_orderkey, tr.l_linenumber""".stripMargin,
     "q_salted_agg" ->
       s"""SELECT l_returnflag, ${Q.DSUM("l_extendedprice")} AS total, count(*) AS n
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
