@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.AnalyticQueries.queries ++
     graft.queries.PipelineQueries.queries ++
     graft.queries.StreamingQueries.queries ++
-    graft.queries.ExtraQueries.queries
+    graft.queries.ExtraQueries.queries ++
+    graft.queries.Wave3Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     graft.queries.AnalyticQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++
     graft.queries.StreamingQueries.oracles ++
-    graft.queries.ExtraQueries.oracles
+    graft.queries.ExtraQueries.oracles ++
+    graft.queries.Wave3Queries.oracles
 }

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.text.TextStats
+
+/** Third breadth wave: recognizable TPC-H shapes (Q3/Q6/Q10 adapted to
+  * the driver schema), the remaining window functions (ntile,
+  * percent_rank, cume_dist, first/last/nth_value), unpivot (melt),
+  * posexplode with position semantics, string aggregation, NULL-handling
+  * battery, and winnowing (rolling min-hash) document fingerprints.
+  */
+object Wave3Queries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** TPC-H Q3 (shipping priority): top 10 undelivered orders by revenue
+    * for one segment. */
+  def qTpchQ3(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").filter(col("l_shipdate") > lit("1996-03-15"))
+      .join(t(s, d, "orders").filter(col("o_orderdate") < lit("1996-03-15")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")
+          .filter(col("c_mktsegment") === lit("BUILDING"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+               date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+               col("o_orderpriority"))
+      .agg(Q.dsum(Q.revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q6 (forecast revenue change): single filtered grand sum. */
+  def qTpchQ6(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < lit(24.0))
+      .agg(Q.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n"))
+
+  /** TPC-H Q10 (returned items): top 20 customers by lost revenue. */
+  def qTpchQ10(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").filter(col("l_returnflag") === lit("R"))
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(Q.dsum(Q.revenue).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Remaining analytic window functions, unique-key tiebreaks. */
+  def qWindowExtras(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders").filter(col("o_orderkey") < lit(500L))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first_value(col("o_orderkey")).over(full).as("cheapest"),
+        last_value(col("o_orderkey")).over(full).as("priciest"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_cheapest"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
+  /** Unpivot (melt): wide per-flag measures → long (measure, value). */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(Q.dsum(col("l_quantity")).as("qty"),
+           Q.dsum(col("l_extendedprice")).as("price"),
+           Q.dsum(col("l_discount")).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("qty"), col("price"), col("disc")),
+               "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
+  /** posexplode with position semantics: token frequency + first
+    * position within document. */
+  def qTokenExplode(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") < lit(20L))
+      .select(col("doc_id"), posexplode(TextStats.tokens(col("text"))).as(Seq("pos", "token")))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n"), (min(col("pos")) + lit(1)).cast("long").as("first_pos"))
+      .orderBy("doc_id", "token")
+
+  /** String aggregation (ordered distinct concat). */
+  def qStringAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+           countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy("o_orderpriority")
+
+  /** NULL-handling battery over a left join (real NULLs from no-order
+    * customers). */
+  def qNullBattery(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(max(col("o_totalprice")).as("max_price"))
+      .select(col("c_custkey"),
+        coalesce(col("max_price"), lit(-1.0)).as("price_or_default"),
+        col("max_price").isNull.as("has_no_orders"),
+        nullif(coalesce(col("max_price"), lit(0.0)), lit(0.0)).isNull.as("zero_or_null"),
+        when(col("max_price").isNull, lit("none"))
+          .when(col("max_price") > 300000, lit("big")).otherwise(lit("small")).as("bucket"))
+      .orderBy("c_custkey")
+
+  /** Winnowing fingerprints (rolling window of shingle hashes, min per
+    * window, distinct) — engine-hash-specific, rows-only. */
+  def qWinnow(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val shingleHashes = transform(
+      sequence(lit(0), greatest(size(toks) - lit(3), lit(-1))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
+    val wmins = transform(
+      sequence(lit(0), greatest(size(shingleHashes) - lit(4), lit(-1))),
+      i => array_min(slice(shingleHashes, i + lit(1), lit(4))))
+    t(s, d, "documents").repartition(col("doc_id"))
+      .select(col("doc_id"), array_distinct(wmins).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+              array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3"       -> qTpchQ3,
+    "q_tpch_q6"       -> qTpchQ6,
+    "q_tpch_q10"      -> qTpchQ10,
+    "q_window_extras" -> qWindowExtras,
+    "q_unpivot"       -> qUnpivot,
+    "q_token_explode" -> qTokenExplode,
+    "q_string_agg"    -> qStringAgg,
+    "q_null_battery"  -> qNullBattery,
+    "q_winnow"        -> qWinnow) // rows-only (engine hash)
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         |  o_orderpriority, ${Q.DSUM(Q.REVENUE)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+         |GROUP BY l_orderkey, orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q6" ->
+      s"""SELECT ${Q.DSUM("l_extendedprice * l_discount")} AS revenue, count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.03 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${Q.DSUM(Q.REVENUE)} AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_window_extras" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER wf AS cheapest,
+        |  last_value(o_orderkey) OVER wf AS priciest,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_cheapest
+        |FROM orders WHERE o_orderkey < 500
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      s"""WITH m AS (
+         |  SELECT l_returnflag, ${Q.DSUM("l_quantity")} AS qty,
+         |    ${Q.DSUM("l_extendedprice")} AS price, ${Q.DSUM("l_discount")} AS disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, value FROM (
+         |  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM m
+         |  UNION ALL SELECT l_returnflag, 'price', price FROM m
+         |  UNION ALL SELECT l_returnflag, 'disc', disc FROM m)
+         |ORDER BY l_returnflag, measure""".stripMargin,
+    "q_token_explode" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, ${TextStats.TOKENS("text")} AS toks FROM documents
+         |  WHERE doc_id < 20)
+         |SELECT doc_id, t.g AS token, count(*) AS n,
+         |  CAST(list_position(any_value(toks), t.g) AS BIGINT) AS first_pos
+         |FROM x, unnest(x.toks) AS t(g)
+         |GROUP BY doc_id, t.g
+         |ORDER BY doc_id, token""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |  count(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_null_battery" ->
+      """WITH m AS (
+        |  SELECT c_custkey, max(o_totalprice) AS max_price
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_custkey,
+        |  coalesce(max_price, -1.0) AS price_or_default,
+        |  max_price IS NULL AS has_no_orders,
+        |  nullif(coalesce(max_price, 0.0), 0.0) IS NULL AS zero_or_null,
+        |  CASE WHEN max_price IS NULL THEN 'none'
+        |       WHEN max_price > 300000 THEN 'big' ELSE 'small' END AS bucket
+        |FROM m ORDER BY c_custkey""".stripMargin)
+}
