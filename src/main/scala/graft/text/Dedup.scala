@@ -67,14 +67,15 @@ object Dedup {
 
   /** MinHash signature columns: k universal-hash permutations
     * `(a_i * h + b_i) mod p` over xxhash64 shingle hashes, min per doc.
-    * Constants from a fixed LCG seed — deterministic across runs. */
-  def minhashSignatures(docs: DataFrame, k: Int = 64): DataFrame = {
+    * Constants from a fixed LCG seed — deterministic across runs.
+    * Takes pre-exploded shingle rows so callers can share (and cache)
+    * one shingle pass between signatures and verification. */
+  def minhashSignatures(shingleRows: DataFrame, k: Int = 64): DataFrame = {
     val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
     val rnd = new scala.util.Random(42)
     val params = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1)) + 1 ->
                              math.abs(rnd.nextLong()) % p)
-    val h = shingleRows(docs)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+    val h = shingleRows.withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"mh_$i")
     }
@@ -104,7 +105,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val s = shingleRows(docs).cache()
     val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val cands = lshCandidates(minhashSignatures(docs))
+    val cands = lshCandidates(minhashSignatures(s))
     val sa = s.select(col("doc_id").as("doc_a"), col("shingle"))
     val sb = s.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = cands.join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
