@@ -65,35 +65,33 @@ object Dedup {
               round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature columns: k universal-hash permutations
-    * `(a_i * h + b_i) mod p` over xxhash64 shingle hashes, min per doc.
-    * Constants from a fixed LCG seed — deterministic across runs.
+  /** MinHash signatures: k universal-hash permutations
+    * `(a_i * h + b_i) mod p` over xxhash64 shingle hashes, minima kept in
+    * ONE mutable buffer by the custom
+    * [[graft.functions.MinHashAgg TypedImperativeAggregate]] (single
+    * pass, O(k) merge) instead of k separate min-aggregate columns.
     * Takes pre-exploded shingle rows so callers can share (and cache)
     * one shingle pass between signatures and verification. */
   def minhashSignatures(shingleRows: DataFrame, k: Int = 64): DataFrame = {
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
-    val rnd = new scala.util.Random(42)
-    val params = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1)) + 1 ->
-                             math.abs(rnd.nextLong()) % p)
-    val h = shingleRows.withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
-    val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"mh_$i")
-    }
-    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    import graft.functions.MinHashAgg
+    shingleRows
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinHashAgg.P)))
+      .groupBy("doc_id")
+      .agg(MinHashAgg.minhash_sig(col("h"), k).as("sig"))
   }
 
-  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
-    * bucket-join docs sharing any band hash. */
+  /** LSH candidate pairs: band the signature array (bands × rowsPerBand
+    * = k), bucket-join docs sharing any band hash. */
   def lshCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+      val rows = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
     buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
