@@ -147,7 +147,22 @@ object ExtraQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Typed Dataset surface (io.Typed): compile-checked fields, typed
+    * filter + groupByKey, result identical to the untyped plan (filter
+    * still pushes down — see TypedSpec plan assert). */
+  def qTypedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.io.Typed.lineitem(s, d)
+      .filter(_.l_quantity > 10.0)
+      .groupByKey(_.l_returnflag)
+      .agg(sum(col("l_quantity")).as[Double],
+           count(lit(1)).as[Long])
+      .toDF("l_returnflag", "sum_qty", "n")
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_typed_agg"         -> qTypedAgg,
     "q_asof_join"         -> qAsofJoin,
     "q_salted_agg"        -> qSaltedAgg,
     "q_grouping_sets"     -> qGroupingSets,
@@ -161,6 +176,10 @@ object ExtraQueries {
     "q_stats"             -> qStats)
 
   val oracles: Map[String, String] = Map(
+    "q_typed_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_asof_join" ->
       s"""WITH wq AS (
          |  SELECT l_returnflag AS asset,
