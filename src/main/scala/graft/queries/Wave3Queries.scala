@@ -131,7 +131,27 @@ object Wave3Queries {
       .orderBy("doc_id")
   }
 
+  /** Bucketized range join (ops.RangeJoin): for every error event, how
+    * many click/view events the same user produced in the 10 preceding
+    * minutes. Left join semantics restored by re-joining the error list
+    * (errors with no prior activity → 0). */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val errors = ev.filter(col("event_type") === lit("error"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val activity = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+    val matched = graft.ops.RangeJoin.intervalJoin(
+        errors, activity, "ts", "v_ts", -600L, 0L, keys = Seq("user_id"))
+      .groupBy(col("event_id")).agg(count(col("v_id")).as("n_prior"))
+    errors.select(col("event_id"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join"    -> qRangeJoin,
     "q_tpch_q3"       -> qTpchQ3,
     "q_tpch_q6"       -> qTpchQ6,
     "q_tpch_q10"      -> qTpchQ10,
@@ -143,6 +163,17 @@ object Wave3Queries {
     "q_winnow"        -> qWinnow) // rows-only (engine hash)
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT e.event_id,
+        |  count(v.event_id) AS n_prior
+        |FROM events e
+        |LEFT JOIN events v
+        |  ON v.user_id = e.user_id
+        | AND v.event_type IN ('click', 'view')
+        | AND v.ts >= e.ts - INTERVAL 10 MINUTE
+        | AND v.ts < e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q_tpch_q3" ->
       s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
          |  o_orderpriority, ${Q.DSUM(Q.REVENUE)} AS revenue
