@@ -45,13 +45,20 @@ object StreamingQueries {
   def qStatefulTotals(s: SparkSession, d: String): DataFrame =
     Events.statefulUserTotals(s, d)
 
+  def qStreamDedup(s: SparkSession, d: String): DataFrame =
+    Events.dedupCountsByType(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dedup"     -> qStreamDedup,
     "q_stream_hourly"    -> qStreamHourly,
     "q_sliding_windows"  -> qSlidingWindows,
     "q_session_windows"  -> qSessionWindows,
     "q_stateful_totals"  -> qStatefulTotals)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_unique
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stateful_totals" ->
       s"""SELECT user_id, count(*) AS n_events, ${Q.DSUM("value")} AS total_value
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

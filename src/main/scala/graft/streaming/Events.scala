@@ -82,6 +82,21 @@ object Events {
         col("event_type"), col("n"), col("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Streaming dedup: `dropDuplicatesWithinWatermark` holds one state
+    * entry per event_id only until the watermark passes — the bounded-
+    * state exactly-once ingest pattern (an at-least-once upstream like
+    * Kafka can replay; this collapses replays inside the lateness
+    * horizon). Counts per type after dedup, complete mode for replay
+    * determinism. */
+  def dedupCountsByType(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark,
+      readStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique")))
+      .orderBy("event_type")
+
   /** Custom streaming state via `mapGroupsWithState`: per-user running
     * (count, total) maintained in a `GroupState` — the building block for
     * arbitrary sessionization/enrichment state machines that windowed
