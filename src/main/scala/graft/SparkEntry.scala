@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.PipelineQueries.queries ++
     graft.queries.StreamingQueries.queries ++
     graft.queries.ExtraQueries.queries ++
-    graft.queries.Wave3Queries.queries
+    graft.queries.Wave3Queries.queries ++
+    graft.queries.Wave4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     graft.queries.PipelineQueries.oracles ++
     graft.queries.StreamingQueries.oracles ++
     graft.queries.ExtraQueries.oracles ++
-    graft.queries.Wave3Queries.oracles
+    graft.queries.Wave3Queries.oracles ++
+    graft.queries.Wave4Queries.oracles
 }

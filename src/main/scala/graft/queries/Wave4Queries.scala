@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.text.TextStats
+
+/** Fourth wave: report-layer output (the reference's email/chart
+  * contract), column profiling (data-quality gate), math/bit scalar
+  * batteries, token-length histogram. */
+object Wave4Queries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Reference report row (graft.report.Summary): formatted dd/MM/yyyy
+    * period bounds (ref F2), `%.2f` means (ref `controller/app.py:194`). */
+  def qReport(s: SparkSession, d: String): DataFrame =
+    graft.report.Summary.reportRow(s, d)
+
+  /** Column profile of orders (ops.Profile). */
+  def qProfileOrders(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.profile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+      .orderBy("col_name")
+
+  /** Math scalar battery (transcendentals rounded — libm vs StrictMath
+    * may differ in the last ulp). */
+  def qMathBattery(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").filter(col("l_orderkey") < lit(100L))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(log10(col("l_extendedprice")), 6).as("log10_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(pow(col("l_quantity"), 2.0), 6).as("qty_sq"),
+        round(sin(col("l_discount")), 6).as("sin_disc"),
+        round(cos(col("l_discount")), 6).as("cos_disc"),
+        round(atan(col("l_tax")), 6).as("atan_tax"),
+        signum(col("l_quantity") - lit(25.0)).as("sign_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Bitwise scalar battery. */
+  def qBitBattery(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").filter(col("p_partkey") < lit(100L))
+      .select(col("p_partkey"),
+        col("p_partkey").bitwiseAND(lit(255L)).as("and255"),
+        col("p_partkey").bitwiseOR(lit(4096L)).as("or4096"),
+        col("p_partkey").bitwiseXOR(lit(170L)).as("xor170"),
+        shiftleft(col("p_partkey"), 2).as("shl2"),
+        shiftright(col("p_partkey"), 1).as("shr1"),
+        bit_count(col("p_partkey")).as("popcount"))
+      .orderBy("p_partkey")
+
+  /** Token-count histogram over documents (bucket width 50). */
+  def qTokenHistogram(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select((floor(TextStats.tokenCount(col("text")) / lit(50)) * 50)
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_report"          -> qReport,
+    "q_profile_orders"  -> qProfileOrders,
+    "q_math_battery"    -> qMathBattery,
+    "q_bit_battery"     -> qBitBattery,
+    "q_token_histogram" -> qTokenHistogram)
+
+  private def PROFILE_COL(c: String, minmax: String => String): String =
+    s"""SELECT '$c' AS col_name, count(*) AS n,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  ${minmax(s"min($c)")} AS min_value, ${minmax(s"max($c)")} AS max_value
+       |FROM orders""".stripMargin
+
+  private val asStr = (e: String) => s"CAST($e AS VARCHAR)"
+  private val asNum = (e: String) => s"printf('%.4f', $e)"
+  private val asTs  = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+
+  val oracles: Map[String, String] = Map(
+    "q_report" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(l_shipdate AS DATE) AS day, ${Q.DSUM(Q.REVENUE)} AS price
+         |  FROM lineitem GROUP BY 1),
+         |rets AS (
+         |  SELECT day, price,
+         |    (price / NULLIF(lag(price) OVER (ORDER BY day), 0) - 1) * 100 AS ret
+         |  FROM daily
+         |  WHERE day BETWEEN DATE '${CoreQueries.from}' AND DATE '${CoreQueries.to}')
+         |SELECT strftime(min(day), '%d/%m/%Y') AS period_start,
+         |  strftime(max(day), '%d/%m/%Y') AS period_end,
+         |  count(*) AS n_days,
+         |  printf('%.2f', avg(ret)) AS media_ret_fmt,
+         |  printf('%.2f', ${Q.DSUM("price")} / 1000000.0) AS total_revenue_mm
+         |FROM rets""".stripMargin,
+    "q_profile_orders" ->
+      (Seq(
+        PROFILE_COL("o_orderkey", asStr),
+        PROFILE_COL("o_custkey", asStr),
+        PROFILE_COL("o_orderstatus", asStr),
+        PROFILE_COL("o_totalprice", asNum),
+        PROFILE_COL("o_orderdate", asTs),
+        PROFILE_COL("o_orderpriority", asStr)).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    "q_math_battery" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(log10(l_extendedprice), 6) AS log10_price,
+        |  round(exp(l_discount), 6) AS exp_disc,
+        |  round(pow(l_quantity, 2.0), 6) AS qty_sq,
+        |  round(sin(l_discount), 6) AS sin_disc,
+        |  round(cos(l_discount), 6) AS cos_disc,
+        |  round(atan(l_tax), 6) AS atan_tax,
+        |  CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sign_qty
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_bit_battery" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS and255,
+        |  p_partkey | 4096 AS or4096,
+        |  xor(p_partkey, 170) AS xor170,
+        |  p_partkey << 2 AS shl2,
+        |  p_partkey >> 1 AS shr1,
+        |  CAST(bit_count(p_partkey) AS INTEGER) AS popcount
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin,
+    "q_token_histogram" ->
+      s"""SELECT CAST(floor(len(${TextStats.TOKENS("text")}) / 50) * 50 AS BIGINT) AS bucket,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin)
+}
