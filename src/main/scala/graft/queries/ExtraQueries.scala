@@ -24,7 +24,7 @@ object ExtraQueries {
     s.sql(s"""
       |SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |       COALESCE(o_orderpriority, 'ALL') AS priority,
-      |       count(*) AS n, ${Q.DSUM("o_totalprice")} AS total
+      |       count(*) AS n, ${Q.DSUM_SPARK("o_totalprice")} AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin)

@@ -28,8 +28,21 @@ object Q {
   /** Order-independent average (NULLs excluded, like SQL avg). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** DuckDB-side twin of [[dsum]]. */
-  def DSUM(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(30,8))) AS DOUBLE)"
+  /** DuckDB-side twin of [[dsum]].
+    *
+    * The decimal→double hop goes THROUGH VARCHAR: DuckDB's direct
+    * DECIMAL→DOUBLE cast divides the int128 payload by 10^scale in
+    * double arithmetic (not correctly rounded — off by 1 ulp at ~1e10,
+    * which sf0.1 group sums reach), while string→double parsing is
+    * correctly rounded in both engines, matching Spark's
+    * BigDecimal.doubleValue exactly. */
+  def DSUM(e: String): String =
+    s"CAST(CAST(sum(CAST(($e) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
+
+  /** Spark-SQL-dialect twin of [[DSUM]] (Spark spells the string type
+    * STRING, not VARCHAR) for queries whose text executes in Spark. */
+  def DSUM_SPARK(e: String): String =
+    s"CAST(CAST(sum(CAST(($e) AS DECIMAL(30,8))) AS STRING) AS DOUBLE)"
 
   /** DuckDB-side twin of [[davg]]. */
   def DAVG(e: String): String = s"(${DSUM(e)} / count($e))"
