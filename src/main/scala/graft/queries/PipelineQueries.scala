@@ -86,6 +86,12 @@ object PipelineQueries {
       .orderBy("query_id", "rk")
   }
 
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < lit(10L)), k = 5)
+      .orderBy("query_id", "rk")
+  }
+
   // ---- multimodal ----
 
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -114,6 +120,7 @@ object PipelineQueries {
     "q_ann_brute"           -> qAnnBrute,
     "q_cosine_pairs"        -> qCosinePairs,
     "q_ann_lsh"             -> qAnnLsh,       // rows-only (recall < 1 by design)
+    "q_ann_ivf"             -> qAnnIvf,       // rows-only (k-means dependent)
     "q_multimodal_meta"     -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures) // rows-only (stub decode)
 

@@ -99,6 +99,51 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-style ANN: a coarse k-means quantizer (seeded, MLlib) assigns
+    * every corpus vector to one of `nLists` inverted lists; each query
+    * probes its `nProbe` nearest centroids and exact-cosine re-ranks
+    * only those lists — the classic recall/cost dial (probe all lists ⇒
+    * brute force). At 100 TB the lists are the partition keys: a query
+    * touches nProbe/nLists of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val featured = corpus
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nLists).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(featured)
+    val assigned = model.transform(featured)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+              col("list_id"))
+
+    val spark = corpus.sparkSession
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toIndexedSeq).toDF("list_id", "centroid")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("list_id"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("q_emb"), col("centroid")))
+      .withColumn("prk", row_number().over(w))
+      .filter(col("prk") <= lit(nProbe))
+      .select(col("query_id"), col("q_emb"), col("list_id"))
+
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= lit(k))
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
+  }
+
   /** ANN via LSH bucketing: vectors sharing an 8-bit signature chunk are
     * candidates; exact cosine re-ranks; top-k per query. Recall < 1 by
     * design — compare against [[bruteForceTopK]] to measure. */
