@@ -60,7 +60,24 @@ object Wave4Queries {
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")
 
+  /** Extended string battery: padding/slicing/search + levenshtein
+    * fuzzy distance (the cheap pre-filter for fuzzy entity matching). */
+  def qStringBattery(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").filter(col("c_custkey") < lit(100L))
+      .select(col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        rpad(col("c_mktsegment"), 12, ".").as("padded_seg"),
+        reverse(col("c_name")).as("rev_name"),
+        translate(col("c_name"), "#", "-").as("dashed"),
+        repeat(substring(col("c_mktsegment"), 1, 2), 2).as("seg2x"),
+        substring(col("c_name"), 1, 4).as("name4"),
+        instr(col("c_name"), "#").cast("int").as("hash_pos"),
+        levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("lev_machinery"),
+        ascii(col("c_mktsegment")).as("seg_ascii"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_battery"  -> qStringBattery,
     "q_report"          -> qReport,
     "q_profile_orders"  -> qProfileOrders,
     "q_math_battery"    -> qMathBattery,
@@ -79,6 +96,18 @@ object Wave4Queries {
   private val asTs  = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "q_string_battery" ->
+      """SELECT c_custkey,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |  rpad(c_mktsegment, 12, '.') AS padded_seg,
+        |  reverse(c_name) AS rev_name,
+        |  translate(c_name, '#', '-') AS dashed,
+        |  repeat(substr(c_mktsegment, 1, 2), 2) AS seg2x,
+        |  substr(c_name, 1, 4) AS name4,
+        |  CAST(instr(c_name, '#') AS INTEGER) AS hash_pos,
+        |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INTEGER) AS lev_machinery,
+        |  CAST(ascii(c_mktsegment) AS INTEGER) AS seg_ascii
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
     "q_report" ->
       s"""WITH daily AS (
          |  SELECT CAST(l_shipdate AS DATE) AS day, ${Q.DSUM(Q.REVENUE)} AS price

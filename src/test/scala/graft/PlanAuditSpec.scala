@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-stability audit across the ENTIRE query registry: every query
+  * must analyze and plan at sf0.001, and none may degenerate into an
+  * unintended cartesian/nested-loop product — the silent 100 TB killer
+  * when a join condition is lost in a refactor. */
+class PlanAuditSpec extends SparkSuite {
+
+  // O(n²)-by-design exceptions: brute-force similarity (the oracles for
+  // the LSH/IVF scale paths) and the tiny broadcast probe sets.
+  private val intendedNestedLoop = Set(
+    "q_ann_brute", "q_cosine_pairs", "q_ann_ivf", "q_ann_lsh")
+
+  test("every registry query plans; no unintended cartesian products") {
+    val d = sf("sf0.001")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, d).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        val nested = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (nested && !intendedNestedLoop(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unintended nested-loop plans: $offenders")
+  }
+
+  test("oracle map keys are a subset of query keys and non-empty") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
+    assert(os.size >= 60)
+    assert(qs.size >= 70)
+  }
+}
