@@ -32,6 +32,27 @@ class StreamingSinkSpec extends SparkSuite {
     assert(written.select("event_id").distinct().count() == written.count())
   }
 
+  test("foreachBatch sink: arbitrary per-micro-batch logic (upsert-style)") {
+    val d = sf("sf0.001")
+    val out = Files.createTempDirectory("feb").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = Events.readStream(spark, d)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the escape hatch: any batch writer (JDBC upsert, MERGE, multi-sink)
+        seen.addAndGet(batch.count())
+        batch.write.mode("overwrite").parquet(s"$out/agg")
+      }
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.get() == 5) // five event types
+    assert(spark.read.parquet(s"$out/agg").count() == 5)
+  }
+
   test("join strategy hints are honored (shuffle_hash / merge)") {
     import org.apache.spark.sql.execution.ExplainMode
     val d = sf("sf0.001")
