@@ -76,7 +76,42 @@ object Wave4Queries {
         ascii(col("c_mktsegment")).as("seg_ascii"))
       .orderBy("c_custkey")
 
+  /** Corpus bigram frequency table (top 50) — the n-gram statistics
+    * pass of a data-curation pipeline. */
+  def qBigrams(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").repartition(col("doc_id"))
+      .select(explode(graft.text.Dedup.shingles(col("text"), n = 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+
+  /** Repetition ratio — share of the document taken by its most frequent
+    * token; the standard boilerplate/spam signal. */
+  def qRepetition(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("repetition_ratio"),
+           max(col("c")).as("top_token_count"),
+           sum(col("c")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Per-source corpus statistics — the curation dashboard rollup. */
+  def qSourceStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           (Q.dsum(col("n_chars").cast("double")) / count(lit(1))).as("avg_chars"),
+           countDistinct(col("lang")).as("n_langs"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigrams"         -> qBigrams,
+    "q_repetition"      -> qRepetition,
+    "q_source_stats"    -> qSourceStats,
     "q_string_battery"  -> qStringBattery,
     "q_report"          -> qReport,
     "q_profile_orders"  -> qProfileOrders,
@@ -96,6 +131,29 @@ object Wave4Queries {
   private val asTs  = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "q_bigrams" ->
+      s"""WITH x AS (
+         |  SELECT unnest(${graft.text.Dedup.SHINGLES("text", 2)}) AS bigram
+         |  FROM documents)
+         |SELECT bigram, count(*) AS n FROM x GROUP BY bigram
+         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "q_repetition" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t.g AS tok, count(*) AS c
+         |  FROM (SELECT doc_id, ${TextStats.TOKENS("text")} AS toks FROM documents) x,
+         |       unnest(x.toks) AS t(g)
+         |  GROUP BY doc_id, t.g)
+         |SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS repetition_ratio,
+         |  max(c) AS top_token_count,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_source_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  ${Q.DSUM("CAST(n_chars AS DOUBLE)")} / count(*) AS avg_chars,
+         |  count(DISTINCT lang) AS n_langs,
+         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_string_battery" ->
       """SELECT c_custkey,
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
