@@ -41,15 +41,6 @@ object Returns {
     }
   }
 
-  /** Reference-parity global average (ref `controller/script.py:96-99`),
-    * preserving the inconsistent `Media_SP500_Retorno`-style rename: the
-    * caller passes output names explicitly. `avg` skips NULLs (first row,
-    * div-by-zero rows) exactly as SQL mandates. */
-  def averageReturns(returns: DataFrame, cols: Map[String, String]): DataFrame =
-    returns.agg(
-      cols.head match { case (c, out) => avg(col(c)).as(out) },
-      cols.tail.map { case (c, out) => avg(col(c)).as(out) }.toSeq: _*)
-
   /** Scale-path long-format returns: partition by asset, order by day.
     * Shuffles once on `asset` and parallelizes across assets/executors —
     * the 100 TB-safe variant of the reference's unpartitioned window. */

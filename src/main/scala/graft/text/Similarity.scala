@@ -85,7 +85,8 @@ object Similarity {
     * derived from a hash of (j,i) — no RNG state, reproducible on any
     * cluster. */
   private def plane(j: Int, i: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((j, i, 1234567))
+    var h = j * 0x9E3779B1 + i * 0x85EBCA77 + 1234567
+    h ^= h >>> 15; h *= 0x2545F491; h ^= h >>> 13
     (h % 100000) / 100000.0
   }
 
