@@ -108,7 +108,53 @@ object Wave4Queries {
            max(col("n_chars")).as("max_chars"))
       .orderBy("source")
 
+  private def viewed(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+
+  /** Correlated scalar subquery (decorrelated by Catalyst to a join):
+    * customers above their segment's average balance. */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    viewed(s, d, "customer")
+    s.sql("""
+      |SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer
+      |                   WHERE c_mktsegment = c.c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Value-range window frame (RANGE over calendar days, not rows —
+    * differs from rowsBetween whenever the series has gaps). */
+  def qRangeFrame(s: SparkSession, d: String): DataFrame = {
+    viewed(s, d, "lineitem")
+    s.sql(s"""
+      |WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |         ${Q.DSUM_SPARK(Q.REVENUE)} AS price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT day, price,
+      |  round(sum(price) OVER (ORDER BY day
+      |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4) AS sum7d
+      |FROM daily ORDER BY day""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery: each segment's two highest-balance
+    * customers via a per-row dependent subquery. */
+  def qLateral(s: SparkSession, d: String): DataFrame = {
+    viewed(s, d, "customer")
+    s.sql("""
+      |SELECT segs.c_mktsegment, top.c_custkey, top.c_acctbal
+      |FROM (SELECT DISTINCT c_mktsegment FROM customer) segs,
+      |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+      |         WHERE c_mktsegment = segs.c_mktsegment
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top
+      |ORDER BY segs.c_mktsegment, top.c_acctbal DESC, top.c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_range_frame"     -> qRangeFrame,
+    "q_lateral"         -> qLateral,
     "q_bigrams"         -> qBigrams,
     "q_repetition"      -> qRepetition,
     "q_source_stats"    -> qSourceStats,
@@ -131,6 +177,28 @@ object Wave4Queries {
   private val asTs  = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer
+        |                   WHERE c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_range_frame" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(l_shipdate AS DATE) AS day,
+         |         ${Q.DSUM(Q.REVENUE)} AS price
+         |  FROM lineitem GROUP BY 1)
+         |SELECT day, price,
+         |  round(sum(price) OVER (ORDER BY day
+         |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4) AS sum7d
+         |FROM daily ORDER BY day""".stripMargin,
+    "q_lateral" ->
+      """SELECT segs.c_mktsegment, top.c_custkey, top.c_acctbal
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) segs,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_mktsegment = segs.c_mktsegment
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top
+        |ORDER BY segs.c_mktsegment, top.c_acctbal DESC, top.c_custkey""".stripMargin,
     "q_bigrams" ->
       s"""WITH x AS (
          |  SELECT unnest(${graft.text.Dedup.SHINGLES("text", 2)}) AS bigram
