@@ -151,7 +151,41 @@ object Wave4Queries {
       |ORDER BY segs.c_mktsegment, top.c_acctbal DESC, top.c_custkey""".stripMargin)
   }
 
+  /** Array-function battery over tokenized documents. */
+  def qArrayBattery(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    t(s, d, "documents").filter(col("doc_id") < lit(50L))
+      .select(col("doc_id"),
+        size(toks).as("n"),
+        array_contains(toks, "data").as("has_data"),
+        arrays_overlap(toks, typedLit(Seq("spark", "sql"))).as("mentions_engine"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(array_intersect(toks, typedLit(Seq("the", "a", "of")))).as("n_articles"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        slice(toks, 1, 3).as("first3"))
+      .orderBy("doc_id")
+  }
+
+  /** Higher-order-function battery (transform / filter / exists / forall
+    * / aggregate) — the expression-level lambda surface. Correct and
+    * concise; NOTE these run interpreted (see BASELINE/SCALING: hot
+    * paths promote to codegen expressions like VectorDot). */
+  def qLambdaBattery(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    t(s, d, "documents").filter(col("doc_id") < lit(50L))
+      .select(col("doc_id"),
+        transform(toks, t => length(t)).as("tok_lens"),
+        size(filter(toks, t => length(t) > lit(4))).as("n_long"),
+        exists(toks, t => t === lit("data")).as("has_data"),
+        forall(toks, t => length(t) < lit(20)).as("all_short"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_battery"   -> qArrayBattery,
+    "q_lambda_battery"  -> qLambdaBattery,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_range_frame"     -> qRangeFrame,
     "q_lateral"         -> qLateral,
@@ -176,7 +210,28 @@ object Wave4Queries {
   private val asNum = (e: String) => s"printf('%.4f', $e)"
   private val asTs  = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
 
+  private val TOKS = TextStats.TOKENS("text")
+
   val oracles: Map[String, String] = Map(
+    "q_array_battery" ->
+      s"""SELECT doc_id,
+         |  CAST(len($TOKS) AS INTEGER) AS n,
+         |  list_contains($TOKS, 'data') AS has_data,
+         |  list_has_any($TOKS, ['spark', 'sql']) AS mentions_engine,
+         |  CAST(len(list_distinct($TOKS)) AS INTEGER) AS n_distinct,
+         |  CAST(len(list_intersect($TOKS, ['the', 'a', 'of'])) AS INTEGER) AS n_articles,
+         |  $TOKS[1] AS first_tok,
+         |  $TOKS[-1] AS last_tok,
+         |  $TOKS[1:3] AS first3
+         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "q_lambda_battery" ->
+      s"""SELECT doc_id,
+         |  list_transform($TOKS, t -> CAST(length(t) AS INTEGER)) AS tok_lens,
+         |  CAST(len(list_filter($TOKS, t -> length(t) > 4)) AS INTEGER) AS n_long,
+         |  list_has_any(list_filter($TOKS, t -> t = 'data'), $TOKS) AS has_data,
+         |  len(list_filter($TOKS, t -> length(t) >= 20)) = 0 AS all_short,
+         |  CAST(list_sum(list_transform($TOKS, t -> length(t))) AS BIGINT) AS total_chars
+         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal
         |FROM customer c
