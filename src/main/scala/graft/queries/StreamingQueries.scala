@@ -48,7 +48,12 @@ object StreamingQueries {
   def qStreamDedup(s: SparkSession, d: String): DataFrame =
     Events.dedupCountsByType(s, d)
 
+  /** flatMapGroupsWithState sessionization (multi-row state output). */
+  def qFmgwsSessions(s: SparkSession, d: String): DataFrame =
+    Events.fmgwsSessions(s, d, Tables.load(s, d, "events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fmgws_sessions"   -> qFmgwsSessions,
     "q_stream_dedup"     -> qStreamDedup,
     "q_stream_hourly"    -> qStreamHourly,
     "q_sliding_windows"  -> qSlidingWindows,
@@ -56,6 +61,24 @@ object StreamingQueries {
     "q_stateful_totals"  -> qStatefulTotals)
 
   val oracles: Map[String, String] = Map(
+    "q_fmgws_sessions" ->
+      s"""WITH m AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), s AS (
+         |  SELECT user_id, ts,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_last_event,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -72,6 +72,46 @@ object Events {
     spark.table(name)
   }
 
+  /** Sessionization via `flatMapGroupsWithState` — the arbitrary-state
+    * API emitting MULTIPLE rows per group (sessions from a user's event
+    * stream, 1-hour inactivity gap). Runs on the batch Dataset here
+    * (same API shape Structured Streaming uses; on a stream the state
+    * would carry open sessions across micro-batches with an event-time
+    * timeout closing them). Events are sorted inside the group — at
+    * 100 TB swap for a secondary sort (`repartition` + `
+    * sortWithinPartitions`) so groups stream in order instead of
+    * buffering. */
+  def fmgwsSessions(spark: SparkSession, sfDir: String,
+                    events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = 3600L * 1000000L
+
+    events.select(col("user_id").as[Long],
+        unix_micros(col("ts")).as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], _: GroupState[Long]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var start = ts.head; var last = ts.head; var n = 1L
+          ts.tail.foreach { t =>
+            if (t - last >= gapMicros) {
+              sessions += ((uid, start, last, n)); start = t; n = 0L
+            }
+            last = t; n += 1
+          }
+          sessions += ((uid, start, last, n))
+          sessions.iterator
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_last_event"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** The full streaming query, result shaped for the oracle (window
     * start as string — raw timestamps don't round-trip parquet across
     * engines). */
