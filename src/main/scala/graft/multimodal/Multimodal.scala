@@ -59,6 +59,51 @@ object Multimodal {
     StructField("dim", IntegerType),
     StructField("features", ArrayType(FloatType))))
 
+  /** STUB resize ??? in spirit: a real implementation decodes, scales
+    * with an image library, re-encodes. This deterministic fake keeps
+    * every `stride`-th byte so output size tracks the requested scale —
+    * the plumbing contract (bytes in, smaller bytes out, per-partition
+    * batching) is what's real. */
+  def resizeStub(content: Array[Byte], stride: Int): Array[Byte] = {
+    val out = new Array[Byte]((content.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = content(i * stride); i += 1 }
+    out
+  }
+
+  /** STUB frame sampling ??? in spirit: a real implementation seeks N
+    * keyframes via a video codec. The fake slices the payload into N
+    * chunks and emits one feature vector per "frame". */
+  def frameSampleStub(content: Array[Byte], nFrames: Int, dim: Int): Seq[Array[Float]] = {
+    val chunk = math.max(1, content.length / nFrames)
+    (0 until nFrames).map { f =>
+      val start = f * chunk
+      decodeStub(content.slice(start, math.min(start + chunk, content.length)), dim)
+    }
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Frame-sampling operator: one row per sampled frame per media item
+    * (video → frames analog), batched per partition like
+    * [[extractFeatures]]. */
+  def sampleFrames(media: DataFrame, nFrames: Int = 4, dim: Int = 8): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          frameSampleStub(bytes, nFrames, dim).zipWithIndex.map {
+            case (feat, i) => Row(id, i, feat.toSeq)
+          }
+        }
+      }(enc)
+  }
+
   /** Batch feature extraction: mapPartitions over the media table —
     * the Scala analog of pandas-UDF batch decode. One decoder instance
     * per partition (where a real codec would be initialized), rows

@@ -183,7 +183,24 @@ object Wave4Queries {
       .orderBy("doc_id")
   }
 
+  /** Recursive CTE date spine + gap-fill: every calendar day in Q1 1995
+    * with its order count, INCLUDING zero-order days — the classic
+    * time-series completeness fix (a groupBy alone silently drops empty
+    * days). */
+  def qDateSpine(s: SparkSession, d: String): DataFrame = {
+    viewed(s, d, "orders")
+    s.sql("""
+      |WITH RECURSIVE cal(day) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL SELECT date_add(day, 1) FROM cal WHERE day < DATE '1995-03-31'
+      |)
+      |SELECT cal.day, count(o_orderkey) AS n_orders
+      |FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.day
+      |GROUP BY cal.day ORDER BY cal.day""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_date_spine"      -> qDateSpine,
     "q_array_battery"   -> qArrayBattery,
     "q_lambda_battery"  -> qLambdaBattery,
     "q_scalar_subquery" -> qScalarSubquery,
@@ -213,6 +230,14 @@ object Wave4Queries {
   private val TOKS = TextStats.TOKENS("text")
 
   val oracles: Map[String, String] = Map(
+    "q_date_spine" ->
+      """WITH RECURSIVE cal(day) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM cal WHERE day < DATE '1995-03-31'
+        |)
+        |SELECT cal.day, count(o_orderkey) AS n_orders
+        |FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.day
+        |GROUP BY cal.day ORDER BY cal.day""".stripMargin,
     "q_array_battery" ->
       s"""SELECT doc_id,
          |  CAST(len($TOKS) AS INTEGER) AS n,

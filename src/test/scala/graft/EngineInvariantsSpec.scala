@@ -81,6 +81,16 @@ class EngineInvariantsSpec extends SparkSuite {
     assert(f1.values.forall(_.length == 8))
   }
 
+  test("resize stub scales payloads; frame sampling emits n rows per media") {
+    val media = Multimodal.fromDocuments(Tables.load(spark, d, "documents"))
+    val resized = Multimodal.resizeStub("abcdefghij".getBytes, 3)
+    assert(resized.toSeq == Seq('a', 'd', 'g', 'j').map(_.toByte))
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+    assert(frames.count() == 4 * media.count())
+    val byMedia = frames.groupBy("media_id").count().select("count").distinct().collect()
+    assert(byMedia.length == 1 && byMedia.head.getLong(0) == 4)
+  }
+
   test("decodeStub folds bytes deterministically") {
     val a = Multimodal.decodeStub("hello world".getBytes, 4)
     val b = Multimodal.decodeStub("hello world".getBytes, 4)
