@@ -150,7 +150,50 @@ object Wave3Queries {
       .orderBy("event_id")
   }
 
+  /** TPC-H Q15 shape: top supplier(s) by 1996 revenue (ties kept via
+    * max-subquery, classic formulation). */
+  def qTopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(Q.dsum(Q.revenue).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue"))).first().getDouble(0)
+    rev.join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("total_revenue") === lit(maxRev))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 shape: parts with no shipment in 1995 H1, counted by
+    * brand (anti-join against a filtered fact slice). */
+  def qUnsoldParts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .join(t(s, d, "lineitem")
+          .filter(col("l_shipdate") < lit("1995-07-01"))
+          .select(col("l_partkey")).distinct(),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_unsold"))
+      .orderBy("p_brand")
+
+  /** TPC-H Q18 shape: large-volume orders (order-level qty over a
+    * threshold), with customer attribution. */
+  def qLargeOrders(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > lit(300.0))
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("l_orderkey"),
+              col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_supplier"  -> qTopSupplier,
+    "q_unsold_parts"  -> qUnsoldParts,
+    "q_large_orders"  -> qLargeOrders,
     "q_range_join"    -> qRangeJoin,
     "q_tpch_q3"       -> qTpchQ3,
     "q_tpch_q6"       -> qTpchQ6,
@@ -163,6 +206,32 @@ object Wave3Queries {
     "q_winnow"        -> qWinnow) // rows-only (engine hash)
 
   val oracles: Map[String, String] = Map(
+    "q_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${Q.DSUM(Q.REVENUE)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q_unsold_parts" ->
+      """SELECT p_brand, count(*) AS n_unsold
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |                  AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_custkey, c_name, l_orderkey, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, l_orderkey""".stripMargin,
     "q_range_join" ->
       """SELECT e.event_id,
         |  count(v.event_id) AS n_prior
