@@ -158,9 +158,11 @@ object Wave3Queries {
               col("l_shipdate") < lit("1996-04-01"))
       .groupBy(col("l_suppkey"))
       .agg(Q.dsum(Q.revenue).as("total_revenue"))
-    val maxRev = rev.agg(max(col("total_revenue"))).first().getDouble(0)
-    rev.join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .filter(col("total_revenue") === lit(maxRev))
+    // global-max filter stays IN the plan (no eager .first() action):
+    // rank() over the empty partition keeps ties, like Q15's subquery
+    val w = Window.orderBy(col("total_revenue").desc)
+    rev.withColumn("rk", rank().over(w)).filter(col("rk") === 1).drop("rk")
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
