@@ -199,7 +199,45 @@ object Wave4Queries {
       |GROUP BY cal.day ORDER BY cal.day""".stripMargin)
   }
 
+  /** Inline VALUES dimension + non-equi band join: customers bucketed
+    * into balance tiers by BETWEEN bounds (broadcast — a band join
+    * against a tiny tier table never needs a shuffle). */
+  def qBandJoin(s: SparkSession, d: String): DataFrame = {
+    viewed(s, d, "customer")
+    s.sql("""
+      |SELECT t.tier, count(*) AS n_customers,
+      |       CAST(min(c_custkey) AS BIGINT) AS sample_key
+      |FROM customer
+      |JOIN (VALUES ('low', -99999.0, 1000.0),
+      |             ('mid', 1000.0, 5000.0),
+      |             ('high', 5000.0, 99999.0)) AS t(tier, lo, hi)
+      |  ON c_acctbal >= t.lo AND c_acctbal < t.hi
+      |GROUP BY t.tier ORDER BY t.tier""".stripMargin)
+  }
+
+  /** Percent-of-total via a partition-window sum: each nation's share of
+    * its region's revenue (the standard reporting ratio). */
+  def qPercentOfTotal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Q.dsum(Q.revenue).as("revenue"))
+    val w = Window.partitionBy(col("r_name"))
+    base.withColumn("region_total",
+        sum(col("revenue").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+          .over(w).cast("double"))
+      .withColumn("share", round(col("revenue") / col("region_total"), 6))
+      .select(col("r_name"), col("n_name"), col("revenue"), col("share"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_band_join"       -> qBandJoin,
+    "q_percent_of_total"-> qPercentOfTotal,
     "q_date_spine"      -> qDateSpine,
     "q_array_battery"   -> qArrayBattery,
     "q_lambda_battery"  -> qLambdaBattery,
@@ -230,6 +268,27 @@ object Wave4Queries {
   private val TOKS = TextStats.TOKENS("text")
 
   val oracles: Map[String, String] = Map(
+    "q_band_join" ->
+      """SELECT t.tier, count(*) AS n_customers,
+        |       CAST(min(c_custkey) AS BIGINT) AS sample_key
+        |FROM customer
+        |JOIN (VALUES ('low', -99999.0, 1000.0),
+        |             ('mid', 1000.0, 5000.0),
+        |             ('high', 5000.0, 99999.0)) AS t(tier, lo, hi)
+        |  ON c_acctbal >= t.lo AND c_acctbal < t.hi
+        |GROUP BY t.tier ORDER BY t.tier""".stripMargin,
+    "q_percent_of_total" ->
+      s"""WITH base AS (
+         |  SELECT r_name, n_name, ${Q.DSUM(Q.REVENUE)} AS revenue
+         |  FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  JOIN region   ON n_regionkey = r_regionkey
+         |  GROUP BY r_name, n_name)
+         |SELECT r_name, n_name, revenue,
+         |  round(revenue / CAST(CAST(sum(CAST(revenue AS DECIMAL(30,8))) OVER (PARTITION BY r_name) AS VARCHAR) AS DOUBLE), 6) AS share
+         |FROM base ORDER BY r_name, n_name""".stripMargin,
     "q_date_spine" ->
       """WITH RECURSIVE cal(day) AS (
         |  SELECT DATE '1995-01-01'
