@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.StreamingQueries.queries ++
     graft.queries.ExtraQueries.queries ++
     graft.queries.Wave3Queries.queries ++
-    graft.queries.Wave4Queries.queries
+    graft.queries.Wave4Queries.queries ++
+    graft.queries.FinanceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
     graft.queries.StreamingQueries.oracles ++
     graft.queries.ExtraQueries.oracles ++
     graft.queries.Wave3Queries.oracles ++
-    graft.queries.Wave4Queries.oracles
+    graft.queries.Wave4Queries.oracles ++
+    graft.queries.FinanceQueries.oracles
 }

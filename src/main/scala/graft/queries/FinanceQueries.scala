@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Financial analytics beyond the reference's daily returns — the
+  * operators a reporting engine in this domain is expected to ship:
+  * volume-weighted and time-weighted averages, running peaks and maximum
+  * drawdown. All are window/agg compositions over the exact decimal
+  * revenue series, so they inherit the same order-independence
+  * guarantees as the core queries.
+  */
+object FinanceQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** VWAP per returnflag: Σ(price·qty)/Σ(qty) with exact decimal sums. */
+  def qVwap(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg((Q.dsum(col("l_extendedprice") * col("l_quantity")) /
+            Q.dsum(col("l_quantity"))).as("vwap"),
+           sum(col("l_quantity")).as("volume"))
+      .orderBy("l_returnflag")
+
+  /** TWAP of the daily revenue series: each day's price weighted by how
+    * long it "held" (days until the next observation; last day weight 1).
+    * Distinguishes correctly from the plain mean whenever the series has
+    * gaps. */
+  def qTwap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    CoreQueries.dailyRevenue(s, d)
+      .withColumn("held_days",
+        coalesce(datediff(lead(col("day"), 1).over(w), col("day")), lit(1))
+          .cast("double"))
+      .agg(round(Q.dsum(col("price") * col("held_days")) /
+                 Q.dsum(col("held_days")), 4).as("twap"),
+           round(Q.dsum(col("price")) / count(lit(1)), 4).as("plain_mean"),
+           count(lit(1)).as("n_days"))
+  }
+
+  /** Maximum drawdown of the cumulative-revenue "equity curve": running
+    * peak via an unbounded-preceding max window, drawdown = value/peak−1,
+    * reported as the worst point with its date. */
+  def qDrawdown(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val curve = CoreQueries.dailyRevenue(s, d)
+      .withColumn("equity",
+        sum(col("price").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .withColumn("peak", max(col("equity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dd", round(col("equity") / col("peak") - lit(1.0), 8))
+    curve.orderBy(col("dd").asc, col("day").asc).limit(1)
+      .select(col("day").as("worst_day"), round(col("equity"), 4).as("equity"),
+              round(col("peak"), 4).as("peak"), col("dd").as("max_drawdown"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vwap"     -> qVwap,
+    "q_twap"     -> qTwap,
+    "q_drawdown" -> qDrawdown)
+
+  private val DAILY =
+    s"""SELECT CAST(l_shipdate AS DATE) AS day, ${Q.DSUM(Q.REVENUE)} AS price
+       |  FROM lineitem GROUP BY 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_vwap" ->
+      s"""SELECT l_returnflag,
+         |  ${Q.DSUM("l_extendedprice * l_quantity")} / ${Q.DSUM("l_quantity")} AS vwap,
+         |  sum(l_quantity) AS volume
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_twap" ->
+      s"""WITH daily AS ($DAILY),
+         |h AS (
+         |  SELECT day, price,
+         |    CAST(coalesce(date_diff('day', day, lead(day) OVER (ORDER BY day)), 1) AS DOUBLE) AS held_days
+         |  FROM daily)
+         |SELECT round(${Q.DSUM("price * held_days")} / ${Q.DSUM("held_days")}, 4) AS twap,
+         |  round(${Q.DSUM("price")} / count(*), 4) AS plain_mean,
+         |  count(*) AS n_days
+         |FROM h""".stripMargin,
+    "q_drawdown" ->
+      s"""WITH daily AS ($DAILY),
+         |c AS (
+         |  SELECT day,
+         |    CAST(CAST(sum(CAST(price AS DECIMAL(30,8))) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS equity
+         |  FROM daily),
+         |p AS (
+         |  SELECT day, equity,
+         |    max(equity) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM c)
+         |SELECT day AS worst_day, round(equity, 4) AS equity,
+         |  round(peak, 4) AS peak,
+         |  round(equity / peak - 1.0, 8) AS max_drawdown
+         |FROM p ORDER BY round(equity / peak - 1.0, 8) ASC, day ASC LIMIT 1""".stripMargin)
+}
