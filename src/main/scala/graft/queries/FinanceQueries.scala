@@ -58,16 +58,99 @@ object FinanceQueries {
               round(col("peak"), 4).as("peak"), col("dd").as("max_drawdown"))
   }
 
+  /** 30-day rolling volatility (sample stddev of daily returns) —
+    * the risk column every returns report carries. */
+  def qRollingVol(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    CoreQueries.dailyRevenue(s, d)
+      .withColumn("ret", graft.ops.Returns.pctChange(col("price"), w))
+      .withColumn("vol30", round(stddev_samp(col("ret"))
+        .over(w.rowsBetween(-29, 0)), 6))
+      .filter(col("day") >= lit("1996-01-01") && col("day") <= lit("1996-06-30"))
+      .select(col("day"), round(col("ret"), 6).as("ret"), col("vol30"))
+      .orderBy("day")
+  }
+
+  /** Beta of the 'R' flag's daily return series against 'A' (slope =
+    * cov/var) plus their correlation — the cross-series risk measure. */
+  def qBeta(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("day"))
+      .agg(Q.dsum(Q.revenue).as("price"))
+    val w = Window.partitionBy(col("flag")).orderBy(col("day"))
+    val rets = daily
+      .withColumn("ret", graft.ops.Returns.pctChange(col("price"), w))
+      .filter(col("ret").isNotNull)
+    val a = rets.filter(col("flag") === "A").select(col("day"), col("ret").as("ret_a"))
+    val r = rets.filter(col("flag") === "R").select(col("day"), col("ret").as("ret_r"))
+    a.join(r, "day")
+      .agg(round(covar_samp(col("ret_r"), col("ret_a")) / var_samp(col("ret_a")), 6).as("beta"),
+           round(corr(col("ret_r"), col("ret_a")), 6).as("correlation"),
+           count(lit(1)).as("n_days"))
+  }
+
+  /** Month-over-month revenue growth. */
+  def qMomGrowth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    t(s, d, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(Q.dsum(Q.revenue).as("revenue"))
+      .withColumn("mom_pct", round((col("revenue") /
+        nullif(lag(col("revenue"), 1).over(w), lit(0.0)) - 1) * 100, 6))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_vwap"     -> qVwap,
-    "q_twap"     -> qTwap,
-    "q_drawdown" -> qDrawdown)
+    "q_vwap"        -> qVwap,
+    "q_twap"        -> qTwap,
+    "q_drawdown"    -> qDrawdown,
+    "q_rolling_vol" -> qRollingVol,
+    "q_beta"        -> qBeta,
+    "q_mom_growth"  -> qMomGrowth)
 
   private val DAILY =
     s"""SELECT CAST(l_shipdate AS DATE) AS day, ${Q.DSUM(Q.REVENUE)} AS price
        |  FROM lineitem GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_vol" ->
+      s"""WITH daily AS ($DAILY),
+         |r AS (
+         |  SELECT day,
+         |    (price / NULLIF(lag(price) OVER (ORDER BY day), 0) - 1) * 100 AS ret
+         |  FROM daily),
+         |v AS (
+         |  SELECT day, ret,
+         |    round(stddev_samp(ret) OVER (ORDER BY day
+         |      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS vol30
+         |  FROM r)
+         |SELECT day, round(ret, 6) AS ret, vol30
+         |FROM v WHERE day BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+         |ORDER BY day""".stripMargin,
+    "q_beta" ->
+      s"""WITH daily AS (
+         |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+         |         ${Q.DSUM(Q.REVENUE)} AS price
+         |  FROM lineitem GROUP BY 1, 2),
+         |rets AS (
+         |  SELECT flag, day,
+         |    (price / NULLIF(lag(price) OVER (PARTITION BY flag ORDER BY day), 0) - 1) * 100 AS ret
+         |  FROM daily),
+         |j AS (
+         |  SELECT a.ret AS ret_a, r.ret AS ret_r
+         |  FROM rets a JOIN rets r ON a.day = r.day
+         |  WHERE a.flag = 'A' AND r.flag = 'R'
+         |    AND a.ret IS NOT NULL AND r.ret IS NOT NULL)
+         |SELECT round(covar_samp(ret_r, ret_a) / var_samp(ret_a), 6) AS beta,
+         |  round(corr(ret_r, ret_a), 6) AS correlation, count(*) AS n_days
+         |FROM j""".stripMargin,
+    "q_mom_growth" ->
+      s"""WITH m AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS month, ${Q.DSUM(Q.REVENUE)} AS revenue
+         |  FROM lineitem GROUP BY 1)
+         |SELECT month, revenue,
+         |  round((revenue / NULLIF(lag(revenue) OVER (ORDER BY month), 0) - 1) * 100, 6) AS mom_pct
+         |FROM m ORDER BY month""".stripMargin,
     "q_vwap" ->
       s"""SELECT l_returnflag,
          |  ${Q.DSUM("l_extendedprice * l_quantity")} / ${Q.DSUM("l_quantity")} AS vwap,
