@@ -100,7 +100,31 @@ object FinanceQueries {
       .orderBy("month")
   }
 
+  /** Weekday seasonality of revenue (classic calendar-effect report). */
+  def qWeekdaySeasonality(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(dayofweek(col("l_shipdate")).as("dow"))
+      .agg((Q.dsum(Q.revenue) / countDistinct(to_date(col("l_shipdate")))).as("avg_daily_revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("dow")
+
+  /** Distribution of daily returns in 1-percentage-point buckets —
+    * the histogram behind a returns risk report. */
+  def qReturnHistogram(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    CoreQueries.dailyRevenue(s, d)
+      .withColumn("ret", graft.ops.Returns.pctChange(col("price"), w))
+      .filter(col("ret").isNotNull)
+      .withColumn("bucket",
+        greatest(least(floor(col("ret") / lit(10.0)) * 10, lit(90.0)), lit(-100.0))
+          .cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_days"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weekday_seasonality" -> qWeekdaySeasonality,
+    "q_return_histogram"    -> qReturnHistogram,
     "q_vwap"        -> qVwap,
     "q_twap"        -> qTwap,
     "q_drawdown"    -> qDrawdown,
@@ -113,6 +137,20 @@ object FinanceQueries {
        |  FROM lineitem GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_weekday_seasonality" ->
+      s"""SELECT CAST(dayofweek(l_shipdate) + 1 AS INTEGER) AS dow,
+         |  ${Q.DSUM(Q.REVENUE)} / count(DISTINCT CAST(l_shipdate AS DATE)) AS avg_daily_revenue,
+         |  count(*) AS n_items
+         |FROM lineitem GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q_return_histogram" ->
+      s"""WITH daily AS ($DAILY),
+         |r AS (
+         |  SELECT (price / NULLIF(lag(price) OVER (ORDER BY day), 0) - 1) * 100 AS ret
+         |  FROM daily)
+         |SELECT CAST(greatest(least(floor(ret / 10.0) * 10, 90.0), -100.0) AS BIGINT) AS bucket,
+         |  count(*) AS n_days
+         |FROM r WHERE ret IS NOT NULL
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_rolling_vol" ->
       s"""WITH daily AS ($DAILY),
          |r AS (
