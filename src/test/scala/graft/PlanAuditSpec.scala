@@ -9,9 +9,11 @@ import org.apache.spark.sql.execution.ExplainMode
 class PlanAuditSpec extends SparkSuite {
 
   // O(n²)-by-design exceptions: brute-force similarity (the oracles for
-  // the LSH/IVF scale paths) and the tiny broadcast probe sets.
+  // the LSH/IVF scale paths), the tiny broadcast probe sets, and the
+  // band join against a 3-row inline tier table (BNLJ over a broadcast
+  // micro-dimension is the correct plan for BETWEEN-bounds bucketing).
   private val intendedNestedLoop = Set(
-    "q_ann_brute", "q_cosine_pairs", "q_ann_ivf", "q_ann_lsh")
+    "q_ann_brute", "q_cosine_pairs", "q_ann_ivf", "q_ann_lsh", "q_band_join")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
