@@ -20,7 +20,12 @@ object Validation {
   /** The reference's email regex, verbatim (ref `controller/app.py:706`). */
   val EmailRegex = "^[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z0-9-.]+$"
 
-  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+  // STRICT + proleptic-year pattern: the default SMART resolver silently
+  // adjusts impossible dates (2024-02-30 → 02-29), which would let a
+  // date through here that the in-engine `to_date` filter rejects —
+  // caught by PropertySpec.
+  private val fmt = DateTimeFormatter.ofPattern("uuuu-MM-dd")
+    .withResolverStyle(java.time.format.ResolverStyle.STRICT)
 
   /** Driver-side date check (ref `controller/script.py:7-15`). */
   def isValidDate(s: String): Boolean =
