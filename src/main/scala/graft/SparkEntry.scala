@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.ExtraQueries.queries ++
     graft.queries.Wave3Queries.queries ++
     graft.queries.Wave4Queries.queries ++
-    graft.queries.FinanceQueries.queries
+    graft.queries.FinanceQueries.queries ++
+    graft.queries.EventAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     graft.queries.ExtraQueries.oracles ++
     graft.queries.Wave3Queries.oracles ++
     graft.queries.Wave4Queries.oracles ++
-    graft.queries.FinanceQueries.oracles
+    graft.queries.FinanceQueries.oracles ++
+    graft.queries.EventAnalytics.oracles
 }
