@@ -122,7 +122,41 @@ object FinanceQueries {
       .orderBy("bucket")
   }
 
+  /** Anomalous-return days: |return − mean| > 2σ (global stats joined
+    * back — the broadcastable two-pass anomaly pattern). */
+  def qAnomalyDays(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val rets = CoreQueries.dailyRevenue(s, d)
+      .withColumn("ret", graft.ops.Returns.pctChange(col("price"), w))
+      .filter(col("ret").isNotNull)
+    val stats = rets.agg(avg(col("ret")).as("mu"), stddev_samp(col("ret")).as("sigma"))
+    rets.crossJoin(broadcast(stats))
+      .filter(abs(col("ret") - col("mu")) > col("sigma") * 2)
+      .select(col("day"), round(col("ret"), 6).as("ret"),
+              round((col("ret") - col("mu")) / col("sigma"), 4).as("z"))
+      .orderBy("day")
+  }
+
+  /** Revenue concentration by customer decile (the 80/20 report):
+    * decile 1 = top spenders; share of total revenue per decile. */
+  def qRevenueDeciles(s: SparkSession, d: String): DataFrame = {
+    val spend = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(Q.dsum(col("o_totalprice")).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), Q.dsum(col("spend")).as("decile_spend"))
+      .withColumn("share", round(col("decile_spend") /
+        sum(col("decile_spend").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+          .over(Window.partitionBy()).cast("double"), 6))
+      .select(col("decile"), col("n_customers"), col("decile_spend"), col("share"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_days"        -> qAnomalyDays,
+    "q_revenue_deciles"     -> qRevenueDeciles,
     "q_weekday_seasonality" -> qWeekdaySeasonality,
     "q_return_histogram"    -> qReturnHistogram,
     "q_vwap"        -> qVwap,
@@ -137,6 +171,30 @@ object FinanceQueries {
        |  FROM lineitem GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_days" ->
+      s"""WITH daily AS ($DAILY),
+         |r AS (
+         |  SELECT day,
+         |    (price / NULLIF(lag(price) OVER (ORDER BY day), 0) - 1) * 100 AS ret
+         |  FROM daily),
+         |rr AS (SELECT day, ret FROM r WHERE ret IS NOT NULL),
+         |st AS (SELECT avg(ret) AS mu, stddev_samp(ret) AS sigma FROM rr)
+         |SELECT day, round(ret, 6) AS ret, round((ret - mu) / sigma, 4) AS z
+         |FROM rr, st WHERE abs(ret - mu) > sigma * 2
+         |ORDER BY day""".stripMargin,
+    "q_revenue_deciles" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${Q.DSUM("o_totalprice")} AS spend
+         |  FROM orders GROUP BY o_custkey),
+         |dec AS (
+         |  SELECT spend, CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS INTEGER) AS decile
+         |  FROM spend),
+         |agg AS (
+         |  SELECT decile, count(*) AS n_customers, ${Q.DSUM("spend")} AS decile_spend
+         |  FROM dec GROUP BY decile)
+         |SELECT decile, n_customers, decile_spend,
+         |  round(decile_spend / CAST(CAST(sum(CAST(decile_spend AS DECIMAL(30,8))) OVER () AS VARCHAR) AS DOUBLE), 6) AS share
+         |FROM agg ORDER BY decile""".stripMargin,
     "q_weekday_seasonality" ->
       s"""SELECT CAST(dayofweek(l_shipdate) + 1 AS INTEGER) AS dow,
          |  ${Q.DSUM(Q.REVENUE)} / count(DISTINCT CAST(l_shipdate AS DATE)) AS avg_daily_revenue,
