@@ -97,6 +97,39 @@ object Wave4Queries {
            sum(col("c")).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Bigrams exclusive to a single source — the novelty/duplication
+    * fingerprint of each feed in a multi-source corpus. */
+  def qSourceExclusiveBigrams(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").repartition(col("doc_id"))
+      .select(col("source"),
+        explode(graft.text.Dedup.shingles(col("text"), n = 2)).as("bigram"))
+      .distinct()
+      .groupBy("bigram")
+      .agg(countDistinct(col("source")).as("n_sources"),
+           min(col("source")).as("only_source"))
+      .filter(col("n_sources") === 1)
+      .groupBy(col("only_source").as("source"))
+      .agg(count(lit(1)).as("n_exclusive_bigrams"))
+      .orderBy("source")
+
+  /** Near-duplicate pairs whose language labels DISAGREE — the
+    * mislabeled-copy / cross-lingual-dup detector built by joining the
+    * Jaccard pair output back to document metadata. */
+  def qCrossLangDups(s: SparkSession, d: String): DataFrame = {
+    val docs0 = docsT(s, d)
+    val pairs = graft.text.Dedup.jaccardPairs(docs0, 0.5)
+    val meta = docs0.select(col("doc_id"), col("lang"))
+    pairs
+      .join(meta.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")), "doc_b")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+              col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def docsT(s: SparkSession, d: String) = t(s, d, "documents")
+
   /** Per-source corpus statistics — the curation dashboard rollup. */
   def qSourceStats(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -236,6 +269,8 @@ object Wave4Queries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_exclusive_bigrams" -> qSourceExclusiveBigrams,
+    "q_cross_lang_dups" -> qCrossLangDups,
     "q_band_join"       -> qBandJoin,
     "q_percent_of_total"-> qPercentOfTotal,
     "q_date_spine"      -> qDateSpine,
@@ -268,6 +303,36 @@ object Wave4Queries {
   private val TOKS = TextStats.TOKENS("text")
 
   val oracles: Map[String, String] = Map(
+    "q_source_exclusive_bigrams" ->
+      s"""WITH x AS (
+         |  SELECT DISTINCT source,
+         |    unnest(${graft.text.Dedup.SHINGLES("text", 2)}) AS bigram
+         |  FROM documents),
+         |excl AS (
+         |  SELECT bigram, count(DISTINCT source) AS n_sources,
+         |         min(source) AS only_source
+         |  FROM x GROUP BY bigram HAVING count(DISTINCT source) = 1)
+         |SELECT only_source AS source, count(*) AS n_exclusive_bigrams
+         |FROM excl GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_cross_lang_dups" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${graft.text.Dedup.SHINGLES("text")} AS s FROM documents
+         |), x AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT doc_a, doc_b,
+         |         round(common / (la.n + lb.n - common), 6) AS jaccard
+         |  FROM p JOIN sizes la ON la.doc_id = doc_a
+         |         JOIN sizes lb ON lb.doc_id = doc_b
+         |  WHERE common / (la.n + lb.n - common) >= 0.5)
+         |SELECT doc_a, doc_b, da.lang AS lang_a, db.lang AS lang_b, jaccard
+         |FROM jac JOIN documents da ON da.doc_id = doc_a
+         |         JOIN documents db ON db.doc_id = doc_b
+         |WHERE da.lang <> db.lang
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_band_join" ->
       """SELECT t.tier, count(*) AS n_customers,
         |       CAST(min(c_custkey) AS BIGINT) AS sample_key
