@@ -58,7 +58,9 @@ object ExtraQueries {
   def qApproxPercentile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("approx_p"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price"),
+           expr("approx_percentile(l_extendedprice, 0.9)").as("p90_price"),
+           expr("approx_percentile(l_extendedprice, 0.99)").as("p99_price"))
       .orderBy("l_returnflag")
 
   /** arg-min/arg-max. DuckDB's min_by only orders by scalars, so the
@@ -78,12 +80,16 @@ object ExtraQueries {
            max(col("o_totalprice")).as("max_price"))
       .orderBy("o_orderpriority")
 
-  /** Array aggregation: distinct sorted collect. */
+  /** Array aggregation: distinct sorted collect. Output arrays are
+    * serialized to CSV strings (`array_join`) — the array computation is
+    * the operator under test; the string form keeps the result hashable
+    * by any tabular comparator (arrays don't round-trip parquet→pandas). */
   def qArrayAgg(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-           sort_array(collect_set(col("l_linenumber"))).as("linenumbers"))
+      .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+           array_join(transform(sort_array(collect_set(col("l_linenumber"))),
+             _.cast("string")), ",").as("linenumbers"))
       .orderBy("l_returnflag")
 
   /** Date arithmetic battery. */
@@ -223,8 +229,9 @@ object ExtraQueries {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_array_agg" ->
       """SELECT l_returnflag,
-        |  list_sort(list_distinct(list(l_linestatus))) AS statuses,
-        |  list_sort(list_distinct(list(l_linenumber))) AS linenumbers
+        |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        |  array_to_string(list_transform(list_sort(list_distinct(list(l_linenumber))),
+        |    x -> CAST(x AS VARCHAR)), ',') AS linenumbers
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,

@@ -196,7 +196,7 @@ object Wave4Queries {
         size(array_intersect(toks, typedLit(Seq("the", "a", "of")))).as("n_articles"),
         element_at(toks, 1).as("first_tok"),
         element_at(toks, -1).as("last_tok"),
-        slice(toks, 1, 3).as("first3"))
+        array_join(slice(toks, 1, 3), ",").as("first3"))
       .orderBy("doc_id")
   }
 
@@ -208,7 +208,7 @@ object Wave4Queries {
     val toks = TextStats.tokens(col("text"))
     t(s, d, "documents").filter(col("doc_id") < lit(50L))
       .select(col("doc_id"),
-        transform(toks, t => length(t)).as("tok_lens"),
+        array_join(transform(toks, t => length(t).cast("string")), ",").as("tok_lens"),
         size(filter(toks, t => length(t) > lit(4))).as("n_long"),
         exists(toks, t => t === lit("data")).as("has_data"),
         forall(toks, t => length(t) < lit(20)).as("all_short"),
@@ -371,11 +371,11 @@ object Wave4Queries {
          |  CAST(len(list_intersect($TOKS, ['the', 'a', 'of'])) AS INTEGER) AS n_articles,
          |  $TOKS[1] AS first_tok,
          |  $TOKS[-1] AS last_tok,
-         |  $TOKS[1:3] AS first3
+         |  array_to_string($TOKS[1:3], ',') AS first3
          |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
     "q_lambda_battery" ->
       s"""SELECT doc_id,
-         |  list_transform($TOKS, t -> CAST(length(t) AS INTEGER)) AS tok_lens,
+         |  array_to_string(list_transform($TOKS, t -> CAST(length(t) AS VARCHAR)), ',') AS tok_lens,
          |  CAST(len(list_filter($TOKS, t -> length(t) > 4)) AS INTEGER) AS n_long,
          |  list_has_any(list_filter($TOKS, t -> t = 'data'), $TOKS) AS has_data,
          |  len(list_filter($TOKS, t -> length(t) >= 20)) = 0 AS all_short,

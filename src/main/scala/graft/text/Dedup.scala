@@ -45,24 +45,56 @@ object Dedup {
     docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
 
-  /** Exact Jaccard ≥ threshold pairs via shingle self-join (the oracle
-    * path; see class doc for its scale limits). */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val s = shingleRows(docs)
+  /** Exact-Jaccard verification of candidate pairs against the FULL
+    * shingle sets: recompute |A∩B| by joining candidates back to the
+    * shingle rows (join key includes doc_b, so no hot-shingle skew),
+    * then filter on true Jaccard. Shared by [[jaccardPairs]] and
+    * [[minhashNearDups]] — both emit exact values for every pair that
+    * reaches candidacy. */
+  private[text] def verifiedPairs(s: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val common = s.as("a").join(s.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
+    val sa = s.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = s.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = cands.join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= lit(threshold))
       .select(col("doc_a"), col("doc_b"), col("common"),
               round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Shingle rows minus "stop shingles" (document frequency >
+    * `maxDf`). The self-join replicates each shingle's posting list
+    * quadratically — a boilerplate shingle in 100k docs alone yields
+    * 5×10⁹ join rows on ONE key (the skew bomb). Dropping hot shingles
+    * from CANDIDATE GENERATION only (verification still uses full sets)
+    * bounds per-key fan-out at maxDf²; a pair is lost only if every
+    * single shared shingle is boilerplate-hot, which at Jaccard ≥ 0.8
+    * means the docs are near-pure boilerplate (DedupStopShingleSpec
+    * proves output-unchanged on the test corpus). */
+  private def rareShingles(s: DataFrame, maxDf: Long): DataFrame =
+    s.join(
+      s.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > lit(maxDf)).select("shingle"),
+      Seq("shingle"), "left_anti")
+
+  /** Exact Jaccard ≥ threshold pairs: shingle self-join for candidates
+    * (stop-shingles with df > `stopShingleDf` excluded — see
+    * [[rareShingles]]), then exact verification over full shingle sets.
+    * The ORACLE path for the approximate methods. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      stopShingleDf: Long = 256): DataFrame = {
+    val s = shingleRows(docs).cache()
+    val joinable = rareShingles(s, stopShingleDf)
+    val cands = joinable.as("a").join(joinable.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(s, cands, threshold)
   }
 
   /** MinHash signatures: k universal-hash permutations
@@ -102,19 +134,7 @@ object Dedup {
     * [[jaccardPairs]] while shuffling only O(docs × bands) rows. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val s = shingleRows(docs).cache()
-    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val cands = lshCandidates(minhashSignatures(s))
-    val sa = s.select(col("doc_id").as("doc_a"), col("shingle"))
-    val sb = s.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = cands.join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
-      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= lit(threshold))
-      .select(col("doc_a"), col("doc_b"), col("common"),
-              round(col("jaccard"), 6).as("jaccard"))
+    verifiedPairs(s, lshCandidates(minhashSignatures(s)), threshold)
   }
 
   /** 64-bit SimHash signatures: per token-hash bit, sum ±1 across a
