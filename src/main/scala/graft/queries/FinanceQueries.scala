@@ -72,20 +72,27 @@ object FinanceQueries {
   }
 
   /** Beta of the 'R' flag's daily return series against 'A' (slope =
-    * cov/var) plus their correlation — the cross-series risk measure. */
+    * cov/var) plus their correlation — the cross-series risk measure.
+    *
+    * ONE lineitem pass: flags filtered before the aggregation, and the
+    * A/R series are aligned by pivoting the (flag, day) returns wide
+    * instead of self-joining two separately aggregated branches (which
+    * scanned and aggregated lineitem twice). The pivot's shuffle carries
+    * only daily-cardinality rows. */
   def qBeta(s: SparkSession, d: String): DataFrame = {
     val daily = t(s, d, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
       .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("day"))
       .agg(Q.dsum(Q.revenue).as("price"))
     val w = Window.partitionBy(col("flag")).orderBy(col("day"))
     val rets = daily
       .withColumn("ret", graft.ops.Returns.pctChange(col("price"), w))
       .filter(col("ret").isNotNull)
-    val a = rets.filter(col("flag") === "A").select(col("day"), col("ret").as("ret_a"))
-    val r = rets.filter(col("flag") === "R").select(col("day"), col("ret").as("ret_r"))
-    a.join(r, "day")
-      .agg(round(covar_samp(col("ret_r"), col("ret_a")) / var_samp(col("ret_a")), 6).as("beta"),
-           round(corr(col("ret_r"), col("ret_a")), 6).as("correlation"),
+    rets.groupBy("day")
+      .pivot("flag", Seq("A", "R")).agg(first(col("ret")))
+      .filter(col("A").isNotNull && col("R").isNotNull)
+      .agg(round(covar_samp(col("R"), col("A")) / var_samp(col("A")), 6).as("beta"),
+           round(corr(col("R"), col("A")), 6).as("correlation"),
            count(lit(1)).as("n_days"))
   }
 
@@ -100,13 +107,25 @@ object FinanceQueries {
       .orderBy("month")
   }
 
-  /** Weekday seasonality of revenue (classic calendar-effect report). */
-  def qWeekdaySeasonality(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(dayofweek(col("l_shipdate")).as("dow"))
-      .agg((Q.dsum(Q.revenue) / countDistinct(to_date(col("l_shipdate")))).as("avg_daily_revenue"),
+  /** Weekday seasonality of revenue (classic calendar-effect report).
+    *
+    * Two-level aggregation: per-day partials first (decimal-EXACT, so
+    * re-summing per dow is bit-identical to a one-shot sum), then 7
+    * groups of daily rows. Avoids countDistinct-inside-agg, whose
+    * expand+two-phase plan re-shuffles every lineitem row at 100 TB;
+    * here the distinct-day count is a plain count over pre-distinct
+    * daily rows. */
+  def qWeekdaySeasonality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = t(s, d, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(Q.revenue.cast(DecimalType(30, 8))).as("day_rev"),
            count(lit(1)).as("n_items"))
+    daily.groupBy(dayofweek(col("day")).as("dow"))
+      .agg((sum(col("day_rev")).cast("double") / count(lit(1))).as("avg_daily_revenue"),
+           sum(col("n_items")).as("n_items"))
       .orderBy("dow")
+  }
 
   /** Distribution of daily returns in 1-percentage-point buckets —
     * the histogram behind a returns risk report. */

@@ -52,7 +52,16 @@ object StreamingQueries {
   def qFmgwsSessions(s: SparkSession, d: String): DataFrame =
     Events.fmgwsSessions(s, d, Tables.load(s, d, "events"))
 
+  /** STREAMING sessionization with an event-time timeout (bounded
+    * state): emits sessions closed by data or by watermark timeout;
+    * each user's still-open tail session stays in state. The oracle is
+    * the batch islands SQL restricted to closed sessions, with Spark's
+    * millisecond-floored watermark arithmetic mirrored exactly. */
+  def qStreamSessions(s: SparkSession, d: String): DataFrame =
+    Events.streamingSessions(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sessions"  -> qStreamSessions,
     "q_fmgws_sessions"   -> qFmgwsSessions,
     "q_stream_dedup"     -> qStreamDedup,
     "q_stream_hourly"    -> qStreamHourly,
@@ -61,6 +70,31 @@ object StreamingQueries {
     "q_stateful_totals"  -> qStatefulTotals)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_sessions" ->
+      s"""WITH m AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), s AS (
+         |  SELECT user_id, ts,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m
+         |), i AS (
+         |  SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS end_ts,
+         |         count(*) AS n_events
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT user_id,
+         |  strftime(start_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |  strftime(end_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_last_event,
+         |  n_events
+         |FROM i
+         |WHERE end_ts < (SELECT max(i2.end_ts) FROM i i2 WHERE i2.user_id = i.user_id)
+         |   OR (epoch_us(end_ts) // 1000) + 3600000 <=
+         |      (SELECT max(epoch_us(ts)) // 1000 FROM events) - 3600000
+         |ORDER BY user_id, session_start""".stripMargin,
     "q_fmgws_sessions" ->
       s"""WITH m AS (
          |  SELECT user_id, ts,

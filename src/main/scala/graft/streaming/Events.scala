@@ -58,17 +58,58 @@ object Events {
   private val runId = new AtomicInteger(0)
 
   /** Run a streaming aggregation to completion on the bounded input and
-    * return its final result as a batch DataFrame. */
+    * return its final result as a batch DataFrame.
+    *
+    * State-store sizing: a stateful streaming op instantiates ONE state
+    * store per shuffle partition, and store setup/commit dominates the
+    * fixed cost of a short query. State cardinality here is bounded by
+    * keys (event types, windows, active users) — NOT by event volume —
+    * so the stream runs with its own (small) partition count instead of
+    * inheriting the batch shuffle width; tune `graft.streaming
+    * .statePartitions` upward when the keyspace is genuinely huge. The
+    * batch conf is restored before returning (results are partition-
+    * count-independent: decimal-exact aggs, per-key state). */
   def runToCompletion(spark: SparkSession, agg: DataFrame,
-                      mode: String = "complete"): DataFrame = {
+                      mode: String = "complete",
+                      wideState: Boolean = false,
+                      needsTimers: Boolean = false): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    if (!wideState) spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("graft.streaming.statePartitions", "8"))
+    // a no-data batch exists to advance the watermark: fire event-time
+    // timers and evict expired state. Queries whose RESULT doesn't
+    // depend on timers (pure aggregations, dedup counts) skip it — the
+    // eviction batch would re-commit every state store once more for no
+    // output change (for large state, that doubles the query's cost)
+    if (!needsTimers)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // large (row-per-event) state: RocksDB writes an LSM + changelog
+    // instead of the HDFS-backed provider's full JVM-heap snapshot per
+    // commit — the standard choice once state stops fitting heap
+    val prevProvider = spark.conf
+      .get("spark.sql.streaming.stateStore.providerClass", "")
+    if (wideState) spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      if (wideState && prevProvider.nonEmpty)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else if (wideState)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     spark.table(name)
   }
 
@@ -112,6 +153,81 @@ object Events {
       .orderBy("user_id", "session_start")
   }
 
+  /** STREAMING sessionization via `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT — the unbounded-state fix for [[fmgwsSessions]]:
+    * state holds only each user's OPEN session (3 longs, not the event
+    * history), and the watermark-driven timeout evicts it once no event
+    * can extend it (watermark ≥ last event + gap), so state size is
+    * bounded by concurrently-active users at any corpus scale.
+    *
+    * Emission is deterministic on a bounded replay: a session is emitted
+    * either when a later event of the same user closes it (gap exceeded)
+    * or when its timeout fires as the watermark passes; sessions still
+    * open at end-of-stream stay in state (exactly what a live pipeline
+    * wants — the next day's events may extend them). The oracle mirrors
+    * this: batch islands sessionization minus sessions that are still
+    * open w.r.t. the final watermark (see StreamingQueries). */
+  def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = sessionize(readStream(spark, sfDir))
+    runToCompletion(spark, sessions, mode = "append", needsTimers = true)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_last_event"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** The watermark + flatMapGroupsWithState(EventTimeTimeout) stage of
+    * [[streamingSessions]], factored so specs can drive it with a
+    * MemoryStream batch-by-batch. Input needs `user_id` and timestamp
+    * `ts` columns; output is (user_id, start_us, end_us, n_events). */
+  def sessionize(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = 3600L * 1000000L
+
+    events
+      .withWatermark("ts", "1 hour")
+      // keep the watermarked ts ATTRIBUTE itself (a derived expression
+      // would drop the watermark metadata the timeout checker needs)
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (st, last, n) = state.get
+            state.remove()
+            Iterator.single((uid, st, last, n))
+          } else {
+            val ts = rows.map { r =>
+              r._2.getTime * 1000L + (r._2.getNanos / 1000L) % 1000L
+            }.toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some((st, last, n)) if t - last >= gapMicros =>
+                  out += ((uid, st, last, n)); cur = Some((t, t, 1L))
+                case Some((st, last, n)) =>
+                  cur = Some((st, t, n + 1))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // evict once the watermark proves no event can extend this
+              // session (timeout is in millis)
+              state.setTimeoutTimestamp(c._2 / 1000L + gapMicros / 1000L)
+            }
+            out.iterator
+          }
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+  }
+
   /** The full streaming query, result shaped for the oracle (window
     * start as string — raw timestamps don't round-trip parquet across
     * engines). */
@@ -134,7 +250,10 @@ object Events {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_unique")))
+        .agg(count(lit(1)).as("n_unique")),
+      // dedup state is keyed by event_id — cardinality grows with the
+      // stream, so it keeps the full batch shuffle width
+      wideState = true)
       .orderBy("event_type")
 
   /** Custom streaming state via `mapGroupsWithState`: per-user running

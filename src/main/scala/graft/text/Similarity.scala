@@ -66,7 +66,13 @@ object Similarity {
 
   /** All pairs above a cosine threshold (embedding near-dup). Exact /
     * quadratic — the oracle; LSH below is the scale path. Same
-    * norm-precompute + repartition treatment as [[bruteForceTopK]]. */
+    * norm-precompute + repartition treatment as [[bruteForceTopK]].
+    *
+    * Pairing runs as a shuffle-replicate nested loop (both sides
+    * partitioned, partition-pairs streamed) — NOT a broadcast of the
+    * corpus: a build side that is the whole corpus OOMs the executors
+    * long before the quadratic compute itself becomes the limit, so even
+    * the oracle path stays runnable at mid scale. */
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val n = corpus.select(col("vec_id"), col("embedding"),
                           norm(col("embedding")).as("nrm"))
@@ -75,7 +81,8 @@ object Similarity {
       .repartition(col("vec_a"))
     val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
                      col("nrm").as("nb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .repartition(col("vec_b"))
+    a.hint("shuffle_replicate_nl").join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= lit(threshold))
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))

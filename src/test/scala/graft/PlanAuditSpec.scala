@@ -31,6 +31,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty, s"unintended nested-loop plans: $offenders")
   }
 
+  test("cosinePairs pairs via shuffle-replicate NL, never a corpus broadcast") {
+    val plan = SparkEntry.queries("q_cosine_pairs")(spark, sf("sf0.001"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastExchange"),
+      "q_cosine_pairs must not materialize the corpus as a broadcast build side")
+    assert(plan.contains("CartesianProduct"),
+      "expected the shuffle-replicate nested-loop (CartesianProduct) pairing")
+  }
+
   test("oracle map keys are a subset of query keys and non-empty") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
