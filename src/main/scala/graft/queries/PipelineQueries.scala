@@ -65,8 +65,13 @@ object PipelineQueries {
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(docs(s, d), jacThreshold).orderBy("doc_a", "doc_b")
 
+  /** Registry variant uses the md5-derived cross-engine token hash so
+    * the FULL pipeline (signature bits → chunk candidates → Hamming
+    * filter) is oracle-checked; production callers keep the default
+    * xxhash64 (same plan, faster hash). */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDups(docs(s, d), maxDist = 6).orderBy("doc_a", "doc_b")
+    Dedup.simhashNearDups(docs(s, d), maxDist = 6, crossEngineHash = true)
+      .orderBy("doc_a", "doc_b")
 
   // ---- similarity search ----
 
@@ -116,7 +121,7 @@ object PipelineQueries {
     "q_dedup_exact"         -> qDedupExact,
     "q_dedup_jaccard"       -> qDedupJaccard,
     "q_dedup_minhash"       -> qDedupMinhash,
-    "q_dedup_simhash"       -> qDedupSimhash, // rows-only (engine hash)
+    "q_dedup_simhash"       -> qDedupSimhash,
     "q_ann_brute"           -> qAnnBrute,
     "q_cosine_pairs"        -> qCosinePairs,
     "q_ann_lsh"             -> qAnnLsh,       // rows-only (recall < 1 by design)
@@ -141,7 +146,34 @@ object PipelineQueries {
        |WHERE common / (la.n + lb.n - common) >= $jacThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** SimHash oracle: recompute the 64-bit signatures from scratch in
+    * DuckDB (md5_number_upper == the md5-derived hash the registry
+    * query uses), then mirror the pairing semantics exactly — some
+    * 16-bit chunk equal AND full Hamming ≤ 6. */
+  private val SIMHASH_SQL = {
+    val sums = (0 until 64).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sigBits = (0 until 64).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${BigInt(1) << j}::UBIGINT ELSE 0::UBIGINT END")
+      .mkString(" + ")
+    val masks = Seq("65535", "4294901760", "281470681743360",
+        "18446462598732840960")
+      .map(m => s"(a.sig & $m::UBIGINT) = (b.sig & $m::UBIGINT)")
+      .mkString(" OR ")
+    s"""WITH tok AS (SELECT doc_id, unnest($T) AS t FROM documents),
+       |h AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
+       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigBits AS sig FROM bits)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 6 AND ($masks)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_simhash" -> SIMHASH_SQL,
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $T AS toks FROM documents)
          |SELECT doc_id,

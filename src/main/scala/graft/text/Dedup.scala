@@ -137,19 +137,42 @@ object Dedup {
     verifiedPairs(s, lshCandidates(minhashSignatures(s)), threshold)
   }
 
+  /** Cross-engine 64-bit token hash: the first 8 bytes of md5(token),
+    * LITTLE-endian (md5 is bit-standard everywhere; this byte order is
+    * what DuckDB's `md5_number_upper` returns, so an oracle can compute
+    * the identical value). Assembled from hex pairs with codegen'd
+    * conv/shift builtins; the top byte may set the sign bit — only the
+    * BIT PATTERN is used downstream, which signedness doesn't affect. */
+  private def md5Hash64(t: Column): Column = {
+    val hex = md5(t)
+    (0 until 8).map { i =>
+      shiftleft(conv(substring(hex, 2 * i + 1, 2), 16, 10).cast("long"), 8 * i)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** DuckDB twin of [[md5Hash64]] (UBIGINT; same 64-bit pattern). */
+  def MD5_HASH64(e: String): String = s"md5_number_upper($e)"
+
   /** 64-bit SimHash signatures: per token-hash bit, sum ±1 across a
     * doc's tokens; sign → signature bit.
     *
-    * Shape: explode tokens → xxhash64 → 64 conditional-sum aggregates →
-    * recombine bits. Everything is a codegen'd built-in (the earlier
-    * array-lambda formulation ran interpreted, 64 passes per doc); the
-    * single groupBy(doc_id) shuffle carries 64 longs per doc and
-    * parallelizes by doc at any scale. */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+    * Shape: explode tokens → 64-bit hash → 64 conditional-sum
+    * aggregates → recombine bits. Everything is a codegen'd built-in
+    * (the earlier array-lambda formulation ran interpreted, 64 passes
+    * per doc); the single groupBy(doc_id) shuffle carries 64 longs per
+    * doc and parallelizes by doc at any scale.
+    *
+    * `crossEngineHash = true` swaps xxhash64 (fastest, engine-specific)
+    * for the md5-derived hash so an independent engine can recompute
+    * the signatures bit-for-bit — the oracle path; production keeps
+    * xxhash64. */
+  def simhashSignatures(docs: DataFrame,
+      crossEngineHash: Boolean = false): DataFrame = {
     val tok = docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(TextStats.tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h",
+        if (crossEngineHash) md5Hash64(col("t")) else xxhash64(col("t")))
     val sums = (0 until 64).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= lit(0L), lit(1L))
         .otherwise(lit(-1L))).as(s"b$j")
@@ -161,9 +184,14 @@ object Dedup {
       .select(col("doc_id"), sig.as("sig"))
   }
 
-  /** Hamming-≤ maxDist SimHash pairs via 16-bit chunk pigeonhole join. */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 6): DataFrame = {
-    val sigs = simhashSignatures(docs)
+  /** Hamming-≤ maxDist SimHash pairs via 16-bit chunk pigeonhole join.
+    * The chunk join is LOSSLESS only for maxDist ≤ 3 (4 chunks); above
+    * that it is the declared candidate filter — a pair counts iff some
+    * 16-bit chunk matches exactly AND the full Hamming distance is
+    * within maxDist. The oracle mirrors both conditions. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 6,
+      crossEngineHash: Boolean = false): DataFrame = {
+    val sigs = simhashSignatures(docs, crossEngineHash)
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         col("sig").bitwiseAND(lit(0xFFFFL << (c * 16))).as("piece"))
