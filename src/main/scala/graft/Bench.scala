@@ -20,13 +20,15 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val queries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
-    // untimed warm-up pass: JIT + codegen-cache + FS-cache warm, so the
-    // timed pass measures steady-state per-query cost instead of
-    // whichever query happens to pay first-touch warm-up
-    queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-    }
+    // per-query: clear cached relations from PREVIOUS queries (several
+    // operators legitimately .cache() a shared frame; across 100+
+    // queries those pile up, evict each other, and poison timings with
+    // recompute storms), then an untimed warm-up run (JIT + codegen
+    // cache + its own .cache() materialization), then the timed run —
+    // steady-state per-query cost with bounded memory.
     val results = queries.map { case (name, fn) =>
+      spark.catalog.clearCache()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

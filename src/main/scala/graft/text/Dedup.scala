@@ -67,34 +67,66 @@ object Dedup {
               round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Shingle rows minus "stop shingles" (document frequency >
-    * `maxDf`). The self-join replicates each shingle's posting list
-    * quadratically — a boilerplate shingle in 100k docs alone yields
-    * 5×10⁹ join rows on ONE key (the skew bomb). Dropping hot shingles
-    * from CANDIDATE GENERATION only (verification still uses full sets)
-    * bounds per-key fan-out at maxDf²; a pair is lost only if every
-    * single shared shingle is boilerplate-hot, which at Jaccard ≥ 0.8
-    * means the docs are near-pure boilerplate (DedupStopShingleSpec
-    * proves output-unchanged on the test corpus). */
-  private def rareShingles(s: DataFrame, maxDf: Long): DataFrame =
-    s.join(
-      s.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") > lit(maxDf)).select("shingle"),
-      Seq("shingle"), "left_anti")
-
-  /** Exact Jaccard ≥ threshold pairs: shingle self-join for candidates
-    * (stop-shingles with df > `stopShingleDf` excluded — see
-    * [[rareShingles]]), then exact verification over full shingle sets.
-    * The ORACLE path for the approximate methods. */
+  /** Exact Jaccard ≥ threshold pairs, skew-capped.
+    *
+    * The naive shingle self-join replicates each shingle's posting list
+    * quadratically — one boilerplate shingle in 100k docs alone yields
+    * 5×10⁹ join rows on ONE key (the skew bomb). Three-phase fix that
+    * keeps the output exact AND the hot keys out of the quadratic join:
+    *
+    *  1. Count common RARE shingles per pair directly in the self-join's
+    *     aggregation (map-side combine — pairs are never materialized
+    *     as a distinct set), with stop-shingles (df > `stopShingleDf`)
+    *     removed, so per-key fan-out is capped at stopShingleDf².
+    *  2. Bound the true Jaccard from above: common ≤ common_rare +
+    *     min(hot_a, hot_b), J = c/(na+nb−c) is increasing in c. Only
+    *     pairs whose BOUND clears the threshold survive — a small set
+    *     (near-dups and boilerplate-heavy pairs).
+    *  3. Exact-verify the survivors against FULL shingle sets
+    *     ([[verifiedPairs]]), so every emitted (common, jaccard) is the
+    *     true value.
+    *
+    * A pair is lost only if it shares NO rare shingle at all — near-
+    * pure-boilerplate docs (DedupStopShingleSpec proves output-
+    * unchanged on the test corpus at both registry thresholds). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       stopShingleDf: Long = 256): DataFrame = {
+    // cached: the shingle rows feed six subtrees (df, sizes, rare sizes,
+    // the rare self-join's two sides, the verify join) and exchange
+    // reuse alone does not cover them (measured 3-4× slower uncached)
     val s = shingleRows(docs).cache()
-    val joinable = rareShingles(s, stopShingleDf)
-    val cands = joinable.as("a").join(joinable.as("b"),
+    val hot = s.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(stopShingleDf)).select("shingle")
+    val rare = s.join(hot, Seq("shingle"), "left_anti")
+    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val rareSizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val stats = sizes.join(rareSizes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("n_rare"), lit(0L))).as("n_hot"))
+    val commonRare = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifiedPairs(s, cands, threshold)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common_rare"))
+    val plausible = commonRare
+      .join(stats.select(col("doc_id").as("doc_a"),
+        col("n_shingles").as("na"), col("n_hot").as("ha")), "doc_a")
+      .join(stats.select(col("doc_id").as("doc_b"),
+        col("n_shingles").as("nb"), col("n_hot").as("hb")), "doc_b")
+      .withColumn("max_common", col("common_rare") + least(col("ha"), col("hb")))
+      .filter(col("max_common") / (col("na") + col("nb") - col("max_common"))
+        >= lit(threshold))
+      .cache() // tiny (bound-cleared pairs); both branches below read it
+    // when NEITHER doc has hot shingles, common_rare IS the true common
+    // (every shared shingle survived the filter) — emit directly; only
+    // pairs where hot shingles could contribute go to the verify join
+    val exact = plausible.filter(least(col("ha"), col("hb")) === lit(0L))
+      .select(col("doc_a"), col("doc_b"), col("common_rare").as("common"),
+        round(col("common_rare") / (col("na") + col("nb") - col("common_rare")), 6)
+          .as("jaccard"))
+    val verified = verifiedPairs(s,
+      plausible.filter(least(col("ha"), col("hb")) > lit(0L))
+        .select("doc_a", "doc_b"), threshold)
+    exact.union(verified)
   }
 
   /** MinHash signatures: k universal-hash permutations
