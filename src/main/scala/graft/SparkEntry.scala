@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.Wave3Queries.queries ++
     graft.queries.Wave4Queries.queries ++
     graft.queries.FinanceQueries.queries ++
-    graft.queries.EventAnalytics.queries
+    graft.queries.EventAnalytics.queries ++
+    graft.queries.Wave5Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
     graft.queries.Wave3Queries.oracles ++
     graft.queries.Wave4Queries.oracles ++
     graft.queries.FinanceQueries.oracles ++
-    graft.queries.EventAnalytics.oracles
+    graft.queries.EventAnalytics.oracles ++
+    graft.queries.Wave5Queries.oracles
 }

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Sampling
+import graft.text.TextStats
+
+/** Corpus-analytics wave: TF-IDF source profiling, PMI collocations,
+  * deterministic hash sampling, vocabulary statistics — the
+  * reporting/curation layer a training-data pipeline runs over its
+  * corpus. All counts are integer-exact; the single `ln` per score gets
+  * identical integer inputs in both engines. */
+object Wave5Queries {
+
+  private def docs(s: SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+
+  private def tokRows(s: SparkSession, d: String) =
+    docs(s, d).repartition(col("doc_id"))
+      .select(col("source"), explode(TextStats.tokens(col("text"))).as("term"))
+
+  /** Top-5 characteristic terms per source by tf·idf (idf over the 20
+    * sources). The per-source profile that catches a source gone
+    * off-distribution. */
+  def qTfidfTerms(s: SparkSession, d: String): DataFrame = {
+    val tok = tokRows(s, d)
+    val tf = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct("source").as("df"))
+    val n = docs(s, d).select(countDistinct("source").as("n_sources"))
+    val w = Window.partitionBy("source").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_sources").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("term"), col("tf"), col("df"),
+              col("tfidf"))
+      .orderBy("source", "rk")
+  }
+
+  /** Pointwise mutual information of adjacent token pairs (min count 5,
+    * top 20): PMI = ln(c_xy·N / (c_x·c_y)) — the standard collocation
+    * detector. Bigrams here are RAW (with multiplicity), unlike the
+    * distinct shingles the dedup family uses. */
+  def qPmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val bigramArr = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - lit(2)),
+        i => concat(element_at(toks, i + lit(1)), lit(" "),
+                    element_at(toks, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val big = docs(s, d).repartition(col("doc_id"))
+      .select(explode(bigramArr).as("bigram")).cache()
+    val uni = tokRows(s, d).groupBy("term").agg(count(lit(1)).as("c"))
+    val cxy = big.groupBy("bigram").agg(count(lit(1)).as("cxy"))
+    val nTotal = big.select(count(lit(1)).as("n_bigrams"))
+    val scored = cxy
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("term").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("term").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(nTotal))
+      .filter(col("cxy") >= 5)
+      .withColumn("pmi", round(log((col("cxy") * col("n_bigrams"))
+        .cast("double") / (col("cx") * col("cy"))), 6))
+    scored.orderBy(col("pmi").desc, col("bigram")).limit(20)
+      .select(col("bigram"), col("cxy"), col("cx"), col("cy"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+  }
+
+  /** Deterministic ~5% sample of orders by hashed key, aggregated per
+    * status — membership is recomputable by ANY engine from the row
+    * alone (the oracle recomputes it from scratch in SQL). */
+  def qHashSample(s: SparkSession, d: String): DataFrame =
+    Sampling.deterministicSample(Tables.load(s, d, "orders"),
+        col("o_orderkey"), permille = 50)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"),
+           Q.dsum(col("o_totalprice")).as("sampled_total"),
+           min(col("o_orderkey")).as("min_key"),
+           max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+
+  /** Vocabulary statistics per source: token volume, distinct vocab,
+    * hapax legomena (terms seen once in the source), type-token ratio
+    * — the cheap corpus-health metrics. */
+  def qVocabStats(s: SparkSession, d: String): DataFrame = {
+    val perTerm = tokRows(s, d).groupBy("source", "term")
+      .agg(count(lit(1)).as("c"))
+    perTerm.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("vocab"),
+           sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("type_token_ratio",
+        round(col("vocab") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_terms" -> qTfidfTerms,
+    "q_pmi_bigrams" -> qPmiBigrams,
+    "q_hash_sample" -> qHashSample,
+    "q_vocab_stats" -> qVocabStats)
+
+  private val T = TextStats.TOKENS("text")
+
+  val oracles: Map[String, String] = Map(
+    "q_tfidf_terms" ->
+      s"""WITH tok AS (SELECT source, unnest($T) AS term FROM documents),
+         |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT source) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+         |sc AS (
+         |  SELECT tf.source, tf.term, tf.tf, df.df,
+         |         round(tf.tf * ln(CAST(n.n_sources AS DOUBLE) / df.df), 6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |        ORDER BY tfidf DESC, term) AS INTEGER) AS rk FROM sc)
+         |SELECT source, rk, term, tf, df, tfidf
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "q_pmi_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
+         |big AS (
+         |  SELECT unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS bigram FROM t),
+         |uni AS (SELECT unnest(toks) AS term FROM t),
+         |cx AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+         |cxy AS (SELECT bigram, count(*) AS cxy FROM big GROUP BY 1),
+         |n AS (SELECT count(*) AS n_bigrams FROM big),
+         |sc AS (
+         |  SELECT cxy.bigram, cxy.cxy, a.c AS cx, b.c AS cy,
+         |         round(ln(CAST(cxy.cxy * n.n_bigrams AS DOUBLE) / (a.c * b.c)), 6) AS pmi
+         |  FROM cxy
+         |  JOIN cx a ON a.term = string_split(cxy.bigram, ' ')[1]
+         |  JOIN cx b ON b.term = string_split(cxy.bigram, ' ')[2]
+         |  CROSS JOIN n
+         |  WHERE cxy.cxy >= 5)
+         |SELECT bigram, cxy, cx, cy, pmi FROM sc
+         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+    "q_hash_sample" ->
+      s"""SELECT o_orderstatus,
+         |  count(*) AS n_sampled,
+         |  ${Q.DSUM("o_totalprice")} AS sampled_total,
+         |  min(o_orderkey) AS min_key,
+         |  max(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE ${Sampling.HASH_BUCKET("o_orderkey", 1000)} < 50
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_vocab_stats" ->
+      s"""WITH tok AS (SELECT source, unnest($T) AS term FROM documents),
+         |pt AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT source,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS vocab,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+         |FROM pt GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -175,7 +175,7 @@ object Dedup {
     * the identical value). Assembled from hex pairs with codegen'd
     * conv/shift builtins; the top byte may set the sign bit — only the
     * BIT PATTERN is used downstream, which signedness doesn't affect. */
-  private def md5Hash64(t: Column): Column = {
+  def md5Hash64(t: Column): Column = {
     val hex = md5(t)
     (0 until 8).map { i =>
       shiftleft(conv(substring(hex, 2 * i + 1, 2), 16, 10).cast("long"), 8 * i)

@@ -100,4 +100,27 @@ object TextStats {
 
   def FINGERPRINT(e: String): String =
     s"md5(trim(regexp_replace(lower($e), '\\s+', ' ', 'g')))"
+
+  // ---- PII scrubbing ----
+
+  /** Conservative PII patterns (kept RE2-compatible so the same text
+    * works in any engine): emails, URLs, long digit runs (phone/ID
+    * shaped). Order matters — URLs before digit runs. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "[0-9][0-9()+. -]{6,}[0-9]" -> "<NUMBER>")
+
+  /** Replace every PII match with its typed placeholder — the redaction
+    * pass a training corpus runs before anything else sees the text. */
+  def scrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Count of PII matches in the text (pre-redaction audit metric). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    }.reduce(_ + _)
 }
