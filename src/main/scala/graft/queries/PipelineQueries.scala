@@ -65,6 +65,13 @@ object PipelineQueries {
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(docs(s, d), jacThreshold).orderBy("doc_a", "doc_b")
 
+  /** Transitive near-dup clusters (A≈B≈C collapses even though A,C
+    * were never compared): min-label connected components over the
+    * exact-Jaccard pair graph; oracle recomputes the closure with a
+    * recursive CTE. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(docs(s, d), jacThreshold).orderBy("doc_id")
+
   /** Registry variant uses the md5-derived cross-engine token hash so
     * the FULL pipeline (signature bits → chunk candidates → Hamming
     * filter) is oracle-checked; production callers keep the default
@@ -122,6 +129,7 @@ object PipelineQueries {
     "q_dedup_jaccard"       -> qDedupJaccard,
     "q_dedup_minhash"       -> qDedupMinhash,
     "q_dedup_simhash"       -> qDedupSimhash,
+    "q_dedup_clusters"      -> qDedupClusters,
     "q_ann_brute"           -> qAnnBrute,
     "q_cosine_pairs"        -> qCosinePairs,
     "q_ann_lsh"             -> qAnnLsh,       // rows-only (recall < 1 by design)
@@ -172,7 +180,38 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Cluster oracle: same exact-Jaccard pairs, transitive closure via
+    * recursive CTE (UNION dedups, so the cyclic undirected graph
+    * terminates), component id = min reachable doc_id. */
+  private val CLUSTERS_SQL =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Dedup.SHINGLES("text")} AS s FROM documents
+       |), x AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT doc_a, doc_b FROM p
+       |  JOIN sizes la ON la.doc_id = doc_a
+       |  JOIN sizes lb ON lb.doc_id = doc_b
+       |  WHERE common / (la.n + lb.n - common) >= $jacThreshold),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+       |      UNION ALL SELECT doc_b, doc_a FROM jac),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |lab AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT l.doc_id, l.cluster_id, c.cluster_size
+       |FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
+       |                 FROM lab GROUP BY 1) c USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_clusters" -> CLUSTERS_SQL,
     "q_dedup_simhash" -> SIMHASH_SQL,
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $T AS toks FROM documents)

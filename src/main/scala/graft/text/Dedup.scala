@@ -246,4 +246,54 @@ object Dedup {
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(TextStats.fingerprint(col("text")).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches into DEDUP DECISIONS (one keeper per
+    * transitive cluster; A≈B and B≈C must collapse to one document
+    * even when A and C were never compared).
+    *
+    * Min-label propagation: every node starts as its own label; each
+    * round every node takes the min label over itself and its
+    * neighbors; stop when nothing changes. Rounds ∝ graph diameter —
+    * near-dup clusters are dense and shallow (2-4 rounds in practice).
+    * Each round is ONE shuffle join + groupBy on the edge list;
+    * lineage is truncated per round (`localCheckpoint`) so the plan
+    * doesn't grow exponentially — the standard Spark iterative-graph
+    * shape (production giants use large-star/small-star to cut rounds
+    * on high-diameter graphs; near-dup graphs aren't that).
+    *
+    * Input: (doc_a, doc_b) pair rows. Output: (doc_id, cluster_id)
+    * with cluster_id = min doc_id of the component; only docs that
+    * appear in some pair (singletons are not near-dups). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters at a Jaccard threshold: components over
+    * [[jaccardPairs]] plus per-cluster size — the frame a keeper/drop
+    * pass consumes. */
+  def nearDupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val cc = connectedComponents(jaccardPairs(docs, threshold))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
 }
