@@ -100,11 +100,59 @@ object Wave5Queries {
       .orderBy("source")
   }
 
+  /** Int8 scalar quantization of embeddings (the 4× storage cut every
+    * 100 TB vector store takes) with reconstruction-error audit:
+    * per-vector scale = max|v|/127, q_i = floor(v_i/scale + .5) clamped
+    * to ±127, RMSE of dequantization. Explicit floor(x+.5) instead of
+    * round() because round-half tie rules differ across engines; the
+    * left-to-right index-order sum matches the oracle to the ulp. */
+  def qQuantizeError(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding")
+    val withScale = Tables.load(s, d, "embeddings")
+      .repartition(col("vec_id"))
+      .withColumn("scale",
+        array_max(transform(e, x => abs(x.cast("double")))) / lit(127.0))
+      .filter(col("scale") > 0)
+    val errs = transform(e, x => {
+      val v = x.cast("double")
+      val q = least(greatest(floor(v / col("scale") + lit(0.5)), lit(-127.0)),
+        lit(127.0))
+      val diff = v - q * col("scale")
+      diff * diff
+    })
+    withScale
+      .withColumn("sse", aggregate(errs, lit(0.0), (acc, x) => acc + x))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+              round(sqrt(col("sse") / lit(64.0)), 6).as("rmse"))
+      .orderBy("vec_id")
+  }
+
+  /** Join-key skew report — the pre-flight check before any big join:
+    * the 10 heaviest customer keys in orders with their share of rows
+    * and ratio to the mean key load (ratio >> 1 ⇒ salt or AQE-skew
+    * that key). */
+  def qKeySkew(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.load(s, d, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share", round(col("n_rows") / col("total"), 6))
+      .withColumn("ratio_to_avg",
+        round(col("n_rows") * col("n_keys") / col("total").cast("double"), 6))
+      .orderBy(col("n_rows").desc, col("o_custkey"))
+      .limit(10)
+      .select(col("o_custkey"), col("n_rows"), col("share"), col("ratio_to_avg"))
+      .orderBy(col("n_rows").desc, col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf_terms" -> qTfidfTerms,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_hash_sample" -> qHashSample,
-    "q_vocab_stats" -> qVocabStats)
+    "q_vocab_stats" -> qVocabStats,
+    "q_quantize_error" -> qQuantizeError,
+    "q_key_skew" -> qKeySkew)
 
   private val T = TextStats.TOKENS("text")
 
@@ -150,6 +198,30 @@ object Wave5Queries {
          |FROM orders
          |WHERE ${Sampling.HASH_BUCKET("o_orderkey", 1000)} < 50
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_quantize_error" -> {
+      val v = "CAST(embedding[i+1] AS DOUBLE)"
+      val q = s"least(greatest(floor($v / scale + 0.5), -127), 127)"
+      s"""WITH sc AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+         |  FROM embeddings),
+         |err AS (
+         |  SELECT vec_id, scale,
+         |    list_sum(list_transform(range(64),
+         |      i -> ($v - $q * scale) * ($v - $q * scale))) AS sse
+         |  FROM sc WHERE scale > 0)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |       round(sqrt(sse / 64.0), 6) AS rmse
+         |FROM err ORDER BY vec_id""".stripMargin
+    },
+    "q_key_skew" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+        |SELECT o_custkey, n_rows,
+        |  round(n_rows / CAST(total AS DOUBLE), 6) AS share,
+        |  round(n_rows * n_keys / CAST(total AS DOUBLE), 6) AS ratio_to_avg
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, o_custkey LIMIT 10""".stripMargin,
     "q_vocab_stats" ->
       s"""WITH tok AS (SELECT source, unnest($T) AS term FROM documents),
          |pt AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2)
