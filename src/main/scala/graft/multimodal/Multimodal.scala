@@ -104,6 +104,51 @@ object Multimodal {
       }(enc)
   }
 
+  private val audioSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("duration_ms", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("peak", IntegerType)))
+
+  /** REAL audio decode (PCM16 WAV — [[Codecs.decodeWavPcm16]], pure
+    * byte parsing, no codec library): one stats row per decodable
+    * payload, non-WAV rows dropped. Same per-partition batch shape as
+    * [[extractFeatures]]. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.decodeWavPcm16(r.getAs[Array[Byte]](1)).map { w =>
+            Row(r.getLong(0), w.sampleRate, w.nSamples, w.durationMs,
+              w.rms, w.peak)
+          }
+        }
+      }(enc)
+  }
+
+  private val imageSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", DoubleType)))
+
+  /** REAL image decode (binary P6 PPM — [[Codecs.decodePpm]]): width,
+    * height, mean luma per decodable payload. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.decodePpm(r.getAs[Array[Byte]](1)).map { p =>
+            Row(r.getLong(0), p.width, p.height, p.meanLuma)
+          }
+        }
+      }(enc)
+  }
+
   /** Batch feature extraction: mapPartitions over the media table —
     * the Scala analog of pandas-UDF batch decode. One decoder instance
     * per partition (where a real codec would be initialized), rows

@@ -27,6 +27,18 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, permille: Int): DataFrame =
     df.filter(hashBucket(key, 1000) < lit(permille.toLong))
 
+  /** Stratified deterministic sample: per-stratum permille rates
+    * (strata absent from the map are dropped) — the `df.sampleBy`
+    * analog, but reproducible on any layout/engine like
+    * [[deterministicSample]]. */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+      ratesPermille: Map[String, Int]): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(0L)) { case (els, (v, p)) =>
+      when(strata === lit(v), lit(p.toLong)).otherwise(els)
+    }
+    df.filter(hashBucket(key, 1000) < rate)
+  }
+
   /** DuckDB twin of [[hashBucket]] (UBIGINT arithmetic; same 60-bit
     * pattern — see Dedup.MD5_HASH64). */
   def HASH_BUCKET(e: String, buckets: Int): String =

@@ -146,7 +146,19 @@ object Wave5Queries {
       .orderBy(col("n_rows").desc, col("o_custkey"))
   }
 
+  /** Stratified deterministic sample: status-dependent rates (2%/5%/
+    * 10%) — the sampleBy analog with engine-recomputable membership. */
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(Tables.load(s, d, "orders"),
+        col("o_orderkey"), col("o_orderstatus"),
+        Map("O" -> 20, "F" -> 50, "P" -> 100))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"),
+           Q.dsum(col("o_totalprice")).as("sampled_total"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_terms" -> qTfidfTerms,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_hash_sample" -> qHashSample,
@@ -197,6 +209,15 @@ object Wave5Queries {
          |  max(o_orderkey) AS max_key
          |FROM orders
          |WHERE ${Sampling.HASH_BUCKET("o_orderkey", 1000)} < 50
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_stratified_sample" ->
+      s"""SELECT o_orderstatus,
+         |  count(*) AS n_sampled,
+         |  ${Q.DSUM("o_totalprice")} AS sampled_total
+         |FROM orders
+         |WHERE ${Sampling.HASH_BUCKET("o_orderkey", 1000)} <
+         |  CASE o_orderstatus WHEN 'O' THEN 20 WHEN 'F' THEN 50
+         |       WHEN 'P' THEN 100 ELSE 0 END
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_quantize_error" -> {
       val v = "CAST(embedding[i+1] AS DOUBLE)"

@@ -200,11 +200,19 @@ object Dedup {
     * xxhash64. */
   def simhashSignatures(docs: DataFrame,
       crossEngineHash: Boolean = false): DataFrame = {
-    val tok = docs.repartition(col("doc_id"))
+    val raw = docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(TextStats.tokens(col("text"))).as("t"))
-      .withColumn("h",
-        if (crossEngineHash) md5Hash64(col("t")) else xxhash64(col("t")))
+    // xxhash64 is one codegen'd call — hash inline. The md5 oracle hash
+    // costs md5 + 8 conv/shift per value, so hash the DISTINCT token
+    // dictionary once and broadcast it back onto the occurrences: the
+    // vocabulary is orders of magnitude smaller than the token stream
+    // (Heaps' law — still broadcastable at corpus scale).
+    val tok =
+      if (!crossEngineHash) raw.withColumn("h", xxhash64(col("t")))
+      else raw.join(
+        broadcast(raw.select("t").distinct()
+          .withColumn("h", md5Hash64(col("t")))), "t")
     val sums = (0 until 64).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= lit(0L), lit(1L))
         .otherwise(lit(-1L))).as(s"b$j")
