@@ -157,7 +157,48 @@ object Wave5Queries {
            Q.dsum(col("o_totalprice")).as("sampled_total"))
       .orderBy("o_orderstatus")
 
+  /** MapType surface: build a status→count map per priority with
+    * map_from_entries, then read it back (size, element_at, sorted
+    * key list, serialized entries). The oracle never builds a map — it
+    * recomputes the same SCALAR outputs, which is the point: map ops
+    * must round-trip to verifiable values. */
+  def qMapBattery(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.load(s, d, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderstatus"), col("n"))))).as("m"))
+      .select(col("o_orderpriority"),
+        size(col("m")).as("n_statuses"),
+        coalesce(element_at(col("m"), "O"), lit(0L)).as("open_orders"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("statuses"),
+        array_join(transform(sort_array(map_entries(col("m"))),
+          e => concat(e.getField("key"), lit("="),
+            e.getField("value").cast("string"))), ",").as("entries"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Nested-struct surface: named_struct construction, dotted field
+    * access, array-of-structs ordering and field projection — output
+    * flattened to oracle-checkable scalars. */
+  def qStructBattery(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.load(s, d, "customer")
+      .select(struct(col("c_custkey").as("key"),
+        struct(col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("bal")).as("account")).as("cust"))
+    c.groupBy(col("cust.account.segment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("cust.account.bal").as("bal"),
+          col("cust.key").as("key"))).as("top"))
+      .select(col("segment"), col("n"),
+        col("top.key").as("richest_key"), col("top.bal").as("max_bal"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_battery" -> qMapBattery,
+    "q_struct_battery" -> qStructBattery,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_terms" -> qTfidfTerms,
     "q_pmi_bigrams" -> qPmiBigrams,
@@ -210,6 +251,21 @@ object Wave5Queries {
          |FROM orders
          |WHERE ${Sampling.HASH_BUCKET("o_orderkey", 1000)} < 50
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_map_battery" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS INTEGER) AS n_statuses,
+        |  coalesce(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS open_orders,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  string_agg(o_orderstatus || '=' || n, ',' ORDER BY o_orderstatus) AS entries
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_struct_battery" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  max_by(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest_key,
+        |  max(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT o_orderstatus,
          |  count(*) AS n_sampled,
