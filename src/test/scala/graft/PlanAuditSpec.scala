@@ -12,12 +12,12 @@ class PlanAuditSpec extends SparkSuite {
   // the LSH/IVF scale paths), the tiny broadcast probe sets, and the
   // band join against a 3-row inline tier table (BNLJ over a broadcast
   // micro-dimension is the correct plan for BETWEEN-bounds bucketing).
-  // q_anomaly_days, q_tfidf_terms, and q_pmi_bigrams broadcast a 1-row
-  // global-stats frame (BNLJ over a single row — the standard
-  // scalar-stats join pattern).
+  // q_anomaly_days, q_tfidf_terms, q_pmi_bigrams, and q_key_skew
+  // broadcast a 1-row global-stats frame (BNLJ over a single row — the
+  // standard scalar-stats join pattern).
   private val intendedNestedLoop = Set(
     "q_ann_brute", "q_cosine_pairs", "q_ann_ivf", "q_ann_lsh", "q_band_join",
-    "q_anomaly_days", "q_tfidf_terms", "q_pmi_bigrams")
+    "q_anomaly_days", "q_tfidf_terms", "q_pmi_bigrams", "q_key_skew")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
