@@ -1,31 +1,80 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.Bridge
 
-/** SparkSessionExtensions entry point: registers graft's native
-  * expressions for SQL use. Activate with either
+/** SparkSessionExtensions entry point: registers graft's operator
+  * surface for SQL use — the native codegen expression (`vector_dot`)
+  * plus the text/similarity/sampling operators as composed-expression
+  * functions, so a SQL-first user reaches every scalar operator
+  * without touching the Scala API. Activate with either
   * `.withExtensions(new GraftExtensions)` on the builder, or
   * `spark.sql.extensions=graft.functions.GraftExtensions` in config —
-  * then `SELECT vector_dot(a, b)` works in plain Spark SQL.
+  * then e.g. `SELECT graft_quality_score(text) FROM docs` works in
+  * plain Spark SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.vectorDot)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
-  val vectorDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+
+  type Registration =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def reg(name: String, arity: Int)(
+      build: Seq[Column] => Column): Registration = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(GraftExtensions.getClass.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == arity,
+        s"$name expects $arity argument(s), got ${children.length}")
+      Bridge.expressionTree(build(children.map(Bridge.column)))
+    })
+
+  val vectorDot: Registration = (
     FunctionIdentifier("vector_dot"),
     new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
     (children: Seq[Expression]) => VectorDot(children(0), children(1)))
 
+  /** Bucket count must be an integer literal (folds at plan time). */
+  private val hashBucket: Registration = (
+    FunctionIdentifier("graft_hash_bucket"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "graft_hash_bucket"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_hash_bucket expects (key, buckets)")
+      val buckets = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_hash_bucket: buckets must be an integer literal, got $other")
+      }
+      Bridge.expressionTree(
+        graft.ops.Sampling.hashBucket(Bridge.column(children(0)), buckets))
+    })
+
+  val all: Seq[Registration] = Seq(
+    vectorDot,
+    hashBucket,
+    reg("graft_cosine", 2)(c => graft.text.Similarity.cosine(c(0), c(1))),
+    reg("graft_fingerprint", 1)(c => graft.text.TextStats.fingerprint(c(0))),
+    reg("graft_quality_score", 1)(c => graft.text.TextStats.qualityScore(c(0))),
+    reg("graft_lang_id", 1)(c => graft.text.TextStats.predictedLang(c(0))),
+    reg("graft_token_count", 1)(c => graft.text.TextStats.tokenCount(c(0))),
+    reg("graft_scrub", 1)(c => graft.text.TextStats.scrub(c(0))),
+    reg("graft_pii_count", 1)(c => graft.text.TextStats.piiCount(c(0))),
+    reg("graft_md5_hash64", 1)(c => graft.text.Dedup.md5Hash64(c(0))))
+
   /** Session-scoped registration for an already-built session (tests,
     * REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.asInstanceOf[FunctionRegistry]
-      .registerFunction(vectorDot._1, vectorDot._2, vectorDot._3)
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+      .asInstanceOf[FunctionRegistry]
+    all.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
 }

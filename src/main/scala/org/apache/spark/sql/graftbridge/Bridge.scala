@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full ColumnNode→Expression conversion (function calls become
+    * catalyst `UnresolvedFunction`s the analyzer resolves) — what a
+    * FunctionRegistry builder needs when the function body is COMPOSED
+    * from `functions._` columns rather than a single native
+    * expression. `expression` above merely wraps the node
+    * (Unevaluable), which explodes at codegen if left in the plan. */
+  def expressionTree(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
