@@ -60,7 +60,13 @@ object StreamingQueries {
   def qStreamSessions(s: SparkSession, d: String): DataFrame =
     Events.streamingSessions(s, d)
 
+  /** Stream-stream interval join (clicks × same-user errors ≤10 min
+    * later), watermarked both sides; oracle is the batch join. */
+  def qStreamJoin(s: SparkSession, d: String): DataFrame =
+    Events.clickErrorPairs(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join"      -> qStreamJoin,
     "q_stream_sessions"  -> qStreamSessions,
     "q_fmgws_sessions"   -> qFmgwsSessions,
     "q_stream_dedup"     -> qStreamDedup,
@@ -70,6 +76,15 @@ object StreamingQueries {
     "q_stateful_totals"  -> qStatefulTotals)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_join" ->
+      """SELECT c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY c.user_id, click_ts, error_ts""".stripMargin,
     "q_stream_sessions" ->
       s"""WITH m AS (
          |  SELECT user_id, ts,

@@ -228,6 +228,33 @@ object Events {
       .toDF("user_id", "start_us", "end_us", "n_events")
   }
 
+  /** STREAM-STREAM interval join: every click paired with the same
+    * user's errors in the following 10 minutes. Both sides carry a
+    * 1-hour watermark and the join condition bounds event time on both
+    * ends, so each side's buffered state is evicted once the watermark
+    * passes the interval — bounded state, the canonical two-stream
+    * correlation shape. Inner-join matches append as data arrives
+    * (no timers needed for completeness on a bounded replay); join
+    * state is row-per-event → wide partitions. */
+  def clickErrorPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = readStream(spark, sfDir)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+      col("e_ts") >= col("c_ts") &&
+      col("e_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    runToCompletion(spark, joined, mode = "append", wideState = true)
+      .select(col("c_user").as("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("e_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("error_ts"))
+      .orderBy("user_id", "click_ts", "error_ts")
+  }
+
   /** The full streaming query, result shaped for the oracle (window
     * start as string — raw timestamps don't round-trip parquet across
     * engines). */
