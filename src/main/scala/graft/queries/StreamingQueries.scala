@@ -65,7 +65,12 @@ object StreamingQueries {
   def qStreamJoin(s: SparkSession, d: String): DataFrame =
     Events.clickErrorPairs(s, d)
 
+  /** Stream-static broadcast enrichment + aggregation. */
+  def qStreamEnrich(s: SparkSession, d: String): DataFrame =
+    Events.enrichedSegmentTotals(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_enrich"    -> qStreamEnrich,
     "q_stream_join"      -> qStreamJoin,
     "q_stream_sessions"  -> qStreamSessions,
     "q_fmgws_sessions"   -> qFmgwsSessions,
@@ -76,6 +81,11 @@ object StreamingQueries {
     "q_stateful_totals"  -> qStatefulTotals)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      s"""SELECT c_mktsegment, count(*) AS n_events,
+         |  ${Q.DSUM("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_stream_join" ->
       """SELECT c.user_id,
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,

@@ -255,6 +255,24 @@ object Events {
       .orderBy("user_id", "click_ts", "error_ts")
   }
 
+  /** STREAM-STATIC enrichment: the event stream joined to a broadcast
+    * dimension (customer segment) then aggregated — the standard
+    * "enrich in flight" shape. The static side is planned as a regular
+    * broadcast hash join inside every micro-batch; no state beyond the
+    * aggregation's. */
+  def enrichedSegmentTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.io.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = readStream(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(30, 8))).cast(DoubleType)
+             .as("total_value"))
+    runToCompletion(spark, enriched)
+      .orderBy("c_mktsegment")
+  }
+
   /** The full streaming query, result shaped for the oracle (window
     * start as string — raw timestamps don't round-trip parquet across
     * engines). */
