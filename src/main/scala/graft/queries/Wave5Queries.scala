@@ -196,7 +196,42 @@ object Wave5Queries {
       .orderBy("segment")
   }
 
+  /** Linear-regression aggregates (regr_slope/intercept/r2/avgx/avgy/
+    * count) — price ~ quantity per return flag. */
+  def qRegression(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+           round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("intercept"),
+           round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+           round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6).as("avg_x"),
+           round(expr("regr_avgy(l_extendedprice, l_quantity)"), 6).as("avg_y"),
+           expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy("l_returnflag")
+
+  /** Forward fill (last_value IGNORE NULLS over an ordered frame): a
+    * sparse daily series (only high-quantity items) gap-filled over a
+    * calendar spine — the canonical carry-forward for time series.
+    * Global window over 90 aggregated rows (bounded; parity pattern). */
+  def qForwardFill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = s.range(1).select(explode(sequence(
+      to_date(lit("1995-01-01")), to_date(lit("1995-03-31")))).as("day"))
+    val sparse = Tables.load(s, d, "lineitem")
+      .filter(col("l_quantity") > 45 &&
+        col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") <= lit("1995-03-31"))
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(Q.dsum(Q.revenue).as("price"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(sparse, Seq("day"), "left")
+      .withColumn("filled", last(col("price"), ignoreNulls = true).over(w))
+      .select(col("day"), col("price"), col("filled"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regression" -> qRegression,
+    "q_forward_fill" -> qForwardFill,
     "q_map_battery" -> qMapBattery,
     "q_struct_battery" -> qStructBattery,
     "q_stratified_sample" -> qStratifiedSample,
@@ -251,6 +286,30 @@ object Wave5Queries {
          |FROM orders
          |WHERE ${Sampling.HASH_BUCKET("o_orderkey", 1000)} < 50
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_regression" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_forward_fill" ->
+      s"""WITH spine AS (
+         |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+         |    DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day),
+         |sparse AS (
+         |  SELECT CAST(l_shipdate AS DATE) AS day, ${Q.DSUM(Q.REVENUE)} AS price
+         |  FROM lineitem
+         |  WHERE l_quantity > 45 AND l_shipdate >= '1995-01-01'
+         |    AND l_shipdate <= '1995-03-31'
+         |  GROUP BY 1)
+         |SELECT spine.day, sparse.price,
+         |  last_value(sparse.price IGNORE NULLS)
+         |    OVER (ORDER BY spine.day ROWS UNBOUNDED PRECEDING) AS filled
+         |FROM spine LEFT JOIN sparse USING (day)
+         |ORDER BY spine.day""".stripMargin,
     "q_map_battery" ->
       """WITH c AS (
         |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
