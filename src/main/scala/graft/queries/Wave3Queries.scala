@@ -115,16 +115,36 @@ object Wave3Queries {
       .orderBy("c_custkey")
 
   /** Winnowing fingerprints (rolling window of shingle hashes, min per
-    * window, distinct) — engine-hash-specific, rows-only. */
+    * window, distinct). r2: hashes are the md5-derived cross-engine
+    * value shifted to 60 bits — unsigned-shift so BOTH engines compare
+    * the same positive range (signed vs UBIGINT min would disagree on
+    * top-bit values) — which upgrades this from rows-only to a full
+    * DuckDB oracle recomputing the winnow from scratch.
+    *
+    * Shape matters: the hash runs per exploded ROW (codegen projection
+    * with subexpression elimination — md5 once per shingle), NOT inside
+    * an array lambda, where interpreted HOF evaluation re-derives the
+    * tokenization and md5 for EVERY term of the 8-byte assembly per
+    * element (measured minutes of single-core work at sf0.1 — AQE
+    * coalesces the tiny post-shuffle partitions to one task). The
+    * ordered per-doc hash array is reassembled with a positional
+    * collect; the remaining lambdas only slice/min small long arrays. */
   def qWinnow(s: SparkSession, d: String): DataFrame = {
     val toks = TextStats.tokens(col("text"))
-    val shingleHashes = transform(
+    val shingleArr = transform(
       sequence(lit(0), greatest(size(toks) - lit(3), lit(-1))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(3))))
+    val rows = t(s, d, "documents").repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(shingleArr).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"),
+        shiftrightunsigned(graft.text.Dedup.md5Hash64(col("shingle")), 4).as("h"))
+    val hs = transform(
+      array_sort(collect_list(struct(col("pos"), col("h")))),
+      e => e.getField("h"))
     val wmins = transform(
-      sequence(lit(0), greatest(size(shingleHashes) - lit(4), lit(-1))),
-      i => array_min(slice(shingleHashes, i + lit(1), lit(4))))
-    t(s, d, "documents").repartition(col("doc_id"))
+      sequence(lit(0), greatest(size(col("hs")) - lit(4), lit(-1))),
+      i => array_min(slice(col("hs"), i + lit(1), lit(4))))
+    rows.groupBy("doc_id").agg(hs.as("hs"))
       .select(col("doc_id"), array_distinct(wmins).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
               array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
@@ -205,9 +225,29 @@ object Wave3Queries {
     "q_token_explode" -> qTokenExplode,
     "q_string_agg"    -> qStringAgg,
     "q_null_battery"  -> qNullBattery,
-    "q_winnow"        -> qWinnow) // rows-only (engine hash)
+    "q_winnow"        -> qWinnow)
+
+  private val WINNOW_SQL = {
+    val T = TextStats.TOKENS("text")
+    s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_transform(range(greatest(len(toks) - 2, 0)),
+       |    i -> array_to_string(toks[i+1:i+3], ' ')) AS shingles FROM t),
+       |h AS (
+       |  SELECT doc_id, list_transform(shingles,
+       |    s -> md5_number_upper(s) >> 4) AS hs FROM sh),
+       |w AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(greatest(len(hs) - 3, 0)),
+       |    i -> list_min(hs[i+1:i+4]))) AS fp FROM h)
+       |SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fingerprints,
+       |  CAST(list_min(fp) AS BIGINT) AS min_fp,
+       |  CAST(list_max(fp) AS BIGINT) AS max_fp
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "q_winnow" -> WINNOW_SQL,
     "q_top_supplier" ->
       s"""WITH rev AS (
          |  SELECT l_suppkey, ${Q.DSUM(Q.REVENUE)} AS total_revenue
