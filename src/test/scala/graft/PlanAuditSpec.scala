@@ -41,6 +41,21 @@ class PlanAuditSpec extends SparkSuite {
       "expected the shuffle-replicate nested-loop (CartesianProduct) pairing")
   }
 
+  test("star join broadcasts its dimensions; scans stay pruned") {
+    val d = sf("sf0.001")
+    val star = SparkEntry.queries("q_region_revenue")(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(star.contains("BroadcastHashJoin"),
+      "q_region_revenue must broadcast its small dimensions")
+    assert(!star.contains("SortMergeJoin"),
+      "no dimension in the sf-test star join should fall back to SMJ")
+
+    val fp = SparkEntry.queries("q_filter_project")(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(fp.contains("PushedFilters: [") && !fp.contains("PushedFilters: []"),
+      "q_filter_project's predicate must reach the parquet scan")
+  }
+
   test("oracle map keys are a subset of query keys and non-empty") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
