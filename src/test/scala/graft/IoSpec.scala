@@ -32,6 +32,17 @@ class IoSpec extends SparkSuite {
     assert(back.exceptAll(li).count() == 0)
   }
 
+  test("XML roundtrip preserves rows (Spark 4 built-in source)") {
+    val out = tmp("region_xml")
+    val region = Tables.load(spark, d, "region")
+    region.write.mode("overwrite")
+      .option("rootTag", "regions").option("rowTag", "region").xml(out)
+    val back = spark.read.schema(region.schema)
+      .option("rowTag", "region").xml(out)
+    assert(back.count() == region.count())
+    assert(back.exceptAll(region).count() == 0)
+  }
+
   test("declared-schema CSV read matches inferred read") {
     val out = tmp("customer_csv")
     val c = Tables.load(spark, d, "customer")
