@@ -26,17 +26,29 @@ object Bench {
     // recompute storms), then an untimed warm-up run (JIT + codegen
     // cache + its own .cache() materialization), then the timed run —
     // steady-state per-query cost with bounded memory.
+    // a query that throws must be VISIBLE in the bench output (an
+    // error benched as ~0 s silently flatters the total): per-query
+    // status rides along, errored queries count as 'error' and are
+    // excluded from the total, and the line carries n_errors.
     val results = queries.map { case (name, fn) =>
       spark.catalog.clearCache()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val status =
+        try { fn(spark, sfDir).count(); "ok" }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+          "error"
+        }
+      name -> ((System.nanoTime() - t0) / 1e9, status)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (sec, st)) =>
+      s"\"" + k + s"""\":{"sec":$sec,"status":"$st"}"""
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, (sec, "ok")) => sec }
+    val nErrors = results.count(_._2._2 == "error")
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,6 +32,10 @@ object Codecs {
     while (pos + 8 <= bytes.length) {
       val id = bb.getInt(pos)
       val len = bb.getInt(pos + 4)
+      // Hostile/corrupt RIFF: a negative or absurd chunk length must not
+      // stall the walk (len = -8 would leave pos unchanged — an infinite
+      // loop pinned to an executor core on arbitrary binaryFile input).
+      if (len < 0 || len > bytes.length - pos - 8 + 1) return None
       if (id == 0x20746d66 /* fmt */ && pos + 8 + 16 <= bytes.length) {
         val audioFormat = bb.getShort(pos + 8)
         channels = bb.getShort(pos + 10)

@@ -117,7 +117,7 @@ object StreamingQueries {
          |  n_events
          |FROM i
          |WHERE end_ts < (SELECT max(i2.end_ts) FROM i i2 WHERE i2.user_id = i.user_id)
-         |   OR (epoch_us(end_ts) // 1000) + 3600000 <=
+         |   OR (epoch_us(end_ts) // 1000) + 3600000 <
          |      (SELECT max(epoch_us(ts)) // 1000 FROM events) - 3600000
          |ORDER BY user_id, session_start""".stripMargin,
     "q_fmgws_sessions" ->

@@ -25,6 +25,13 @@ object HtmlReport {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** Locale-pinned decimal formatting: the default-locale `f`
+    * interpolator emits ',' decimal separators on e.g. de_DE JVMs,
+    * which corrupts SVG point lists. */
+  private def fmt(pattern: String, args: Any*): String =
+    String.format(java.util.Locale.ROOT, pattern,
+      args.map(_.asInstanceOf[AnyRef]): _*)
+
   /** Render an ordered two-column frame as a standalone HTML line
     * chart. Mirrors the reference `save_graph` contract: named x/y
     * columns (missing column → error), empty frame → error, returns
@@ -49,7 +56,7 @@ object HtmlReport {
     val pts = ys.zipWithIndex.map { case (y, i) =>
       val px = padL + (w - padL - 20) * (if (ys.length == 1) 0.5 else i.toDouble / (ys.length - 1))
       val py = padT + (h - padT - padB) * (1.0 - (y - yMin) / ySpan)
-      f"$px%.1f,$py%.1f"
+      fmt("%.1f,%.1f", px, py)
     }.mkString(" ")
     val html =
       s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${esc(title)}</title></head>
@@ -59,8 +66,8 @@ object HtmlReport {
          |  <polyline fill="none" stroke="blue" stroke-width="2" points="$pts"/>
          |  <text x="${padL}" y="${h - 8}" font-size="12">${esc(xs.head)}</text>
          |  <text x="${w - 150}" y="${h - 8}" font-size="12">${esc(xs.last)}</text>
-         |  <text x="4" y="${padT + 10}" font-size="12">${f"$yMax%.4f"}</text>
-         |  <text x="4" y="${h - padB}" font-size="12">${f"$yMin%.4f"}</text>
+         |  <text x="4" y="${padT + 10}" font-size="12">${fmt("%.4f", yMax)}</text>
+         |  <text x="4" y="${h - padB}" font-size="12">${fmt("%.4f", yMin)}</text>
          |  <text x="${padL}" y="18" font-size="13">${esc(yCol)} vs ${esc(xCol)} (${ys.length} points)</text>
          |</svg></body></html>""".stripMargin
 

@@ -211,7 +211,12 @@ object Events {
                 case Some((st, last, n)) if t - last >= gapMicros =>
                   out += ((uid, st, last, n)); cur = Some((t, t, 1L))
                 case Some((st, last, n)) =>
-                  cur = Some((st, t, n + 1))
+                  // events are sorted only WITHIN a micro-batch; a legal
+                  // late event (inside the watermark) from a later batch
+                  // may precede state.last — extend with min/max so the
+                  // session bounds stay the true envelope and the gap
+                  // check above always compares against the max-so-far
+                  cur = Some((math.min(st, t), math.max(last, t), n + 1))
                 case None =>
                   cur = Some((t, t, 1L))
               }

@@ -86,9 +86,17 @@ object Dedup {
     *     ([[verifiedPairs]]), so every emitted (common, jaccard) is the
     *     true value.
     *
-    * A pair is lost only if it shares NO rare shingle at all — near-
-    * pure-boilerplate docs (DedupStopShingleSpec proves output-
-    * unchanged on the test corpus at both registry thresholds). */
+    * A pair sharing NO rare shingle never reaches the bound — but such
+    * a pair can clear the threshold only when BOTH docs are hot-
+    * dominated (common ≤ min(ha, hb) and common ≥ t·max(na, nb) force
+    * n_hot ≥ t·n_shingles on each side), so phase 4 rescues exactly
+    * that pool: identical shingle SETS collapse to one representative
+    * (N boilerplate copies — the classic dedup target — cost one doc
+    * in the join and emit their J=1 pairs directly, output-size
+    * bounded), and only distinct-content representatives self-join.
+    * Output therefore provably equals the unfiltered exact self-join
+    * (DedupStopShingleSpec proves it on the real corpus and on
+    * synthetic all-hot boilerplate corpora). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       stopShingleDf: Long = 256): DataFrame = {
     // cached: the shingle rows feed six subtrees (df, sizes, rare sizes,
@@ -126,7 +134,59 @@ object Dedup {
     val verified = verifiedPairs(s,
       plausible.filter(least(col("ha"), col("hb")) > lit(0L))
         .select("doc_a", "doc_b"), threshold)
-    exact.union(verified)
+
+    // phase 4 — rescue the all-hot-overlap pairs the rare self-join
+    // cannot see. Attached only when stop-shingles exist at all (a
+    // scalar existence probe on the cached shingle frame — the hot df
+    // aggregate is computed for phase 1 regardless); without hot
+    // shingles the main path IS the exact self-join and the ~10 rescue
+    // stages would be planned and shuffled for nothing.
+    if (hot.isEmpty) return exact.union(verified)
+
+    // Pool = docs with n_hot ≥ t·n_shingles (proof above:
+    // both endpoints of every missed pair are in it). Collapse equal
+    // shingle sets before joining: the set fingerprint groups the
+    // boilerplate copies, their within-group pairs are J=1 by
+    // construction, and only one representative per distinct set
+    // enters the (hot-key) shingle self-join.
+    val pool = stats
+      .filter(col("n_hot") >= lit(threshold) * col("n_shingles"))
+      .select("doc_id")
+    val ps = s.join(pool, Seq("doc_id"))
+    val fps = ps.groupBy("doc_id")
+      .agg(md5(concat_ws(" ", array_sort(collect_list(col("shingle"))))).as("fp"),
+           count(lit(1)).as("n"))
+    val groups = fps.groupBy("fp").agg(min("doc_id").as("rep"))
+    val members = fps.join(groups, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("rep"), col("n"))
+    val withinPairs = members.as("a").join(members.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.n").as("common"), lit(1.0).as("jaccard"))
+    val repShingles = ps.join(
+      groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+    val repPairs = repShingles.as("a").join(repShingles.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .agg(count(lit(1)).as("common"))
+      .join(fps.select(col("doc_id").as("ra"), col("n").as("na")), Seq("ra"))
+      .join(fps.select(col("doc_id").as("rb"), col("n").as("nb")), Seq("rb"))
+      .filter(col("common") / (col("na") + col("nb") - col("common"))
+        >= lit(threshold))
+    // distinct-set pairs share their representatives' (common, jaccard)
+    val crossPairs = repPairs
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), Seq("rb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+              greatest(col("da"), col("db")).as("doc_b"),
+              col("common"),
+              round(col("common") / (col("na") + col("nb") - col("common")), 6)
+                .as("jaccard"))
+    // a rescued pair can also share a rare shingle (then the verify
+    // branch emitted it too, with bit-identical values) — distinct()
+    // collapses the overlap; its shuffle is output-sized
+    exact.union(verified).union(withinPairs).union(crossPairs).distinct()
   }
 
   /** MinHash signatures: k universal-hash permutations

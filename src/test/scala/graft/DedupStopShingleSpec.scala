@@ -51,4 +51,40 @@ class DedupStopShingleSpec extends SparkSuite {
     assert(filtered.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L),
       "near-dup pair (100,101) must survive the stop-shingle filter")
   }
+
+  test("all-hot pairs are rescued: N boilerplate copies + a near-identical variant") {
+    import spark.implicits._
+    // 12 IDENTICAL copies: with stopShingleDf=8 every shingle they
+    // contain is hot (df=12..13), so common_rare=0 for every pair —
+    // the bound path alone would drop all of them. One variant doc
+    // differs by a single trailing word (its last shingles are rare,
+    // but shared shingles with the copies are all hot). Plus unrelated
+    // docs that must NOT pair with anything.
+    val body = "the quick brown fox jumps over the lazy dog again and again today"
+    val copies = (0 until 12).map(i => (i.toLong, body))
+    val variant = Seq((50L, body.replaceAll("today$", "tomorrow")))
+    val unrelated = Seq(
+      (60L, "completely different content about cooking pasta recipes"),
+      (61L, "another unrelated text on mountain hiking trails"))
+    val docs = (copies ++ variant ++ unrelated).toDF("doc_id", "text")
+
+    val filtered = Dedup.jaccardPairs(docs, 0.5, stopShingleDf = 8)
+      .select("doc_a", "doc_b", "common", "jaccard").collect().toSet
+    val full = Dedup.jaccardPairs(docs, 0.5, stopShingleDf = Long.MaxValue)
+      .select("doc_a", "doc_b", "common", "jaccard").collect().toSet
+    assert(filtered == full,
+      s"rescue must recover all-hot pairs: filtered ${filtered.size} vs exact ${full.size}")
+    // every copy-copy pair present with J=1
+    val copyPairs = for (a <- 0 until 12; b <- a + 1 until 12) yield (a.toLong, b.toLong)
+    copyPairs.foreach { case (a, b) =>
+      assert(filtered.exists(r => r.getLong(0) == a && r.getLong(1) == b &&
+        r.getDouble(3) == 1.0), s"identical pair ($a,$b) missing or J != 1")
+    }
+    // variant pairs with each copy (high but < 1 jaccard)
+    assert((0 until 12).forall(a => filtered.exists(r =>
+      r.getLong(0) == a && r.getLong(1) == 50L && r.getDouble(3) < 1.0)),
+      "variant (50) must pair with every copy")
+    assert(!filtered.exists(r => r.getLong(0) >= 60L || r.getLong(1) >= 60L),
+      "unrelated docs must not pair")
+  }
 }

@@ -80,7 +80,10 @@ class StreamingSessionSpec extends SparkSuite {
            max(unix_micros(col("ts"))).as("end_us"),
            count(lit(1)).as("n_events"))
     val maxTs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
-    val finalWatermark = maxTs - 3600L * 1000000L
+    // Spark's watermark and setTimeoutTimestamp both work in MILLIS, and
+    // FlatMapGroupsWithStateExec fires event-time timeouts only when
+    // timeoutTimestamp < watermark (STRICT) — mirror both exactly
+    val finalWatermarkMs = maxTs / 1000L - 3600000L
 
     // sessions CLOSED w.r.t. the stream: either a later event of the same
     // user opened a new session (non-last island) or the watermark passed
@@ -89,7 +92,7 @@ class StreamingSessionSpec extends SparkSuite {
     val closed = islands
       .withColumn("last_end", max(col("end_us")).over(wLast))
       .filter(col("end_us") < col("last_end") ||
-              col("end_us") + 3600L * 1000000L <= finalWatermark)
+              col("end_us") / 1000L + 3600000L < finalWatermarkMs)
       .select(col("user_id"),
         date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_last_event"),
