@@ -1,15 +1,24 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL decoders for uncompressed media containers — pure byte parsing,
-  * no codec library needed, so unlike [[Multimodal.decodeStub]] these
-  * run for real in this container: RIFF/WAV PCM16 audio and PPM (P6)
-  * images. Compressed formats (JPEG/MP3/H.264) stay behind the stub —
-  * swapping in a codec library touches nothing but the decode fn.
+import javax.imageio.{IIOImage, ImageIO}
+
+/** REAL media decoders — no third-party codec library needed:
   *
-  * Encoders exist for test/synthetic-data generation; both directions
-  * round-trip (`CodecsSpec`). */
+  *  - RIFF/WAV PCM16 audio and PPM (P6) images via pure byte parsing;
+  *  - PNG/JPEG/GIF/BMP via `javax.imageio.ImageIO`, which every JDK
+  *    ships (including this container's) — compressed *images* are
+  *    therefore decoded for real, not stubbed;
+  *  - animated GIF as the multi-frame (video-analog) format, via the
+  *    ImageIO reader's frame index.
+  *
+  * Only compressed AUDIO/VIDEO codecs (MP3/OGG/H.264) genuinely lack a
+  * JDK decoder and stay behind the quarantined fallback in
+  * [[Multimodal]]. Encoders exist for test/synthetic-data generation;
+  * all directions round-trip (`CodecsSpec`). */
 object Codecs {
 
   // ---- WAV (RIFF, PCM 16-bit little-endian) ----
@@ -125,5 +134,151 @@ object Codecs {
     require(rgb.length == width * height * 3, "rgb length must be w*h*3")
     val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
     header ++ rgb
+  }
+
+  // ---- ImageIO (PNG/JPEG/GIF/BMP — JDK-standard codecs) ----
+
+  /** Exact integer pixel statistics: sums are over 8-bit channel
+    * values, the luma histogram buckets integer luma
+    * `(299R + 587G + 114B) / 1000` (0..255) into `lumaHist.length`
+    * equal ranges. All-integer so the stats hash bit-identically
+    * across engines for lossless formats. */
+  final case class PixelStats(width: Int, height: Int,
+      sumR: Long, sumG: Long, sumB: Long, lumaHist: Array[Long]) {
+    def nPixels: Long = width.toLong * height
+    def meanLuma: Double =
+      (0.299 * sumR + 0.587 * sumG + 0.114 * sumB) / nPixels
+  }
+
+  private def pixelStats(img: BufferedImage, nBuckets: Int): PixelStats = {
+    val w = img.getWidth; val h = img.getHeight
+    val hist = new Array[Long](nBuckets)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+        sr += r; sg += g; sb += b
+        hist((299 * r + 587 * g + 114 * b) / 1000 * nBuckets / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    PixelStats(w, h, sr, sg, sb, hist)
+  }
+
+  /** REAL compressed-image decode via the JDK's ImageIO (PNG/JPEG/GIF/
+    * BMP/WBMP). None for payloads no installed reader accepts. For
+    * lossless formats (PNG/BMP/GIF) the decoded pixels — and therefore
+    * the integer stats — are byte-exact, which is what lets
+    * `q_multimodal_features` carry a full cross-engine oracle. */
+  def decodeImage(bytes: Array[Byte], nBuckets: Int = 8): Option[PixelStats] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        .map(pixelStats(_, nBuckets))
+    } catch { case _: Exception => None }
+
+  /** PNG writer over packed RGB triples (tests / synthetic corpora);
+    * lossless, so decode(encode(rgb)) returns the exact input pixels. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length must be w*h*3")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < width * height) {
+      img.setRGB(i % width, i / width,
+        ((rgb(3 * i) & 0xFF) << 16) | ((rgb(3 * i + 1) & 0xFF) << 8) |
+          (rgb(3 * i + 2) & 0xFF))
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL resize: decode (any ImageIO format), nearest-neighbor sample
+    * to the target geometry — pure integer index arithmetic, fully
+    * deterministic — re-encode as PNG. None if the payload doesn't
+    * decode or the target is empty. */
+  def resizeImageNearest(bytes: Array[Byte], targetW: Int,
+      targetH: Int): Option[Array[Byte]] = {
+    if (targetW <= 0 || targetH <= 0) return None
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](targetW * targetH * 3)
+        var i = 0
+        while (i < targetW * targetH) {
+          val sx = (i % targetW).toLong * w / targetW
+          val sy = (i / targetW).toLong * h / targetH
+          val p = img.getRGB(sx.toInt, sy.toInt)
+          out(3 * i) = ((p >> 16) & 0xFF).toByte
+          out(3 * i + 1) = ((p >> 8) & 0xFF).toByte
+          out(3 * i + 2) = (p & 0xFF).toByte
+          i += 1
+        }
+        encodePng(targetW, targetH, out)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL frame decode for multi-frame payloads (animated GIF — the
+    * JDK-decodable video analog): per-frame pixel stats via the
+    * ImageIO reader's frame index. A single-frame image yields one
+    * entry; Nil if nothing decodes. */
+  def decodeFrames(bytes: Array[Byte], nBuckets: Int = 8): Seq[PixelStats] = {
+    val iis =
+      try ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (iis == null) return Nil
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Nil
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).flatMap { i =>
+          try Some(pixelStats(reader.read(i), nBuckets))
+          catch { case _: Exception => None }
+        }
+      } finally reader.dispose()
+    } catch { case _: Exception => Nil }
+    finally iis.close()
+  }
+
+  /** Animated-GIF writer (tests / synthetic corpora): one frame per
+    * (rgb) payload, all frames the same geometry. GIF is palettized so
+    * pixel values may quantize — tests assert geometry/frame counts,
+    * not exact pixels. */
+  def encodeGif(width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { rgb =>
+        require(rgb.length == width * height * 3, "rgb length must be w*h*3")
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < width * height) {
+          img.setRGB(i % width, i / width,
+            ((rgb(3 * i) & 0xFF) << 16) | ((rgb(3 * i + 1) & 0xFF) << 8) |
+              (rgb(3 * i + 2) & 0xFF))
+          i += 1
+        }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose(); ios.close()
+    }
+    bos.toByteArray
   }
 }

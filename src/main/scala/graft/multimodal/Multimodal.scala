@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with typed metadata, plus batch decode /
   * feature-extraction over `mapPartitions`.
   *
-  * The Spark-side contract (schema, partitioning, batch shape, row
-  * mapping) is real and tested; the actual media DECODE IS A STUB — this
-  * container ships no image/audio codecs — marked below. Swapping
-  * [[decodeStub]] for a real decoder (JavaCV, TwelveMonkeys, ffmpeg via
-  * pipe) changes no plumbing.
+  * Decode is REAL for every format the JVM can decode without a
+  * third-party codec: PNG/JPEG/GIF/BMP via the JDK's ImageIO, WAV PCM16
+  * and P6 PPM via byte parsing, animated GIF as the multi-frame (video
+  * analog) path ([[Codecs]]). Only compressed audio/video (MP3/OGG/
+  * H.264) lack a JDK decoder; those payloads fall back to the clearly
+  * quarantined [[byteFoldFeatures]] featurizer (deterministic, but NOT
+  * a decode — documented at each call site).
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver
   * collect); decode runs per-partition with constant memory per batch;
@@ -40,11 +42,55 @@ object Multimodal {
         lit("text/plain").as("mime"),
         octet_length(col("text")).cast(LongType).as("n_bytes")).as("meta"))
 
-  /** STUB decoder ??? in spirit: a real implementation would decode
-    * image bytes and emit pixel features. This deterministic fake folds
-    * the bytes into a fixed-size float vector so the downstream plumbing
-    * (batching, schema, similarity hand-off) is fully exercised. */
-  def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
+  // ---- synthetic image corpus (cross-engine verifiable) ----
+
+  /** Deterministic synthetic-image geometry/pixels, derived purely from
+    * the media id with integer arithmetic so a SQL engine can recompute
+    * the expected decoded stats analytically — this is what turns the
+    * real-codec path into an oracle-checkable query: Spark ENCODES the
+    * pixels to PNG and DECODES them back through ImageIO; DuckDB
+    * recomputes the same pixel sums from the formula alone. Any codec
+    * defect (stride, channel order, color model) breaks the hash. */
+  def synthWidth(id: Long): Int = (16 + id % 17).toInt
+  def synthHeight(id: Long): Int = (16 + id % 13).toInt
+  def synthPixels(id: Long): Array[Byte] = {
+    val w = synthWidth(id); val h = synthHeight(id)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      rgb(3 * i) = ((x * 7 + y * 3 + id * 5) % 256).toByte
+      rgb(3 * i + 1) = ((x * 11 + y * 5 + id * 3) % 256).toByte
+      rgb(3 * i + 2) = ((x * 13 + y * 7 + id) % 256).toByte
+      i += 1
+    }
+    rgb
+  }
+
+  /** One real PNG per document id ([[synthPixels]] formula), batched
+    * per partition. Stand-in for a production `binaryFile` image scan
+    * with identical downstream plumbing. */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, Codecs.encodePng(synthWidth(id), synthHeight(id),
+            synthPixels(id)))
+        }
+      }(enc)
+  }
+
+  // ---- featurizers ----
+
+  /** FALLBACK featurizer for payloads with no JVM decoder (compressed
+    * audio/video, unknown bytes): folds raw bytes into a fixed-size
+    * vector. Deterministic and useful as an opaque content signature,
+    * but NOT a decode — image payloads never take this path. */
+  def byteFoldFeatures(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
     while (i < content.length) {
@@ -54,42 +100,53 @@ object Multimodal {
     out
   }
 
+  /** REAL image features: decode via ImageIO, luma histogram with `dim`
+    * buckets normalized by pixel count. None when the payload is not a
+    * decodable image. */
+  def imageFeatures(content: Array[Byte], dim: Int): Option[Array[Float]] =
+    Codecs.decodeImage(content, nBuckets = dim).map { st =>
+      val n = math.max(1L, st.nPixels).toFloat
+      st.lumaHist.map(_ / n)
+    }
+
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("dim", IntegerType),
+    StructField("is_decoded", BooleanType),
     StructField("features", ArrayType(FloatType))))
 
-  /** STUB resize ??? in spirit: a real implementation decodes, scales
-    * with an image library, re-encodes. This deterministic fake keeps
-    * every `stride`-th byte so output size tracks the requested scale —
-    * the plumbing contract (bytes in, smaller bytes out, per-partition
-    * batching) is what's real. */
-  def resizeStub(content: Array[Byte], stride: Int): Array[Byte] = {
-    val out = new Array[Byte]((content.length + stride - 1) / stride)
-    var i = 0
-    while (i < out.length) { out(i) = content(i * stride); i += 1 }
-    out
-  }
-
-  /** STUB frame sampling ??? in spirit: a real implementation seeks N
-    * keyframes via a video codec. The fake slices the payload into N
-    * chunks and emits one feature vector per "frame". */
-  def frameSampleStub(content: Array[Byte], nFrames: Int, dim: Int): Seq[Array[Float]] = {
-    val chunk = math.max(1, content.length / nFrames)
-    (0 until nFrames).map { f =>
-      val start = f * chunk
-      decodeStub(content.slice(start, math.min(start + chunk, content.length)), dim)
-    }
+  /** Batch feature extraction: mapPartitions over the media table —
+    * the Scala analog of pandas-UDF batch decode. Decodable images get
+    * REAL pixel features ([[imageFeatures]]); everything else falls
+    * back to [[byteFoldFeatures]], flagged by `is_decoded`. Rows
+    * streamed, never materialized per-partition. */
+  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          imageFeatures(bytes, dim) match {
+            case Some(f) => Row(id, dim, true, f.toSeq)
+            case None    => Row(id, dim, false, byteFoldFeatures(bytes, dim).toSeq)
+          }
+        }
+      }(enc)
   }
 
   private val frameSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("frame_idx", IntegerType),
+    StructField("is_decoded", BooleanType),
     StructField("features", ArrayType(FloatType))))
 
-  /** Frame-sampling operator: one row per sampled frame per media item
-    * (video → frames analog), batched per partition like
-    * [[extractFeatures]]. */
+  /** Frame-sampling operator: one row per sampled frame per media item,
+    * batched per partition like [[extractFeatures]]. Multi-frame
+    * payloads (animated GIF — the JDK-decodable video analog) are REALLY
+    * decoded and `nFrames` frames sampled evenly across the animation;
+    * single images count as one frame; undecodable payloads fall back
+    * to byte-fold over `nFrames` even slices (flagged). */
   def sampleFrames(media: DataFrame, nFrames: Int = 4, dim: Int = 8): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(frameSchema)
     media.select(col("media_id"), col("content"))
@@ -97,12 +154,28 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          frameSampleStub(bytes, nFrames, dim).zipWithIndex.map {
-            case (feat, i) => Row(id, i, feat.toSeq)
+          val frames = Codecs.decodeFrames(bytes, nBuckets = dim)
+          if (frames.nonEmpty) {
+            (0 until nFrames).map { f =>
+              val src = if (nFrames == 1) 0
+                        else f * (frames.length - 1) / (nFrames - 1)
+              val st = frames(src)
+              val n = math.max(1L, st.nPixels).toFloat
+              Row(id, f, true, st.lumaHist.map(_ / n).toSeq)
+            }
+          } else {
+            val chunk = math.max(1, bytes.length / nFrames)
+            (0 until nFrames).map { f =>
+              val start = f * chunk
+              val slice = bytes.slice(start, math.min(start + chunk, bytes.length))
+              Row(id, f, false, byteFoldFeatures(slice, dim).toSeq)
+            }
           }
         }
       }(enc)
   }
+
+  // ---- stats operators ----
 
   private val audioSchema = StructType(Seq(
     StructField("media_id", LongType),
@@ -135,34 +208,46 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("mean_luma", DoubleType)))
 
-  /** REAL image decode (binary P6 PPM — [[Codecs.decodePpm]]): width,
-    * height, mean luma per decodable payload. */
+  /** REAL image decode — P6 PPM via byte parsing, PNG/JPEG/GIF/BMP via
+    * the JDK's ImageIO: width, height, mean luma per decodable payload,
+    * the rest dropped. */
   def imageStats(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(imageSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          Codecs.decodePpm(r.getAs[Array[Byte]](1)).map { p =>
-            Row(r.getLong(0), p.width, p.height, p.meanLuma)
-          }
+          val bytes = r.getAs[Array[Byte]](1)
+          val id = r.getLong(0)
+          Codecs.decodePpm(bytes)
+            .map(p => Row(id, p.width, p.height, p.meanLuma))
+            .orElse(Codecs.decodeImage(bytes)
+              .map(s => Row(id, s.width, s.height, s.meanLuma)))
         }
       }(enc)
   }
 
-  /** Batch feature extraction: mapPartitions over the media table —
-    * the Scala analog of pandas-UDF batch decode. One decoder instance
-    * per partition (where a real codec would be initialized), rows
-    * streamed, never materialized per-partition. */
-  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
-    val spark = media.sparkSession
-    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+  private val pixelStatsSchema = StructType(
+    Seq(StructField("media_id", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("sum_r", LongType),
+        StructField("sum_g", LongType),
+        StructField("sum_b", LongType)) ++
+      (0 until 8).map(i => StructField(s"h$i", LongType)))
+
+  /** Exact integer pixel statistics from a REAL ImageIO decode: channel
+    * sums plus an 8-bucket integer-luma histogram. All-integer output
+    * hashes bit-identically for lossless formats, which is what lets a
+    * SQL oracle verify the codec path end to end. */
+  def imagePixelStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pixelStatsSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
-        // real decoder init would happen here, once per partition
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          Row(id, dim, decodeStub(bytes, dim).toSeq)
+        rows.flatMap { r =>
+          Codecs.decodeImage(r.getAs[Array[Byte]](1)).map { s =>
+            Row.fromSeq(Seq[Any](r.getLong(0), s.width, s.height,
+              s.sumR, s.sumG, s.sumB) ++ s.lumaHist)
+          }
         }
       }(enc)
   }

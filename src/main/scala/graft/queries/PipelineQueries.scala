@@ -113,13 +113,16 @@ object PipelineQueries {
               md5(col("content")).as("content_md5"))
       .orderBy("media_id")
 
-  def qMultimodalFeatures(s: SparkSession, d: String): DataFrame = {
-    val feats = Multimodal.extractFeatures(
-      Multimodal.fromDocuments(docs(s, d)), dim = 8)
-    feats.select(col("media_id"), col("dim"),
-        round(sqrt(Similarity.dot(col("features"), col("features"))), 4).as("feat_norm"))
+  /** REAL codec path, cross-engine verified: one deterministic PNG per
+    * document ([[Multimodal.synthPixels]] — pixels are pure integer
+    * arithmetic over (x, y, id)), encoded and decoded back through the
+    * JDK's ImageIO, exact integer pixel sums + luma histogram out. The
+    * DuckDB oracle recomputes the same sums analytically from the pixel
+    * formula, so any decode defect (stride, channel order, color model)
+    * breaks the hash. */
+  def qMultimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.imagePixelStats(Multimodal.syntheticImages(docs(s, d)))
       .orderBy("media_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"          -> qTextStats,
@@ -135,7 +138,7 @@ object PipelineQueries {
     "q_ann_lsh"             -> qAnnLsh,       // rows-only (recall < 1 by design)
     "q_ann_ivf"             -> qAnnIvf,       // rows-only (k-means dependent)
     "q_multimodal_meta"     -> qMultimodalMeta,
-    "q_multimodal_features" -> qMultimodalFeatures) // rows-only (stub decode)
+    "q_multimodal_features" -> qMultimodalFeatures) // real ImageIO decode, full oracle
 
   private val T = TextStats.TOKENS("text")
 
@@ -267,5 +270,32 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // analytic recompute of the synthetic pixels Spark pushes through a
+    // real PNG encode → ImageIO decode; integer-exact on both sides
+    "q_multimodal_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |  FROM documents),
+        |px0 AS (SELECT doc_id, w, h, unnest(range(0, w*h)) AS i FROM dims),
+        |px AS (SELECT doc_id, w, h, i % w AS x, i // w AS y FROM px0),
+        |c AS (SELECT doc_id, w, h,
+        |        (x*7 + y*3 + doc_id*5) % 256 AS r,
+        |        (x*11 + y*5 + doc_id*3) % 256 AS g,
+        |        (x*13 + y*7 + doc_id) % 256 AS b
+        |      FROM px),
+        |l AS (SELECT *, (299*r + 587*g + 114*b) // 1000 // 32 AS bkt FROM c)
+        |SELECT doc_id AS media_id,
+        |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN bkt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(sum(CASE WHEN bkt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(sum(CASE WHEN bkt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(sum(CASE WHEN bkt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(sum(CASE WHEN bkt = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(sum(CASE WHEN bkt = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(sum(CASE WHEN bkt = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(sum(CASE WHEN bkt = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM l GROUP BY doc_id ORDER BY media_id""".stripMargin)
 }

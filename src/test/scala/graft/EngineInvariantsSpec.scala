@@ -73,27 +73,30 @@ class EngineInvariantsSpec extends SparkSuite {
   test("multimodal feature extraction is deterministic and total") {
     val media = Multimodal.fromDocuments(Tables.load(spark, d, "documents"))
     val f1 = Multimodal.extractFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
     val f2 = Multimodal.extractFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
     assert(f1 == f2)
     assert(f1.size == media.count())
     assert(f1.values.forall(_.length == 8))
+    // text payloads are not decodable images → all rows flagged fallback
+    val decoded = Multimodal.extractFeatures(media)
+      .filter(col("is_decoded")).count()
+    assert(decoded == 0)
   }
 
-  test("resize stub scales payloads; frame sampling emits n rows per media") {
+  test("frame sampling emits n rows per media (fallback path on text payloads)") {
     val media = Multimodal.fromDocuments(Tables.load(spark, d, "documents"))
-    val resized = Multimodal.resizeStub("abcdefghij".getBytes, 3)
-    assert(resized.toSeq == Seq('a', 'd', 'g', 'j').map(_.toByte))
     val frames = Multimodal.sampleFrames(media, nFrames = 4)
     assert(frames.count() == 4 * media.count())
     val byMedia = frames.groupBy("media_id").count().select("count").distinct().collect()
     assert(byMedia.length == 1 && byMedia.head.getLong(0) == 4)
+    assert(frames.filter(col("is_decoded")).count() == 0)
   }
 
-  test("decodeStub folds bytes deterministically") {
-    val a = Multimodal.decodeStub("hello world".getBytes, 4)
-    val b = Multimodal.decodeStub("hello world".getBytes, 4)
+  test("byteFoldFeatures (non-image fallback) folds bytes deterministically") {
+    val a = Multimodal.byteFoldFeatures("hello world".getBytes, 4)
+    val b = Multimodal.byteFoldFeatures("hello world".getBytes, 4)
     assert(a.toSeq == b.toSeq)
     assert(a.sum > 0f)
   }
