@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -55,13 +55,29 @@ object ExtraQueries {
            max(col("l_quantity")).as("max_qty"))
       .orderBy("l_returnflag")
 
-  def qApproxPercentile(s: SparkSession, d: String): DataFrame =
+  /** Sketch-vs-exact audit, fully oracle-checked: the sketch values
+    * themselves are engine-specific, so the OUTPUT is the exact
+    * interpolated percentiles (DuckDB `quantile_cont` recomputes them)
+    * plus per-quantile accuracy flags `|approx − exact| ≤ 2% · exact`.
+    * The oracle emits literal 1s for the flags — a degraded or broken
+    * sketch flips a flag and fails the hash, which is exactly the
+    * verification a sketch admits. */
+  def qApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    def ok(p: Double, exact: Column) = {
+      val approx = expr(s"approx_percentile(l_extendedprice, $p)")
+      (abs(approx - exact) <= lit(0.02) * exact).cast("int")
+    }
+    def ex(p: Double) = expr(s"percentile(l_extendedprice, $p)")
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price"),
-           expr("approx_percentile(l_extendedprice, 0.9)").as("p90_price"),
-           expr("approx_percentile(l_extendedprice, 0.99)").as("p99_price"))
+      .agg(round(ex(0.5), 6).as("p50_exact"),
+           round(ex(0.9), 6).as("p90_exact"),
+           round(ex(0.99), 6).as("p99_exact"),
+           ok(0.5, ex(0.5)).as("p50_ok"),
+           ok(0.9, ex(0.9)).as("p90_ok"),
+           ok(0.99, ex(0.99)).as("p99_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** arg-min/arg-max. DuckDB's min_by only orders by scalars, so the
     * (price, key) composite is encoded as one exact BIGINT:
@@ -174,7 +190,7 @@ object ExtraQueries {
     "q_grouping_sets"     -> qGroupingSets,
     "q_exists_sql"        -> qExistsSql,
     "q_percentile"        -> qPercentile,
-    "q_approx_percentile" -> qApproxPercentile, // rows-only (sketch)
+    "q_approx_percentile" -> qApproxPercentile, // sketch audited vs exact, full oracle
     "q_minmax_by"         -> qMinMaxBy,
     "q_array_agg"         -> qArrayAgg,
     "q_date_arith"        -> qDateArith,
@@ -214,6 +230,15 @@ object ExtraQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
+        |  CAST(1 AS INTEGER) AS p50_ok,
+        |  CAST(1 AS INTEGER) AS p90_ok,
+        |  CAST(1 AS INTEGER) AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

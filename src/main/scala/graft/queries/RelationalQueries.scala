@@ -128,13 +128,23 @@ object RelationalQueries {
       .orderBy("c_mktsegment")
 
   /** approx_count_distinct (HyperLogLog++) — the 100 TB path for
-    * distinct counting; rows-only check (no cross-engine HLL parity). */
-  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    * distinct counting — audited against the exact counts IN the query
+    * so it carries a full oracle: output is the exact distincts (DuckDB
+    * recomputes them) plus `|approx − exact| ≤ 10% · exact` flags that
+    * the oracle emits as literal 1s (HLL++ default rsd is 5%; a broken
+    * sketch flips a flag and fails the hash). */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    def ok(c: String) =
+      (abs(approx_count_distinct(col(c)) - countDistinct(col(c)))
+        <= lit(0.10) * countDistinct(col(c))).cast("int")
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-           approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+           countDistinct(col("l_suppkey")).as("exact_supps"),
+           ok("l_partkey").as("parts_ok"),
+           ok("l_suppkey").as("supps_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** ROLLUP with NULL-free sentinel labels (cross-engine NULL ordering
     * and hashing differ — coalesce to 'ALL'). */
@@ -203,7 +213,7 @@ object RelationalQueries {
     "q_top_customers"   -> qTopCustomers,
     "q_distinct"        -> qDistinct,
     "q_count_distinct"  -> qCountDistinct,
-    "q_approx_distinct" -> qApproxDistinct, // rows-only (no oracle)
+    "q_approx_distinct" -> qApproxDistinct, // sketch audited vs exact, full oracle
     "q_rollup"          -> qRollup,
     "q_cube"            -> qCube,
     "q_union"           -> qUnion,
@@ -212,6 +222,13 @@ object RelationalQueries {
     "q_case_when"       -> qCaseWhen)
 
   val oracles: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+        |  CAST(1 AS INTEGER) AS parts_ok,
+        |  CAST(1 AS INTEGER) AS supps_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  sum(l_quantity) AS sum_qty,

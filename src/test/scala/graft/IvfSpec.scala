@@ -24,4 +24,20 @@ class IvfSpec extends SparkSuite {
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("recallAtK audit row: flag follows the floor, denominator is truth-side") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    // query 2 lost entirely by the ANN; query 1 fully recovered
+    val found = Seq((1L, 10L), (1L, 11L), (1L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val loose = Similarity.recallAtK(found, truth, k = 2, floor = 0.5)
+      .collect().head
+    assert(loose.getLong(0) == 2 && loose.getInt(1) == 2)
+    assert(loose.getInt(2) == 1) // 2 hits of 2*2 = 0.5 >= 0.5
+    val strict = Similarity.recallAtK(found, truth, k = 2, floor = 0.75)
+      .collect().head
+    assert(strict.getInt(2) == 0)
+  }
 }
