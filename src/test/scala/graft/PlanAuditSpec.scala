@@ -41,6 +41,46 @@ class PlanAuditSpec extends SparkSuite {
       "expected the shuffle-replicate nested-loop (CartesianProduct) pairing")
   }
 
+  test("cosinePairs above the size gate plans a hash join, never a cartesian") {
+    import spark.implicits._
+    import graft.text.Similarity
+    val corpus = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => ((i + j) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val gated = Similarity.cosinePairs(corpus, 0.8, maxExact = 10)
+    val plan = gated.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      "above the gate the LSH candidate path must never go quadratic:\n" + plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      "candidate generation must be an equi-join on (table, piece)")
+  }
+
+  test("cosinePairsLsh emits only exact-verified pairs (subset of exact, same values)") {
+    import spark.implicits._
+    import graft.text.Similarity
+    // clustered corpus: 5 groups of 6 near-identical vectors
+    val corpus = (0L until 30L).map { i =>
+      val g = (i % 5).toInt
+      (i, Array.tabulate(8)(j =>
+        (if (j == g) 10f else 1f) + 0.01f * (i / 5)))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.cosinePairs(corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosinePairsLsh(corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "clustered near-dups must be found")
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"false positive pair $pair")
+      assert(exact(pair) == cos, s"cosine mismatch for $pair")
+    }
+    // clustered corpora are the design target: recall should be high here
+    assert(lsh.size >= exact.size / 2,
+      s"recall collapsed on a clustered corpus: ${lsh.size}/${exact.size}")
+  }
+
   test("star join broadcasts its dimensions; scans stay pruned") {
     val d = sf("sf0.001")
     val star = SparkEntry.queries("q_region_revenue")(spark, d)
