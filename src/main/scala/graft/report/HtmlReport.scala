@@ -115,4 +115,17 @@ object HtmlReport {
     Files.writeString(idx, index)
     idx +: charts
   }
+
+  /** The reference's final product step (`controller/app.py`: run →
+    * save_graph → send_email): write the report, then deliver the index
+    * page as the HTML body with every chart attached, creds/endpoint
+    * from the environment ([[Email.sendReport]]). Returns the files so
+    * callers can also keep them on disk, as the reference does. */
+  def emailReport(spark: SparkSession, sfDir: String, outDir: String,
+      toEmail: String, env: String => Option[String] = sys.env.get): Seq[Path] = {
+    val files = writeReport(spark, sfDir, outDir)
+    val body = Files.readString(files.head)
+    Email.sendReport("Market report", body, toEmail, files.tail, env)
+    files
+  }
 }
