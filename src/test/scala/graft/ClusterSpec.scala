@@ -23,6 +23,27 @@ class ClusterSpec extends SparkSuite {
     assert(cc.size == 10)
   }
 
+  test("worst-case chain converges in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    // a 256-link path graph: the adversarial input for label
+    // propagation (256 rounds); large-star/small-star must stay
+    // logarithmic
+    val n = 256
+    val pairs = (0 until n).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == n + 1)
+    assert(cc.values.forall(_ == 0L), "single chain component rooted at 0")
+    assert(rounds <= 15, s"round count must be logarithmic, got $rounds")
+  }
+
+  test("empty pair set yields empty clusters without iterating") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(labels.count() == 0 && rounds == 0)
+  }
+
   test("nearDupClusters on the corpus: members match pair graph, sizes consistent") {
     val docs = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
     val pairs = Dedup.jaccardPairs(docs, 0.8)
