@@ -81,6 +81,21 @@ class PlanAuditSpec extends SparkSuite {
       s"recall collapsed on a clustered corpus: ${lsh.size}/${exact.size}")
   }
 
+  test("partitioned returns path never plans a single-partition window") {
+    val d = sf("sf0.001")
+    val long = SparkEntry.queries("q_returns_by_flag")(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!long.contains("SinglePartition"),
+      "the scale-path window must stay partitioned by asset:\n" + long)
+    assert(long.contains("Window"), "expected a window operator")
+    // the wide reference-parity path keeps its documented global-window
+    // wart — pin it so a refactor can't silently swap the two
+    val wide = SparkEntry.queries("q_daily_returns")(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(wide.contains("SinglePartition"),
+      "reference-parity wide path is single-partition by design")
+  }
+
   test("star join broadcasts its dimensions; scans stay pruned") {
     val d = sf("sf0.001")
     val star = SparkEntry.queries("q_region_revenue")(spark, d)
