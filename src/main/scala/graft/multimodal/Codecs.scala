@@ -136,6 +136,139 @@ object Codecs {
     header ++ rgb
   }
 
+  // ---- compressed-audio CONTAINER metadata (MP3/ID3, Ogg) ----
+  //
+  // The JDK ships no MP3/Vorbis/Opus decoder, so sample DECODE for
+  // these formats is out of scope (quarantined fallback in
+  // [[Multimodal]]) — but the container structure is plain bytes and
+  // parses for real: ID3v2 text frames + MPEG frame headers for MP3,
+  // page walk + codec id headers for Ogg.
+
+  final case class AudioMeta(format: String, sampleRate: Int,
+      channels: Int, bitrateKbps: Int, durationMs: Double,
+      title: Option[String], artist: Option[String])
+
+  private def syncsafe(bytes: Array[Byte], off: Int): Int =
+    ((bytes(off) & 0x7F) << 21) | ((bytes(off + 1) & 0x7F) << 14) |
+      ((bytes(off + 2) & 0x7F) << 7) | (bytes(off + 3) & 0x7F)
+
+  private def id3Text(payload: Array[Byte]): Option[String] = {
+    if (payload.isEmpty) return None
+    val s = payload(0) match {
+      case 0 => new String(payload, 1, payload.length - 1, "ISO-8859-1")
+      case 1 => new String(payload, 1, payload.length - 1, "UTF-16")
+      case 2 => new String(payload, 1, payload.length - 1, "UTF-16BE")
+      case 3 => new String(payload, 1, payload.length - 1, "UTF-8")
+      case _ => return None
+    }
+    Some(s.takeWhile(_ != '\u0000')).filter(_.nonEmpty)
+  }
+
+  /** Parse an ID3v2.3/2.4 tag: returns (tagEnd offset, title, artist).
+    * (0, None, None) when no tag is present — that is legal MP3. */
+  def parseId3v2(bytes: Array[Byte]): (Int, Option[String], Option[String]) = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
+      return (0, None, None)
+    val major = bytes(3) & 0xFF
+    val tagSize = syncsafe(bytes, 6)
+    val end = math.min(10 + tagSize, bytes.length)
+    var pos = 10
+    var title: Option[String] = None; var artist: Option[String] = None
+    while (pos + 10 <= end) {
+      val id = new String(bytes, pos, 4, "ISO-8859-1")
+      val rawSize =
+        if (major >= 4) syncsafe(bytes, pos + 4)
+        else ((bytes(pos + 4) & 0xFF) << 24) | ((bytes(pos + 5) & 0xFF) << 16) |
+          ((bytes(pos + 6) & 0xFF) << 8) | (bytes(pos + 7) & 0xFF)
+      if (rawSize <= 0 || pos + 10 + rawSize > end) pos = end // padding/corrupt: stop
+      else {
+        val payload = bytes.slice(pos + 10, pos + 10 + rawSize)
+        if (id == "TIT2") title = id3Text(payload)
+        if (id == "TPE1") artist = id3Text(payload)
+        pos += 10 + rawSize
+      }
+    }
+    (end, title, artist)
+  }
+
+  // MPEG1 Layer III bitrate (kbps) and sample-rate tables
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** Parse MP3 container metadata: ID3v2 text frames plus the first
+    * MPEG-1 Layer III frame header after the tag; duration is the CBR
+    * estimate payload·8/bitrate. None if no valid frame sync found. */
+  def parseMp3(bytes: Array[Byte]): Option[AudioMeta] = {
+    val (tagEnd, title, artist) = parseId3v2(bytes)
+    var pos = tagEnd
+    while (pos + 4 <= bytes.length) {
+      val b1 = bytes(pos) & 0xFF; val b2 = bytes(pos + 1) & 0xFF
+      // sync (11 bits) + MPEG1 (v=11) + Layer III (l=01)
+      if (b1 == 0xFF && (b2 & 0xFE) == 0xFA) {
+        val bitrate = Mp3Bitrates((bytes(pos + 2) & 0xF0) >> 4)
+        val rate = Mp3Rates((bytes(pos + 2) & 0x0C) >> 2)
+        val channels = if (((bytes(pos + 3) & 0xC0) >> 6) == 3) 1 else 2
+        if (bitrate > 0 && rate > 0) {
+          val payloadBytes = bytes.length - pos
+          return Some(AudioMeta("mp3", rate, channels, bitrate,
+            payloadBytes * 8.0 / bitrate, title, artist))
+        }
+      }
+      pos += 1
+    }
+    None
+  }
+
+  /** Walk Ogg pages; identify Vorbis or Opus from the first packet's id
+    * header; duration from the last granule position (Opus granules
+    * run at 48 kHz by spec, Vorbis at the declared rate). */
+  def parseOgg(bytes: Array[Byte]): Option[AudioMeta] = {
+    var pos = 0
+    var rate = 0; var channels = 0; var codec = ""
+    var lastGranule = 0L; var preSkip = 0
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var first = true
+    while (pos + 27 <= bytes.length &&
+        bytes(pos) == 'O' && bytes(pos + 1) == 'g' &&
+        bytes(pos + 2) == 'g' && bytes(pos + 3) == 'S') {
+      val granule = bb.getLong(pos + 6)
+      if (granule >= 0) lastGranule = granule
+      val nSegs = bytes(pos + 26) & 0xFF
+      if (pos + 27 + nSegs > bytes.length) return None
+      var bodyLen = 0
+      (0 until nSegs).foreach(i => bodyLen += bytes(pos + 27 + i) & 0xFF)
+      val body = pos + 27 + nSegs
+      if (first && body + 19 <= bytes.length) {
+        if (bytes(body) == 1 && new String(bytes, body + 1, 6, "ISO-8859-1") == "vorbis") {
+          codec = "vorbis"
+          channels = bytes(body + 11) & 0xFF
+          rate = bb.getInt(body + 12)
+        } else if (new String(bytes, body, 8, "ISO-8859-1") == "OpusHead") {
+          codec = "opus"
+          channels = bytes(body + 9) & 0xFF
+          preSkip = bb.getShort(body + 10) & 0xFFFF
+          rate = 48000 // granule clock; input rate at body+12 is advisory
+        }
+        first = false
+      }
+      pos = body + bodyLen // body > pos always: the walk cannot stall
+    }
+    if (codec.isEmpty || rate <= 0) None
+    else Some(AudioMeta("ogg/" + codec, rate, channels, 0,
+      math.max(0L, lastGranule - preSkip) * 1000.0 / rate, None, None))
+  }
+
+  /** Container-level audio metadata for any supported format: WAV gets
+    * the REAL decode stats, MP3/Ogg get real container parsing (decode
+    * of the compressed samples stays out — no JDK codec). */
+  def audioMeta(bytes: Array[Byte]): Option[AudioMeta] =
+    decodeWavPcm16(bytes).map(w =>
+        AudioMeta("wav", w.sampleRate, w.channels, w.sampleRate * w.bitsPerSample * w.channels / 1000,
+          w.durationMs, None, None))
+      .orElse(parseMp3(bytes))
+      .orElse(parseOgg(bytes))
+
   // ---- ImageIO (PNG/JPEG/GIF/BMP — JDK-standard codecs) ----
 
   /** Exact integer pixel statistics: sums are over 8-bit channel

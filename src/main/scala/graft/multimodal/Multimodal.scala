@@ -202,6 +202,35 @@ object Multimodal {
       }(enc)
   }
 
+  private val audioMetaSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bitrate_kbps", IntegerType),
+    StructField("duration_ms", DoubleType),
+    StructField("title", StringType),
+    StructField("artist", StringType)))
+
+  /** Container-level audio metadata ([[Codecs.audioMeta]]): WAV rows
+    * carry REAL decode stats; MP3/Ogg rows carry REAL container
+    * parsing (ID3 text frames, MPEG frame header, Ogg granule clock) —
+    * only the compressed-sample decode itself is out of scope (no JDK
+    * codec). Unparseable payloads are dropped. */
+  def audioMetadata(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioMetaSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.audioMeta(r.getAs[Array[Byte]](1)).map { m =>
+            Row(r.getLong(0), m.format, m.sampleRate, m.channels,
+              m.bitrateKbps, m.durationMs,
+              m.title.orNull, m.artist.orNull)
+          }
+        }
+      }(enc)
+  }
+
   private val imageSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),
