@@ -382,12 +382,29 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct()
     }
 
+    // convergence by edge-set signature (count + exact sums + hash sum):
+    // one cheap aggregate job per round on the just-checkpointed frame
+    // instead of two exceptAll shuffle-joins. Equal signatures on
+    // UNEQUAL sets would need an xxhash64 multiset collision at equal
+    // count and equal exact endpoint sums — vanishingly unlikely, and
+    // one extra (idempotent) round is the only consequence of a miss in
+    // the other direction.
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(sum(col("u") + col("v")), lit(0L))).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
     var rounds = 0
-    var converged = edges.isEmpty
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
     while (!converged) {
       val next = truncate(smallStar(largeStar(edges)))
       rounds += 1
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
       edges = next
     }
     // fixpoint edges are (member, root) stars; roots label themselves

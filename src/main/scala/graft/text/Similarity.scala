@@ -116,19 +116,21 @@ object Similarity {
     require(nBits <= 63, "signature must fit a long")
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     val mask = (1L << chunkBits) - 1
+    // signature materialized once per row; chunk keys derive from the
+    // sig COLUMN after the explode (see lshTopK — never repeat the
+    // signature expression inside the exploded array)
     val n = corpus.select(col("vec_id"), col("embedding"),
                           norm(col("embedding")).as("nrm"),
                           lshSignature(col("embedding"), dim, nBits).as("sig"))
-    def keyed(side: String) = {
-      val chunks = (0 until nTables).map(c =>
-        struct(lit(c).as("tbl"),
-          col("sig").bitwiseAND(lit(mask << (c * chunkBits))).as("piece")))
+    def keyed(side: String) =
       n.select(col("vec_id").as(s"vec_$side"),
                col("embedding").as(s"e$side"), col("nrm").as(s"n$side"),
-               explode(array(chunks: _*)).as("ck"))
+               col("sig"),
+               explode(typedLit((0 until nTables).toArray)).as("tbl"))
         .select(col(s"vec_$side"), col(s"e$side"), col(s"n$side"),
-                col("ck.tbl").as(s"tbl_$side"), col("ck.piece").as(s"piece_$side"))
-    }
+                col("tbl").as(s"tbl_$side"),
+                expr(s"shiftright(sig, tbl * $chunkBits)")
+                  .bitwiseAND(lit(mask)).as(s"piece_$side"))
     keyed("a").join(keyed("b"),
         col("tbl_a") === col("tbl_b") && col("piece_a") === col("piece_b") &&
           col("vec_a") < col("vec_b"))
@@ -213,10 +215,13 @@ object Similarity {
     * entirely still count in the denominator. */
   def recallAtK(found: DataFrame, truth: DataFrame, k: Int,
       floor: Double): DataFrame = {
+    // truth feeds two subtrees (hit join + denominator count); cached
+    // post-top-k it is n_queries·k rows, while recomputing it would run
+    // the whole exact search twice
+    val t = truth.select(col("query_id"), col("neighbor_id")).cache()
     val hits = found.select(col("query_id"), col("neighbor_id"))
-      .join(truth.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"))
-    val nq = truth.select(countDistinct(col("query_id")).as("n_queries"))
+      .join(t, Seq("query_id", "neighbor_id"))
+    val nq = t.select(countDistinct(col("query_id")).as("n_queries"))
     hits.agg(count(lit(1)).as("n_hits")).crossJoin(nq)
       .select(col("n_queries"), lit(k).as("k"),
         (col("n_hits") >= lit(floor) * col("n_queries") * lit(k))
@@ -240,26 +245,38 @@ object Similarity {
       nTables: Int = 8, chunkBits: Int = 4): DataFrame = {
     val nBits = nTables * chunkBits
     require(nBits <= 63, "signature must fit a long")
+    // ids + bucket keys ONLY (the bucket join and multi-table dedup
+    // must not drag embedding arrays through the shuffle — they rejoin
+    // below, id-keyed, once candidates have collapsed), and the
+    // signature is materialized ONCE per row before the explode: the
+    // chunk keys derive from the sig COLUMN in row space after
+    // Generate, never by repeating the 32-dot signature expression
+    // inside the exploded array (which re-evaluates it per table — the
+    // q_winnow lesson).
     def keyed(df: DataFrame, idCol: String, embCol: String) = {
-      val sig = lshSignature(col(embCol), dim, nBits)
       val mask = (1L << chunkBits) - 1
-      val chunks = (0 until nTables).map(c =>
-        struct(lit(c).as("chunk"),
-          sig.bitwiseAND(lit(mask << (c * chunkBits))).as("piece")))
-      df.select(col(idCol), col(embCol), explode(array(chunks: _*)).as("ck"))
-        .select(col(idCol), col(embCol), col("ck.chunk"), col("ck.piece"))
+      df.select(col(idCol), lshSignature(col(embCol), dim, nBits).as("sig"))
+        .select(col(idCol), col("sig"),
+          explode(typedLit((0 until nTables).toArray)).as("chunk"))
+        .select(col(idCol), col("chunk"),
+          expr(s"shiftright(sig, chunk * $chunkBits)")
+            .bitwiseAND(lit(mask)).as("piece"))
     }
     val q = keyed(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")), "query_id", "q_emb")
-    val c = keyed(corpus.repartition(col("vec_id"))
-      .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), "neighbor_id", "c_emb")
+    val c = keyed(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb")), "neighbor_id", "c_emb")
+    val cand = broadcast(q).join(c, Seq("chunk", "piece"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct() // a pair can collide in multiple chunks
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val ce = corpus.repartition(col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q).join(c, Seq("chunk", "piece"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
-      .distinct() // a pair can collide in multiple chunks
+    cand.join(ce, "neighbor_id").join(broadcast(qe), "query_id")
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= lit(k))
