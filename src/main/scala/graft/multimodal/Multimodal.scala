@@ -84,6 +84,34 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic synthetic PCM16 samples from the media id — integer
+    * arithmetic only, so a SQL engine can recompute the decoded
+    * amplitude stats analytically (the audio twin of [[synthPixels]]):
+    * n = 64 + id mod 129 samples, s(i) = (i·2003 + id·71) mod 4001 −
+    * 2000. Sum of squares stays < 2⁵³ so double accumulation is exact
+    * and cross-engine. */
+  def synthSampleCount(id: Long): Int = (64 + id % 129).toInt
+  def synthSamples(id: Long): Array[Short] = {
+    val n = synthSampleCount(id)
+    Array.tabulate(n)(i => ((i.toLong * 2003 + id * 71) % 4001 - 2000).toShort)
+  }
+
+  /** One real PCM16 WAV per document id, batched per partition —
+    * exercises [[Codecs.encodeWavPcm16]] → [[Codecs.decodeWavPcm16]]
+    * end-to-end under a SQL-recomputable oracle. */
+  def syntheticWavs(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, Codecs.encodeWavPcm16(8000, synthSamples(id)))
+        }
+      }(enc)
+  }
+
   // ---- featurizers ----
 
   /** FALLBACK featurizer for payloads with no JVM decoder (compressed

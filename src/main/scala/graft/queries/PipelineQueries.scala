@@ -139,7 +139,19 @@ object PipelineQueries {
     Multimodal.imagePixelStats(Multimodal.syntheticImages(docs(s, d)))
       .orderBy("media_id")
 
+  /** REAL audio-codec path, cross-engine verified (the WAV twin of
+    * [[qMultimodalFeatures]]): one deterministic PCM16 WAV per document
+    * ([[Multimodal.synthSamples]]), encoded and decoded back through the
+    * RIFF parser; the oracle recomputes sample count, duration, RMS and
+    * peak analytically from the sample formula. */
+  def qAudioMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioStats(Multimodal.syntheticWavs(docs(s, d)))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+              col("duration_ms"), round(col("rms"), 6).as("rms"), col("peak"))
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_meta"          -> qAudioMeta,
     "q_text_stats"          -> qTextStats,
     "q_lang_id"             -> qLangId,
     "q_fingerprint"         -> qFingerprint,
@@ -286,6 +298,21 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+    // analytic recompute of the synthetic PCM16 samples Spark pushes
+    // through a real WAV encode → RIFF decode; sum of squares < 2^53 so
+    // both engines' accumulations are exact
+    "q_audio_meta" ->
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+        |v AS (SELECT doc_id, n,
+        |        (i*2003 + doc_id*71) % 4001 - 2000 AS smp FROM s)
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(max(n) AS INTEGER) AS n_samples,
+        |  max(n) * 1000.0 / 8000 AS duration_ms,
+        |  round(sqrt(CAST(sum(smp*smp) AS DOUBLE) / max(n)), 6) AS rms,
+        |  CAST(max(abs(smp)) AS INTEGER) AS peak
+        |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // the ANN result SET is engine-specific; what IS cross-engine
     // checkable is the corpus-derived query count and the quality
     // invariant (recall floor) — the oracle emits the literal flag
