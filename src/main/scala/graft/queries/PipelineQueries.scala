@@ -139,6 +139,42 @@ object PipelineQueries {
     Multimodal.imagePixelStats(Multimodal.syntheticImages(docs(s, d)))
       .orderBy("media_id")
 
+  /** Flagship corpus-curation funnel — the operators composed the way a
+    * real training-data pipeline chains them, per source: language gate
+    * (predicted == labeled English), quality floor, exact-dedup keeper
+    * (min doc_id per fingerprint), near-dup cluster keeper (min member
+    * of the Jaccard-0.8 closure; docs in no pair keep themselves), and
+    * the conjunction. All counts are integers; the oracle recomputes
+    * every stage — including the recursive-CTE cluster closure — in
+    * SQL. */
+  def qCurationFunnel(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val exactKeepers = dd
+      .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val exact = dd.select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .join(exactKeepers, "fp")
+      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("exact_keep"))
+    val nd = Dedup.nearDupClusters(dd, jacThreshold)
+      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("nd_keep"))
+    dd.select(col("doc_id"), col("source"),
+        (TextStats.predictedLang(col("text")) === lit("en")).as("lang_keep"),
+        (TextStats.qualityScore(col("text")) >= lit(0.5)).as("quality_keep"))
+      .join(exact, "doc_id")
+      .join(nd, Seq("doc_id"), "left")
+      .na.fill(true, Seq("nd_keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("lang_keep").cast("long")).as("n_lang"),
+           sum(col("quality_keep").cast("long")).as("n_quality"),
+           sum(col("exact_keep").cast("long")).as("n_exact"),
+           sum(col("nd_keep").cast("long")).as("n_neardup"),
+           sum((col("lang_keep") && col("quality_keep") && col("exact_keep")
+             && col("nd_keep")).cast("long")).as("n_keep"))
+      .orderBy("source")
+  }
+
   /** REAL audio-codec path, cross-engine verified (the WAV twin of
     * [[qMultimodalFeatures]]): one deterministic PCM16 WAV per document
     * ([[Multimodal.synthSamples]]), encoded and decoded back through the
@@ -151,6 +187,7 @@ object PipelineQueries {
       .orderBy("media_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_funnel"     -> qCurationFunnel,
     "q_audio_meta"          -> qAudioMeta,
     "q_text_stats"          -> qTextStats,
     "q_lang_id"             -> qLangId,
