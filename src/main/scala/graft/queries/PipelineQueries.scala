@@ -160,7 +160,12 @@ object PipelineQueries {
       .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("nd_keep"))
     dd.select(col("doc_id"), col("source"),
         (TextStats.predictedLang(col("text")) === lit("en")).as("lang_keep"),
-        (TextStats.qualityScore(col("text")) >= lit(0.5)).as("quality_keep"))
+        // gate on the 6-dp-rounded score: raw-double gating is a
+        // cross-engine hazard (the corpus has quality values within one
+        // ulp of 0.5, measured), while the rounded values are proven
+        // bit-identical by q_text_stats' hash
+        (round(TextStats.qualityScore(col("text")), 6) >= lit(0.5))
+          .as("quality_keep"))
       .join(exact, "doc_id")
       .join(nd, Seq("doc_id"), "left")
       .na.fill(true, Seq("nd_keep"))
@@ -247,11 +252,13 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Cluster oracle: same exact-Jaccard pairs, transitive closure via
-    * recursive CTE (UNION dedups, so the cyclic undirected graph
-    * terminates), component id = min reachable doc_id. */
-  private val CLUSTERS_SQL =
-    s"""WITH RECURSIVE sh AS (
+  /** Exact-Jaccard pair graph → transitive closure via recursive CTE
+    * (UNION dedups, so the cyclic undirected graph terminates),
+    * component id = min reachable doc_id. Shared CTE chain: the
+    * clusters oracle and the curation-funnel oracle both end in `lab`
+    * (doc_id, cluster_id — only docs that appear in ≥ 1 pair). */
+  private val CLOSURE_CTES =
+    s"""sh AS (
        |  SELECT doc_id, ${Dedup.SHINGLES("text")} AS s FROM documents
        |), x AS (SELECT doc_id, unnest(s) AS g FROM sh),
        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
@@ -271,13 +278,54 @@ object PipelineQueries {
        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
        |lab AS (
        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |  FROM reach GROUP BY src)
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  private val CLUSTERS_SQL =
+    s"""WITH RECURSIVE $CLOSURE_CTES
        |SELECT l.doc_id, l.cluster_id, c.cluster_size
        |FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
        |                 FROM lab GROUP BY 1) c USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  /** Unrounded quality score — the exact expression `q_text_stats`
+    * rounds for output; the funnel gates on it raw, so both oracles
+    * must share one spelling. */
+  private def QUALITY(text: String, toks: String): String = {
+    val stops = TextStats.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""least(greatest(least(len($toks) / 100.0, 1.0)
+       |    * (1.0 - coalesce(CAST(len(regexp_extract_all($text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length($text), 0.0))
+       |    * (0.5 + coalesce(CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / len($toks), 0.0)), 0.0), 1.0)""".stripMargin
+  }
+
+  /** Funnel oracle: every stage of [[qCurationFunnel]] recomputed in
+    * SQL — language argmax, raw quality gate, window-min exact keeper,
+    * and the recursive-CTE near-dup closure (docs in no pair keep
+    * themselves via the LEFT JOIN coalesce). All outputs are integer
+    * counts, so there is no float-tie hazard in the aggregation. */
+  private val FUNNEL_SQL =
+    s"""WITH RECURSIVE $CLOSURE_CTES,
+       |t AS (SELECT doc_id, source, text, $T AS toks FROM documents),
+       |flags AS (
+       |  SELECT t.doc_id, t.source,
+       |    (${TextStats.predictedSql("text")}) = 'en' AS lang_keep,
+       |    round(${QUALITY("text", "toks")}, 6) >= 0.5 AS quality_keep,
+       |    t.doc_id = min(t.doc_id) OVER (
+       |      PARTITION BY ${TextStats.FINGERPRINT("text")}) AS exact_keep,
+       |    coalesce(t.doc_id = l.cluster_id, TRUE) AS nd_keep
+       |  FROM t LEFT JOIN lab l ON l.doc_id = t.doc_id)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN lang_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       |  CAST(sum(CASE WHEN quality_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN nd_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+       |  CAST(sum(CASE WHEN lang_keep AND quality_keep AND exact_keep
+       |                     AND nd_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_curation_funnel" -> FUNNEL_SQL,
     "q_dedup_clusters" -> CLUSTERS_SQL,
     "q_dedup_simhash" -> SIMHASH_SQL,
     "q_text_stats" ->
