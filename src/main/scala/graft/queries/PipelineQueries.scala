@@ -92,6 +92,27 @@ object PipelineQueries {
     Similarity.cosinePairs(embs(s, d), threshold = 0.45)
       .orderBy("vec_a", "vec_b")
 
+  /** Recall audit for the [[Similarity.cosinePairsLsh]] SCALE path —
+    * the code that actually runs above the 100k-row gate (i.e. the only
+    * path that exists at 100 TB), which the green `q_cosine_pairs` row
+    * never exercises at test SFs. Runs the LSH path at its production
+    * default dial (8 tables × 7 bits) against the exact all-pairs
+    * truth ([[Similarity.pairRecall]]): `n_extra` must be 0 (the
+    * verify stage makes precision exact — oracle-checked literally)
+    * and recall must clear the floor. Measured recall at threshold
+    * 0.45 on the near-uniform test embeddings (deterministic — the
+    * hyperplanes are hash-derived, no RNG): 0.43 / 0.21 / 0.375 at
+    * sf0.001/0.01/0.1; floor 0.1 sits 2× under the minimum. Real
+    * near-dup corpora (cos ≥ 0.8) bucket far more reliably — the
+    * uniform test corpus is the adversarial case. */
+  def qCosinePairsLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.pairRecall(
+      Similarity.cosinePairsLsh(e, threshold = 0.45),
+      Similarity.cosinePairs(e, threshold = 0.45, maxExact = Long.MaxValue),
+      floor = 0.1)
+  }
+
   /** LSH ANN, oracle-checked via its quality invariant: the full
     * pipeline (signatures → bucket join → exact re-rank) runs in-plan
     * and is reduced to recall@k against the exact top-k ([[Similarity
@@ -204,6 +225,7 @@ object PipelineQueries {
     "q_dedup_clusters"      -> qDedupClusters,
     "q_ann_brute"           -> qAnnBrute,
     "q_cosine_pairs"        -> qCosinePairs,
+    "q_cosine_pairs_lsh"    -> qCosinePairsLsh, // scale-path recall audit, full oracle
     "q_ann_lsh"             -> qAnnLsh,       // recall@k audit, full oracle
     "q_ann_ivf"             -> qAnnIvf,       // recall@k audit, full oracle
     "q_multimodal_meta"     -> qMultimodalMeta,
@@ -378,6 +400,18 @@ object PipelineQueries {
          |  FROM a JOIN b ON vec_a < vec_b)
          |SELECT vec_a, vec_b, round(cos, 6) AS cos
          |FROM s WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+    // the truth-side pair count comes off the quadratic self-join the
+    // oracle CAN run at test SFs; n_extra is provably 0 (exact verify)
+    // and recall_ok rides the measured-margin floor — see qCosinePairsLsh
+    "q_cosine_pairs_lsh" ->
+      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
+         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
+         |s AS (
+         |  SELECT vec_a, vec_b, ${Similarity.COSINE("ea", "eb", dim)} AS cos
+         |  FROM a JOIN b ON vec_a < vec_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |  CAST(0 AS BIGINT) AS n_extra, CAST(1 AS INTEGER) AS recall_ok
+         |FROM s WHERE cos >= 0.45""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

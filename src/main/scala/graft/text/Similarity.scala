@@ -165,17 +165,37 @@ object Similarity {
     * probes its `nProbe` nearest centroids and exact-cosine re-ranks
     * only those lists — the classic recall/cost dial (probe all lists ⇒
     * brute force). At 100 TB the lists are the partition keys: a query
-    * touches nProbe/nLists of the data. */
+    * touches nProbe/nLists of the data.
+    *
+    * The quantizer FIT is capped at `maxFitRows` via a deterministic
+    * hash sample ([[graft.ops.Sampling.hashBucket]] — layout-
+    * independent, reproducible on any cluster): k-means is an
+    * iterative, driver-coordinated job, and coarse-centroid quality
+    * needs only a sample, so the full corpus must never feed the fit.
+    * Full-corpus ASSIGNMENT stays scalable — `model.transform` is a
+    * map-only pass with the centroids broadcast in the model. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+              nLists: Int = 16, nProbe: Int = 4,
+              maxFitRows: Long = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val featured = corpus
       .withColumn("features", array_to_vector(col("embedding")))
+    // parquet-metadata count; permille chosen so the expected sample is
+    // ~maxFitRows (never below 1‰ — still ≥ maxFitRows/1000 rows and
+    // far above nLists on any corpus big enough to take this branch)
+    val n = corpus.count()
+    val fitRows =
+      if (n <= maxFitRows) featured
+      else {
+        val permille = math.max(1L, maxFitRows * 1000L / n)
+        featured.where(
+          graft.ops.Sampling.hashBucket(col("vec_id"), 1000) < lit(permille))
+      }
     val model = new KMeans().setK(nLists).setSeed(42)
       .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(featured)
+      .fit(fitRows)
     val assigned = model.transform(featured)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
               col("list_id"))
@@ -225,6 +245,41 @@ object Similarity {
     hits.agg(count(lit(1)).as("n_hits")).crossJoin(nq)
       .select(col("n_queries"), lit(k).as("k"),
         (col("n_hits") >= lit(floor) * col("n_queries") * lit(k))
+          .cast("int").as("recall_ok"))
+  }
+
+  /** Pair-recall audit for the [[cosinePairsLsh]] scale path — the
+    * threshold-pair analog of [[recallAtK]]. Joins the LSH-found pairs
+    * against the exact all-pairs truth and reduces to one row:
+    * (n_true_pairs, n_extra, recall_ok).
+    *
+    *  - `n_true_pairs` counts the TRUTH side, so pairs the index lost
+    *    still count in the denominator — cross-engine checkable (the
+    *    oracle recomputes the quadratic self-join in SQL).
+    *  - `n_extra` = found pairs NOT in the truth. Provably 0: the LSH
+    *    path exact-verifies every candidate's cosine against the same
+    *    threshold, so precision is exact and the oracle emits the
+    *    literal 0 — a nonzero value means the verify stage broke.
+    *  - `recall_ok` flags hit-count ≥ floor·n_true_pairs. The planes
+    *    are hash-derived (no RNG), so measured recall is a fixed
+    *    number per corpus; the floor sits under the measured minimum
+    *    across test SFs with margin, and a collapsed index flips the
+    *    flag and fails the hash. */
+  def pairRecall(found: DataFrame, truth: DataFrame,
+      floor: Double): DataFrame = {
+    // both sides are tiny post-aggregation pair lists, but each feeds
+    // two subtrees (hit join + its own count) — cache the small frames,
+    // not the upstream search (the recallAtK lesson)
+    val t = truth.select(col("vec_a"), col("vec_b")).cache()
+    val f = found.select(col("vec_a"), col("vec_b")).cache()
+    val hits = f.join(t, Seq("vec_a", "vec_b"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nt = t.agg(count(lit(1)).as("n_true_pairs"))
+    val nf = f.agg(count(lit(1)).as("n_found"))
+    nt.crossJoin(nf).crossJoin(hits)
+      .select(col("n_true_pairs"),
+        (col("n_found") - col("n_hits")).as("n_extra"),
+        (col("n_hits") >= lit(floor) * col("n_true_pairs"))
           .cast("int").as("recall_ok"))
   }
 
