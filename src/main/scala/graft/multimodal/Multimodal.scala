@@ -112,6 +112,125 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- synthetic compressed-audio containers (cross-engine verifiable) ----
+
+  /** Deterministic synthetic MP3 / Ogg-Vorbis / Ogg-Opus container per
+    * media id — the compressed-audio twin of [[synthSamples]]: every
+    * header field is an integer formula of the id, so a SQL engine can
+    * recompute the parsed metadata analytically while Spark pushes the
+    * REAL bytes through [[Codecs.audioMeta]]'s container parsers
+    * (ID3v2 frame walk + MPEG header, Ogg page walk + codec id
+    * headers). id mod 3 picks the format; the per-format variety key
+    * is id/3 so each branch sweeps its own parameter space.
+    *
+    * MP3 (id≡0): ID3v2.3 tag with TIT2="T{id}", TPE1="A{id%7}"; one
+    * MPEG-1 Layer III header; frame region of 200 + (id/3)%100 bytes ⇒
+    * duration_ms = L·8/bitrate (the parser's CBR estimate).
+    * Vorbis (id≡1): id-header page (rate, channels) + EOS page whose
+    * granule sets the duration clock. Opus (id≡2): OpusHead page
+    * (channels, pre-skip) + EOS granule at the spec's 48 kHz clock. */
+  def synthAudioContainer(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => synthMp3(id)
+    case 1 => synthOggVorbis(id)
+    case _ => synthOggOpus(id)
+  }
+
+  /** MPEG-1 Layer III bitrates indexable by (id/3)%14 — mirrors the
+    * non-zero entries of the parser's table. */
+  val Mp3BitrateSweep: Array[Int] =
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  val Mp3RateSweep: Array[Int] = Array(44100, 48000, 32000)
+  val VorbisRateSweep: Array[Int] = Array(8000, 16000, 22050, 44100, 48000)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xFF).toByte)
+  private def le64(v: Long): Array[Byte] =
+    Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xFF).toByte)
+
+  private def id3Frame(fid: String, text: String): Array[Byte] = {
+    val payload = 0.toByte +: text.getBytes("ISO-8859-1") // enc 0 = Latin-1
+    fid.getBytes("ISO-8859-1") ++ be32(payload.length) ++
+      Array[Byte](0, 0) ++ payload
+  }
+
+  private def syncsafe4(v: Int): Array[Byte] =
+    Array(((v >> 21) & 0x7F).toByte, ((v >> 14) & 0x7F).toByte,
+      ((v >> 7) & 0x7F).toByte, (v & 0x7F).toByte)
+
+  def synthMp3(id: Long): Array[Byte] = {
+    val u = id / 3
+    val body = id3Frame("TIT2", s"T$id") ++ id3Frame("TPE1", s"A${id % 7}")
+    val tag = "ID3".getBytes("ISO-8859-1") ++ Array[Byte](3, 0, 0) ++
+      syncsafe4(body.length) ++ body
+    val bitrateIdx = 1 + (u % 14).toInt // table slot of Mp3BitrateSweep(u%14)
+    val rateIdx = (u % 3).toInt
+    val mode = if (u % 2 == 0) 3 else 0 // 3 = mono, 0 = stereo
+    val frameLen = (200 + u % 100).toInt
+    val frames = new Array[Byte](frameLen)
+    frames(0) = 0xFF.toByte
+    frames(1) = 0xFB.toByte // MPEG-1, Layer III, no CRC
+    frames(2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte
+    frames(3) = (mode << 6).toByte
+    tag ++ frames
+  }
+
+  /** One Ogg page: 27-byte header + 1-entry segment table + body
+    * (bodies here are ≤ 255 bytes, so one lacing value suffices).
+    * CRC left 0 — the parser (like many stream tools) doesn't check. */
+  private def oggPage(headerType: Int, granule: Long, serial: Long,
+      seq: Int, body: Array[Byte]): Array[Byte] = {
+    require(body.length <= 255, "single-segment page only")
+    "OggS".getBytes("ISO-8859-1") ++
+      Array[Byte](0, headerType.toByte) ++ le64(granule) ++
+      le32((serial & 0x7FFFFFFF).toInt) ++ le32(seq) ++ le32(0) ++
+      Array[Byte](1, body.length.toByte) ++ body
+  }
+
+  def synthOggVorbis(id: Long): Array[Byte] = {
+    val v = id / 3
+    val rate = VorbisRateSweep((v % 5).toInt)
+    val channels = 1 + (v % 2).toInt
+    val granule = 1000L + (v * 7) % 96000
+    val idHeader = Array[Byte](1) ++ "vorbis".getBytes("ISO-8859-1") ++
+      le32(0) ++ Array(channels.toByte) ++ le32(rate) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ Array[Byte](0xB8.toByte, 1)
+    oggPage(2, 0L, id, 0, idHeader) ++
+      oggPage(4, granule, id, 1, Array[Byte](0))
+  }
+
+  def synthOggOpus(id: Long): Array[Byte] = {
+    val w = id / 3
+    val channels = 1 + (w % 2).toInt
+    val preSkip = (312 + w % 100).toInt
+    val granule = 48000L + w % 48000
+    val idHeader = "OpusHead".getBytes("ISO-8859-1") ++
+      Array[Byte](1, channels.toByte) ++ le16(preSkip) ++
+      le32(48000) ++ le16(0) ++ Array[Byte](0)
+    oggPage(2, 0L, id, 0, idHeader) ++
+      oggPage(4, granule, id, 1, Array[Byte](0))
+  }
+
+  /** One real compressed-audio container per document id, batched per
+    * partition — exercises the MP3/Ogg container parsers end-to-end
+    * under a SQL-recomputable oracle (the compressed-audio analog of
+    * [[syntheticWavs]]). */
+  def syntheticAudioContainers(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, synthAudioContainer(id))
+        }
+      }(enc)
+  }
+
   // ---- featurizers ----
 
   /** FALLBACK featurizer for payloads with no JVM decoder (compressed
@@ -163,6 +282,57 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- synthetic animated GIFs (cross-engine verifiable) ----
+
+  /** Deterministic synthetic animated-GIF geometry/pixels — the
+    * multi-frame (video analog) twin of [[synthPixels]]. Frames are
+    * GRAYSCALE: gray(x,y,f) = (x·7 + y·3 + id·5 + f·11) mod 256, so
+    * the frame has ≤ 256 distinct colors (lossless through the GIF
+    * palette — round-trip proven pixel-exact in ImageIoSpec) and
+    * integer luma (299v+587v+114v)/1000 = v exactly, which makes every
+    * decoded stat an integer formula a SQL engine can recompute. */
+  def synthGifWidth(id: Long): Int = (8 + id % 9).toInt
+  def synthGifHeight(id: Long): Int = (8 + id % 7).toInt
+  def synthGifFrames(id: Long): Int = (2 + id % 4).toInt
+  def synthGifFrame(id: Long, f: Int): Array[Byte] = {
+    val w = synthGifWidth(id); val h = synthGifHeight(id)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      val v = ((x * 7 + y * 3 + id * 5 + f * 11) % 256).toByte
+      rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+      i += 1
+    }
+    rgb
+  }
+
+  /** One real animated GIF per document id (2–5 frames), batched per
+    * partition — the multi-frame stand-in for a production video scan,
+    * exercising [[Codecs.encodeGif]] → [[Codecs.decodeFrames]] under a
+    * SQL-recomputable oracle. */
+  def syntheticGifs(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val frames = (0 until synthGifFrames(id)).map(synthGifFrame(id, _))
+          Row(id, Codecs.encodeGif(synthGifWidth(id), synthGifHeight(id),
+            frames))
+        }
+      }(enc)
+  }
+
+  /** Even sampling of `nFrames` indices over `nAvail` frames — first
+    * and last always included, shared by [[sampleFrames]] and
+    * [[sampleFrameStats]] (and mirrored by the oracle's integer
+    * division f·(F−1)/(n−1)). */
+  private[multimodal] def evenFrameIdx(f: Int, nAvail: Int, nFrames: Int): Int =
+    if (nFrames == 1) 0 else f * (nAvail - 1) / (nFrames - 1)
+
   private val frameSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("frame_idx", IntegerType),
@@ -185,8 +355,7 @@ object Multimodal {
           val frames = Codecs.decodeFrames(bytes, nBuckets = dim)
           if (frames.nonEmpty) {
             (0 until nFrames).map { f =>
-              val src = if (nFrames == 1) 0
-                        else f * (frames.length - 1) / (nFrames - 1)
+              val src = evenFrameIdx(f, frames.length, nFrames)
               val st = frames(src)
               val n = math.max(1L, st.nPixels).toFloat
               Row(id, f, true, st.lumaHist.map(_ / n).toSeq)
@@ -198,6 +367,43 @@ object Multimodal {
               val slice = bytes.slice(start, math.min(start + chunk, bytes.length))
               Row(id, f, false, byteFoldFeatures(slice, dim).toSeq)
             }
+          }
+        }
+      }(enc)
+  }
+
+  private val frameStatsSchema = StructType(
+    Seq(StructField("media_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("src_frame", IntegerType),
+        StructField("n_frames", IntegerType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("sum_r", LongType),
+        StructField("sum_g", LongType),
+        StructField("sum_b", LongType)) ++
+      (0 until 8).map(i => StructField(s"h$i", LongType)))
+
+  /** Integer-exact twin of [[sampleFrames]]: the same REAL multi-frame
+    * decode ([[Codecs.decodeFrames]]) and the same even frame
+    * selection, but emitting the decoded frames' exact integer pixel
+    * stats (channel sums + 8-bucket luma histogram) instead of
+    * normalized float features — the oracle-checkable shape for the
+    * frame-sampling path. Undecodable payloads are dropped (the
+    * feature variant's byte-fold fallback is for featurization, not
+    * stats). */
+  def sampleFrameStats(media: DataFrame, nFrames: Int = 4): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(frameStatsSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val frames = Codecs.decodeFrames(r.getAs[Array[Byte]](1))
+          (0 until (if (frames.isEmpty) 0 else nFrames)).map { f =>
+            val src = evenFrameIdx(f, frames.length, nFrames)
+            val st = frames(src)
+            Row.fromSeq(Seq[Any](id, f, src, frames.length,
+              st.width, st.height, st.sumR, st.sumG, st.sumB) ++ st.lumaHist)
           }
         }
       }(enc)

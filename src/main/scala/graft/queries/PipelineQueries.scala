@@ -212,9 +212,41 @@ object PipelineQueries {
               col("duration_ms"), round(col("rms"), 6).as("rms"), col("peak"))
       .orderBy("media_id")
 
+  /** REAL compressed-audio container parsing, cross-engine verified:
+    * one deterministic MP3 / Ogg-Vorbis / Ogg-Opus container per
+    * document ([[Multimodal.synthAudioContainer]] — every header field
+    * an integer formula of the id), pushed through [[graft.multimodal
+    * .Codecs.audioMeta]]'s real byte parsers (ID3v2 frame walk, MPEG
+    * frame header, Ogg page walk + codec id headers); the oracle
+    * recomputes format, rate, channels, bitrate, the CBR/granule
+    * duration clock, and the ID3 text round-trip analytically. Any
+    * parser defect (syncsafe size, LE/BE mixup, granule clock,
+    * pre-skip) breaks the hash. */
+  def qAudioContainer(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioMetadata(Multimodal.syntheticAudioContainers(docs(s, d)))
+      .select(col("media_id"), col("format"), col("sample_rate"),
+              col("channels"), col("bitrate_kbps"),
+              round(col("duration_ms"), 6).as("duration_ms"),
+              col("title"), col("artist"))
+      .orderBy("media_id")
+
+  /** REAL multi-frame (video-analog) codec path, cross-engine
+    * verified: one deterministic animated GIF per document (2–5
+    * grayscale frames, [[Multimodal.synthGifFrame]] — pixels are pure
+    * integer formulas), pushed through the real ImageIO GIF encode →
+    * multi-frame decode, then 4 frames sampled evenly
+    * ([[Multimodal.sampleFrameStats]]). Grayscale frames have ≤ 256
+    * distinct colors, so the GIF palette round-trip is pixel-exact and
+    * the oracle recomputes frame selection (integer division
+    * f·(F−1)/3) and every per-frame pixel stat analytically. */
+  def qFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrameStats(Multimodal.syntheticGifs(docs(s, d)), nFrames = 4)
+      .orderBy("media_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_funnel"     -> qCurationFunnel,
     "q_audio_meta"          -> qAudioMeta,
+    "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
     "q_lang_id"             -> qLangId,
     "q_fingerprint"         -> qFingerprint,
@@ -229,6 +261,7 @@ object PipelineQueries {
     "q_ann_lsh"             -> qAnnLsh,       // recall@k audit, full oracle
     "q_ann_ivf"             -> qAnnIvf,       // recall@k audit, full oracle
     "q_multimodal_meta"     -> qMultimodalMeta,
+    "q_frame_sample"        -> qFrameSample,  // real multi-frame decode, full oracle
     "q_multimodal_features" -> qMultimodalFeatures) // real ImageIO decode, full oracle
 
   private val T = TextStats.TOKENS("text")
@@ -432,6 +465,35 @@ object PipelineQueries {
         |  round(sqrt(CAST(sum(smp*smp) AS DOUBLE) / max(n)), 6) AS rms,
         |  CAST(max(abs(smp)) AS INTEGER) AS peak
         |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // analytic recompute of every container-header field Spark parses
+    // out of the real MP3/Ogg bytes; u = id/3 is each format branch's
+    // variety key and the duration formulas mirror the parsers' CBR /
+    // granule clocks op-for-op (double mult then divide)
+    "q_audio_container" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS m, doc_id // 3 AS u FROM documents),
+        |f AS (SELECT doc_id, m, u,
+        |  list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |               CAST(u % 14 AS INTEGER) + 1) AS mp3_bitrate,
+        |  list_extract([44100,48000,32000], CAST(u % 3 AS INTEGER) + 1) AS mp3_rate,
+        |  list_extract([8000,16000,22050,44100,48000],
+        |               CAST(u % 5 AS INTEGER) + 1) AS vorbis_rate
+        |  FROM p)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN m = 0 THEN 'mp3' WHEN m = 1 THEN 'ogg/vorbis'
+        |       ELSE 'ogg/opus' END AS format,
+        |  CAST(CASE WHEN m = 0 THEN mp3_rate WHEN m = 1 THEN vorbis_rate
+        |            ELSE 48000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN m = 0 THEN (CASE WHEN u % 2 = 0 THEN 1 ELSE 2 END)
+        |            ELSE 1 + u % 2 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN m = 0 THEN mp3_bitrate ELSE 0 END AS INTEGER)
+        |    AS bitrate_kbps,
+        |  round(CASE WHEN m = 0 THEN (200 + u % 100) * 8.0 / mp3_bitrate
+        |             WHEN m = 1 THEN (1000 + (u * 7) % 96000) * 1000.0 / vorbis_rate
+        |             ELSE (48000 + u % 48000 - (312 + u % 100)) * 1000.0 / 48000
+        |        END, 6) AS duration_ms,
+        |  CASE WHEN m = 0 THEN 'T' || doc_id END AS title,
+        |  CASE WHEN m = 0 THEN 'A' || (doc_id % 7) END AS artist
+        |FROM f ORDER BY media_id""".stripMargin,
     // the ANN result SET is engine-specific; what IS cross-engine
     // checkable is the corpus-derived query count and the quality
     // invariant (recall floor) — the oracle emits the literal flag
@@ -443,6 +505,33 @@ object PipelineQueries {
       """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |  CAST(5 AS INTEGER) AS k, CAST(1 AS INTEGER) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // analytic recompute of the sampled GIF frames: src = f·(F−1)/3
+    // integer division mirrors evenFrameIdx; gray pixels make luma = v
+    // so every stat is an integer formula of (doc_id, src, x, y)
+    "q_frame_sample" -> {
+      val hist = (0 until 8).map(b =>
+        s"CAST(sum(CASE WHEN g // 32 = $b THEN 1 ELSE 0 END) AS BIGINT) AS h$b")
+        .mkString(",\n        |  ").stripMargin
+      s"""WITH dims AS (
+         |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+         |         2 + doc_id % 4 AS nf
+         |  FROM documents),
+         |fr AS (SELECT doc_id, w, h, nf, unnest([0,1,2,3]) AS f FROM dims),
+         |sel AS (SELECT doc_id, w, h, nf, f, (f * (nf - 1)) // 3 AS src FROM fr),
+         |px AS (SELECT doc_id, w, h, nf, f, src, unnest(range(0, w*h)) AS i
+         |       FROM sel),
+         |v AS (SELECT doc_id, w, h, nf, f, src,
+         |        ((i % w)*7 + (i // w)*3 + doc_id*5 + src*11) % 256 AS g
+         |      FROM px)
+         |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(max(src) AS INTEGER) AS src_frame,
+         |  CAST(max(nf) AS INTEGER) AS n_frames,
+         |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+         |  CAST(sum(g) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+         |  CAST(sum(g) AS BIGINT) AS sum_b,
+         |  $hist
+         |FROM v GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin
+    },
     // analytic recompute of the synthetic pixels Spark pushes through a
     // real PNG encode → ImageIO decode; integer-exact on both sides
     "q_multimodal_features" ->

@@ -101,4 +101,31 @@ class AudioMetaSpec extends SparkSuite {
     assert(out(3L).getString(1) == "ogg/vorbis" &&
       math.abs(out(3L).getDouble(5) - 1000.0) < 1e-9)
   }
+
+  test("synthetic container sweep round-trips every header field (q_audio_container's invariant)") {
+    for (id <- 0L until 60L) {
+      val m = Codecs.audioMeta(Multimodal.synthAudioContainer(id))
+        .getOrElse(fail(s"id=$id did not parse"))
+      val u = id / 3
+      (id % 3) match {
+        case 0 =>
+          assert(m.format == "mp3")
+          assert(m.sampleRate == Multimodal.Mp3RateSweep((u % 3).toInt))
+          assert(m.channels == (if (u % 2 == 0) 1 else 2))
+          assert(m.bitrateKbps == Multimodal.Mp3BitrateSweep((u % 14).toInt))
+          assert(m.durationMs == (200 + u % 100) * 8.0 / m.bitrateKbps)
+          assert(m.title.contains(s"T$id") && m.artist.contains(s"A${id % 7}"))
+        case 1 =>
+          assert(m.format == "ogg/vorbis")
+          assert(m.sampleRate == Multimodal.VorbisRateSweep((u % 5).toInt))
+          assert(m.channels == 1 + (u % 2).toInt && m.bitrateKbps == 0)
+          assert(m.durationMs == (1000L + (u * 7) % 96000) * 1000.0 / m.sampleRate)
+        case _ =>
+          assert(m.format == "ogg/opus")
+          assert(m.sampleRate == 48000 && m.channels == 1 + (u % 2).toInt)
+          assert(m.durationMs ==
+            (48000L + u % 48000 - (312 + u % 100)) * 1000.0 / 48000)
+      }
+    }
+  }
 }

@@ -95,6 +95,46 @@ class ImageIoSpec extends SparkSuite {
       Seq(fullHists(0), fullHists(2), fullHists(4)))
   }
 
+  test("synthetic animated GIFs: gray palette round-trip is pixel-exact, stats match the formula") {
+    import spark.implicits._
+    // the q_frame_sample invariant: grayscale frames (≤256 colors)
+    // survive the GIF palette losslessly, so decoded sums/histograms
+    // equal the synthesis formula exactly — per frame, per id
+    for (id <- Seq(0L, 3L, 7L, 12L, 25L)) {
+      val w = Multimodal.synthGifWidth(id); val h = Multimodal.synthGifHeight(id)
+      val nf = Multimodal.synthGifFrames(id)
+      val gif = Codecs.encodeGif(w, h,
+        (0 until nf).map(Multimodal.synthGifFrame(id, _)))
+      val frames = Codecs.decodeFrames(gif)
+      assert(frames.length == nf)
+      (0 until nf).foreach { f =>
+        var expSum = 0L
+        val expHist = new Array[Long](8)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = (x * 7 + y * 3 + id * 5 + f * 11) % 256
+          expSum += v; expHist((v / 32).toInt) += 1
+        }
+        val st = frames(f)
+        assert(st.sumR == expSum && st.sumG == expSum && st.sumB == expSum,
+          s"id=$id frame=$f channel sums")
+        assert(st.lumaHist.sameElements(expHist), s"id=$id frame=$f hist")
+      }
+    }
+
+    // sampleFrameStats: src selection is the shared integer division,
+    // undecodable rows drop, 4 rows per decodable item
+    val id = 7L // 2 + 7%4 = 5 frames
+    val gif = Codecs.encodeGif(Multimodal.synthGifWidth(id),
+      Multimodal.synthGifHeight(id),
+      (0 until Multimodal.synthGifFrames(id)).map(Multimodal.synthGifFrame(id, _)))
+    val media = Seq((id, gif), (99L, "junk".getBytes)).toDF("media_id", "content")
+    val out = Multimodal.sampleFrameStats(media, nFrames = 4).collect()
+    assert(out.length == 4 && out.forall(_.getLong(0) == id))
+    assert(out.map(r => (r.getInt(1), r.getInt(2))).toSeq
+      .sorted == Seq((0, 0), (1, 1), (2, 2), (3, 4))) // f*(5-1)/3
+    assert(out.forall(_.getInt(3) == 5))
+  }
+
   test("imageStats accepts PPM and ImageIO formats alike") {
     import spark.implicits._
     val ppm = Codecs.encodePpm(2, 2, Array.fill(12)(100.toByte))
