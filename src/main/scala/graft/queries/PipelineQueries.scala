@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.multimodal.Multimodal
-import graft.text.{Dedup, Similarity, TextStats}
+import graft.text.{Curation, Dedup, Similarity, TextStats}
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
@@ -168,38 +168,15 @@ object PipelineQueries {
     * the conjunction. All counts are integers; the oracle recomputes
     * every stage — including the recursive-CTE cluster closure — in
     * SQL. */
-  def qCurationFunnel(s: SparkSession, d: String): DataFrame = {
-    val dd = docs(s, d)
-    val exactKeepers = dd
-      .groupBy(TextStats.fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("keeper"))
-    val exact = dd.select(col("doc_id"),
-        TextStats.fingerprint(col("text")).as("fp"))
-      .join(exactKeepers, "fp")
-      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("exact_keep"))
-    val nd = Dedup.nearDupClusters(dd, jacThreshold)
-      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("nd_keep"))
-    dd.select(col("doc_id"), col("source"),
-        (TextStats.predictedLang(col("text")) === lit("en")).as("lang_keep"),
-        // gate on the 6-dp-rounded score: raw-double gating is a
-        // cross-engine hazard (the corpus has quality values within one
-        // ulp of 0.5, measured), while the rounded values are proven
-        // bit-identical by q_text_stats' hash
-        (round(TextStats.qualityScore(col("text")), 6) >= lit(0.5))
-          .as("quality_keep"))
-      .join(exact, "doc_id")
-      .join(nd, Seq("doc_id"), "left")
-      .na.fill(true, Seq("nd_keep"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("lang_keep").cast("long")).as("n_lang"),
-           sum(col("quality_keep").cast("long")).as("n_quality"),
-           sum(col("exact_keep").cast("long")).as("n_exact"),
-           sum(col("nd_keep").cast("long")).as("n_neardup"),
-           sum((col("lang_keep") && col("quality_keep") && col("exact_keep")
-             && col("nd_keep")).cast("long")).as("n_keep"))
-      .orderBy("source")
-  }
+  def qCurationFunnel(s: SparkSession, d: String): DataFrame =
+    Curation.funnel(docs(s, d), jacThreshold).orderBy("source")
+
+  /** The funnel's decision list: the kept doc_ids themselves (strictly
+    * stronger than the counts — the oracle recomputes every stage AND
+    * the exact membership). [[Curation.materialize]] writes these rows
+    * out partitioned by source; CurationSpec round-trips that write. */
+  def qCurationKeepers(s: SparkSession, d: String): DataFrame =
+    Curation.keepers(docs(s, d), jacThreshold).orderBy("doc_id")
 
   /** REAL audio-codec path, cross-engine verified (the WAV twin of
     * [[qMultimodalFeatures]]): one deterministic PCM16 WAV per document
@@ -245,6 +222,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_funnel"     -> qCurationFunnel,
+    "q_curation_keepers"    -> qCurationKeepers,
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
@@ -358,8 +336,10 @@ object PipelineQueries {
     * and the recursive-CTE near-dup closure (docs in no pair keep
     * themselves via the LEFT JOIN coalesce). All outputs are integer
     * counts, so there is no float-tie hazard in the aggregation. */
-  private val FUNNEL_SQL =
-    s"""WITH RECURSIVE $CLOSURE_CTES,
+  /** Shared CTE chain ending in `flags` — the funnel (counts) and the
+    * keepers (membership) oracles differ only in the final SELECT. */
+  private val FLAGS_CTES =
+    s"""$CLOSURE_CTES,
        |t AS (SELECT doc_id, source, text, $T AS toks FROM documents),
        |flags AS (
        |  SELECT t.doc_id, t.source,
@@ -368,7 +348,16 @@ object PipelineQueries {
        |    t.doc_id = min(t.doc_id) OVER (
        |      PARTITION BY ${TextStats.FINGERPRINT("text")}) AS exact_keep,
        |    coalesce(t.doc_id = l.cluster_id, TRUE) AS nd_keep
-       |  FROM t LEFT JOIN lab l ON l.doc_id = t.doc_id)
+       |  FROM t LEFT JOIN lab l ON l.doc_id = t.doc_id)""".stripMargin
+
+  private val KEEPERS_SQL =
+    s"""WITH RECURSIVE $FLAGS_CTES
+       |SELECT doc_id, source FROM flags
+       |WHERE lang_keep AND quality_keep AND exact_keep AND nd_keep
+       |ORDER BY doc_id""".stripMargin
+
+  private val FUNNEL_SQL =
+    s"""WITH RECURSIVE $FLAGS_CTES
        |SELECT source,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN lang_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
@@ -381,6 +370,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_curation_funnel" -> FUNNEL_SQL,
+    "q_curation_keepers" -> KEEPERS_SQL,
     "q_dedup_clusters" -> CLUSTERS_SQL,
     "q_dedup_simhash" -> SIMHASH_SQL,
     "q_text_stats" ->

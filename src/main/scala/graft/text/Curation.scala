@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operator — the funnel's stages composed the way a
+  * real training-data pipeline chains them, per document: language
+  * gate (predicted English), quality floor, exact-dedup keeper (min
+  * doc_id per fingerprint), near-dup cluster keeper (min member of the
+  * Jaccard closure; docs in no pair keep themselves).
+  *
+  * Three consumers share [[flags]]:
+  *  - [[funnel]] — per-source stage counts (the reporting shape,
+  *    `q_curation_funnel`);
+  *  - [[keepers]] — the kept doc_ids (the decision shape,
+  *    `q_curation_keepers`);
+  *  - [[materialize]] — the kept DOCUMENTS written out partitioned by
+  *    source (the pipeline's real product). Partitioning by source
+  *    keeps downstream per-source reads partition-pruned; within a
+  *    partition the writer's task parallelism is preserved (no
+  *    coalesce(1) — at 100 TB the kept corpus is still huge).
+  *
+  * Scale shape: one fingerprint aggregate + keeper join (uniform hash
+  * keys), plus the near-dup cluster pipeline (bound-then-verify
+  * Jaccard, O(log n) connected components) — all inherited from
+  * [[Dedup]]; the conjunction itself is row-local.
+  */
+object Curation {
+
+  /** Per-doc keep flags: (doc_id, source, lang_keep, quality_keep,
+    * exact_keep, nd_keep). Gates on the 6-dp-rounded quality score —
+    * raw-double gating is a cross-engine hazard (corpus values sit
+    * within one ulp of 0.5, measured), while the rounded values are
+    * proven bit-identical by q_text_stats' hash. */
+  def flags(docs: DataFrame, jacThreshold: Double): DataFrame = {
+    val exactKeepers = docs
+      .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val exact = docs.select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .join(exactKeepers, "fp")
+      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("exact_keep"))
+    val nd = Dedup.nearDupClusters(docs, jacThreshold)
+      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("nd_keep"))
+    docs.select(col("doc_id"), col("source"),
+        (TextStats.predictedLang(col("text")) === lit("en")).as("lang_keep"),
+        (round(TextStats.qualityScore(col("text")), 6) >= lit(0.5))
+          .as("quality_keep"))
+      .join(exact, "doc_id")
+      .join(nd, Seq("doc_id"), "left")
+      .na.fill(true, Seq("nd_keep"))
+  }
+
+  /** Per-source stage counts — every count an integer, so there is no
+    * float-tie hazard in the aggregation. */
+  def funnel(docs: DataFrame, jacThreshold: Double): DataFrame =
+    flags(docs, jacThreshold)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("lang_keep").cast("long")).as("n_lang"),
+           sum(col("quality_keep").cast("long")).as("n_quality"),
+           sum(col("exact_keep").cast("long")).as("n_exact"),
+           sum(col("nd_keep").cast("long")).as("n_neardup"),
+           sum((col("lang_keep") && col("quality_keep") && col("exact_keep")
+             && col("nd_keep")).cast("long")).as("n_keep"))
+
+  /** The kept documents' ids — the funnel's conjunction as a decision
+    * list instead of counts. */
+  def keepers(docs: DataFrame, jacThreshold: Double): DataFrame =
+    flags(docs, jacThreshold)
+      .filter(col("lang_keep") && col("quality_keep") && col("exact_keep")
+        && col("nd_keep"))
+      .select(col("doc_id"), col("source"))
+
+  /** Write the kept documents (FULL rows) to `path`, partitioned by
+    * source. The keeper set is id-only through the curation joins; the
+    * full rows rejoin once, id-keyed, just before the write. */
+  def materialize(docs: DataFrame, path: String,
+      jacThreshold: Double): Unit =
+    graft.ops.Scale.writePartitioned(
+      docs.join(keepers(docs, jacThreshold).select("doc_id"), "doc_id"),
+      path, "source")
+}
