@@ -48,7 +48,16 @@ object Bench {
     val ok = results.collect { case (_, (sec, "ok")) => sec }
     val nErrors = results.count(_._2._2 == "error")
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // durable copy: the driver's stdout capture has truncated this line
+    // before (round 4 — headline number unrecoverable from artifacts),
+    // so the bench also lands on disk where a later session can read it
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench-latest.json"), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"BENCH WARN could not write target/bench-latest.json: $e")
+    }
     spark.stop()
   }
 }
