@@ -14,9 +14,14 @@ class PlanAuditSpec extends SparkSuite {
   // micro-dimension is the correct plan for BETWEEN-bounds bucketing).
   // q_anomaly_days, q_tfidf_terms, q_pmi_bigrams, and q_key_skew
   // broadcast a 1-row global-stats frame (BNLJ over a single row — the
-  // standard scalar-stats join pattern).
+  // standard scalar-stats join pattern). q_cosine_pairs_lsh is the
+  // scale-path RECALL AUDIT: its truth side deliberately forces the
+  // exact all-pairs join (the thing the LSH path is measured against);
+  // the LSH side itself stays equi-join (pinned by the gated-plan test
+  // below).
   private val intendedNestedLoop = Set(
-    "q_ann_brute", "q_cosine_pairs", "q_ann_ivf", "q_ann_lsh", "q_band_join",
+    "q_ann_brute", "q_cosine_pairs", "q_cosine_pairs_lsh", "q_ann_ivf",
+    "q_ann_lsh", "q_band_join",
     "q_anomaly_days", "q_tfidf_terms", "q_pmi_bigrams", "q_key_skew")
 
   test("every registry query plans; no unintended cartesian products") {
