@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.multimodal.Multimodal
-import graft.text.{Curation, Dedup, Similarity, TextStats}
+import graft.text.{Contamination, Curation, Dedup, Similarity, TextStats}
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
@@ -178,6 +178,21 @@ object PipelineQueries {
   def qCurationKeepers(s: SparkSession, d: String): DataFrame =
     Curation.keepers(docs(s, d), jacThreshold).orderBy("doc_id")
 
+  /** Benchmark decontamination audit ([[Contamination.overlap]]): the
+    * deterministic doc_id%11 split stands in for an eval corpus; a
+    * train doc is flagged when it contains ≥ half of a probe doc's
+    * distinct shingles. Containment (probe-side denominator), not
+    * Jaccard — an eval question swallowed by a long train doc must
+    * still flag. Full SQL oracle recomputes the shingle overlap. */
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    Contamination.overlap(
+      dd.filter(col("doc_id") % 11 =!= 0),
+      dd.filter(col("doc_id") % 11 === 0),
+      minContainment = 0.5)
+      .orderBy("train_id", "probe_id")
+  }
+
   /** REAL audio-codec path, cross-engine verified (the WAV twin of
     * [[qMultimodalFeatures]]): one deterministic PCM16 WAV per document
     * ([[Multimodal.synthSamples]]), encoded and decoded back through the
@@ -223,6 +238,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_funnel"     -> qCurationFunnel,
     "q_curation_keepers"    -> qCurationKeepers,
+    "q_decontaminate"       -> qDecontaminate,
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
@@ -400,6 +416,23 @@ object PipelineQueries {
          |  count(*) AS n_docs, min(doc_id) AS keeper
          |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_dedup_jaccard" -> JACCARD_SQL,
+    // shingle containment train×probe over the deterministic eval
+    // split; the gate compares the raw integer-division ratio (exact
+    // in double on both engines), output rounds to 6 dp
+    "q_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Dedup.SHINGLES("text")} AS s FROM documents
+         |), x AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |probe AS (SELECT doc_id AS probe_id, g FROM x WHERE doc_id % 11 = 0),
+         |train AS (SELECT doc_id AS train_id, g FROM x WHERE doc_id % 11 <> 0),
+         |psz AS (SELECT probe_id, count(*) AS n_probe FROM probe GROUP BY 1),
+         |o AS (SELECT train_id, probe_id, count(*) AS common
+         |      FROM train JOIN probe USING (g) GROUP BY 1, 2)
+         |SELECT train_id, probe_id, common,
+         |       round(common / n_probe, 6) AS containment
+         |FROM o JOIN psz USING (probe_id)
+         |WHERE common / n_probe >= 0.5
+         |ORDER BY train_id, probe_id""".stripMargin,
     "q_dedup_minhash" -> JACCARD_SQL, // LSH-verified == exact pairs (see Dedup doc)
     "q_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
