@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.multimodal.Multimodal
-import graft.text.{Contamination, Curation, Dedup, Similarity, TextStats}
+import graft.text.{Contamination, Curation, Dedup, Packing, Similarity, TextStats}
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
@@ -111,6 +111,21 @@ object PipelineQueries {
       Similarity.cosinePairsLsh(e, threshold = 0.45),
       Similarity.cosinePairs(e, threshold = 0.45, maxExact = Long.MaxValue),
       floor = 0.1)
+  }
+
+  /** Sequence packing ([[graft.text.Packing]]): both packing shapes
+    * side by side per document — the window-arithmetic chunk bin (the
+    * scale default) and the exact next-fit bin (sequential per
+    * source). The oracle mirrors the window prefix-sum division and
+    * replays the next-fit recursion in a recursive CTE, so the
+    * operator's whole decision sequence is cross-engine-checked. */
+  def qPackBins(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    Packing.chunkByBudget(dd, budget = 512)
+      .withColumnRenamed("bin", "chunk_bin")
+      .join(Packing.nextFitBins(dd, budget = 512)
+        .select(col("doc_id"), col("bin").as("nextfit_bin")), "doc_id")
+      .orderBy("doc_id")
   }
 
   /** LSH ANN, oracle-checked via its quality invariant: the full
@@ -239,6 +254,7 @@ object PipelineQueries {
     "q_curation_funnel"     -> qCurationFunnel,
     "q_curation_keepers"    -> qCurationKeepers,
     "q_decontaminate"       -> qDecontaminate,
+    "q_pack_bins"           -> qPackBins,
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
@@ -416,6 +432,38 @@ object PipelineQueries {
          |  count(*) AS n_docs, min(doc_id) AS keeper
          |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_dedup_jaccard" -> JACCARD_SQL,
+    // the window chunk bin mirrors Spark's prefix-sum div; the exact
+    // next-fit bin replays the per-source sequential recursion row by
+    // row in a recursive CTE keyed on (source, rn)
+    "q_pack_bins" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, source, CAST(len($T) AS INTEGER) AS n_tokens,
+         |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |              AS BIGINT) AS rn
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) // 512 AS chunk_bin
+         |  FROM t),
+         |nf(source, rn, doc_id, bin, binsum) AS (
+         |  SELECT source, rn, doc_id, CAST(0 AS BIGINT),
+         |         CAST(n_tokens AS BIGINT)
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.source, t.rn, t.doc_id,
+         |    CASE WHEN nf.binsum + t.n_tokens > 512 THEN nf.bin + 1
+         |         ELSE nf.bin END,
+         |    CASE WHEN nf.binsum + t.n_tokens > 512
+         |         THEN CAST(t.n_tokens AS BIGINT)
+         |         ELSE nf.binsum + t.n_tokens END
+         |  FROM nf JOIN t ON t.source = nf.source AND t.rn = nf.rn + 1)
+         |SELECT c.doc_id, c.source, c.n_tokens, c.chunk_bin,
+         |       nf.bin AS nextfit_bin
+         |FROM c JOIN nf ON nf.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     // shingle containment train×probe over the deterministic eval
     // split; the gate compares the raw integer-division ratio (exact
     // in double on both engines), output rounds to 6 dp
