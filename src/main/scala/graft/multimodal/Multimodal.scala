@@ -409,6 +409,25 @@ object Multimodal {
       }(enc)
   }
 
+  /** Batch thumbnail pass: every decodable image resized to a fixed
+    * (targetW × targetH) via nearest-neighbor ([[Codecs
+    * .resizeImageNearest]] — source index = exact integer division
+    * dstIdx·srcDim/dstDim) and re-encoded PNG; undecodable payloads
+    * are dropped. Composes with [[imagePixelStats]] for the oracle-
+    * checkable resize query. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.resizeImageNearest(r.getAs[Array[Byte]](1), targetW, targetH)
+            .map(Row(r.getLong(0), _))
+        }
+      }(enc)
+  }
+
   // ---- stats operators ----
 
   private val audioSchema = StructType(Seq(

@@ -175,6 +175,48 @@ object PipelineQueries {
     Multimodal.imagePixelStats(Multimodal.syntheticImages(docs(s, d)))
       .orderBy("media_id")
 
+  /** REAL resize path, cross-engine verified: the synthetic PNGs
+    * ([[qMultimodalFeatures]]'s corpus) through [[Multimodal
+    * .resizeImages]] (nearest-neighbor to a fixed 12×9 thumbnail, PNG
+    * re-encode) then exact pixel stats. NN source index is the exact
+    * integer division dstIdx·srcDim/dstDim, so the oracle recomputes
+    * every thumbnail pixel from the synthesis formula — a defect in
+    * the sampling arithmetic, the re-encode, or the second decode
+    * breaks the hash. */
+  def qResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.imagePixelStats(
+      Multimodal.resizeImages(
+        Multimodal.syntheticImages(docs(s, d)), targetW = 12, targetH = 9))
+      .orderBy("media_id")
+
+  /** PII scrubbing, oracle-checked end-to-end: deterministic synthetic
+    * PII (an email, a URL, a phone-shaped digit run — pure string
+    * formulas of doc_id) appended to every document in-plan, then
+    * [[TextStats.piiCount]] (pre-redaction audit) and [[TextStats
+    * .scrub]] (typed placeholders). The patterns are RE2-compatible by
+    * design, so DuckDB replays the same regex cascade and the scrubbed
+    * text is compared by md5 — order of the three replacement passes
+    * included. */
+  def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val withPii = docs(s, d).select(did,
+      concat_ws(" ", col("text"),
+        lit("contact"),
+        concat(lit("user"), did.cast("string"), lit("@mail"),
+          (did % 5).cast("string"), lit(".com")),
+        lit("or"),
+        concat(lit("https://site"), (did % 7).cast("string"),
+          lit(".example/p/"), did.cast("string")),
+        lit("tel"),
+        concat(lit("+1-555-"), lpad((did % 10000).cast("string"), 4, "0"),
+          lit("-"), (did % 100).cast("string"))).as("text"))
+    withPii.select(col("doc_id"),
+      TextStats.piiCount(col("text")).as("n_pii"),
+      md5(TextStats.scrub(col("text")).cast("binary")).as("scrub_md5"),
+      length(TextStats.scrub(col("text"))).as("n_chars_scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** Flagship corpus-curation funnel — the operators composed the way a
     * real training-data pipeline chains them, per source: language gate
     * (predicted == labeled English), quality floor, exact-dedup keeper
@@ -272,6 +314,8 @@ object PipelineQueries {
     "q_ann_ivf"             -> qAnnIvf,       // recall@k audit, full oracle
     "q_multimodal_meta"     -> qMultimodalMeta,
     "q_frame_sample"        -> qFrameSample,  // real multi-frame decode, full oracle
+    "q_resize"              -> qResize,       // real NN resize + re-encode, full oracle
+    "q_pii_scrub"           -> qPiiScrub,
     "q_multimodal_features" -> qMultimodalFeatures) // real ImageIO decode, full oracle
 
   private val T = TextStats.TOKENS("text")
@@ -576,6 +620,58 @@ object PipelineQueries {
       """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |  CAST(5 AS INTEGER) AS k, CAST(1 AS INTEGER) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // analytic recompute of the 12×9 nearest-neighbor thumbnails: the
+    // source index is the exact integer division dstIdx·srcDim/dstDim,
+    // then the synthPixels channel formulas at (sx, sy)
+    "q_resize" -> {
+      val hist = (0 until 8).map(b =>
+        s"CAST(sum(CASE WHEN bkt = $b THEN 1 ELSE 0 END) AS BIGINT) AS h$b")
+        .mkString(",\n  ")
+      s"""WITH dims AS (
+         |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+         |  FROM documents),
+         |px0 AS (SELECT doc_id, w, h, unnest(range(0, 108)) AS i FROM dims),
+         |px AS (SELECT doc_id, (i % 12) * w // 12 AS sx, (i // 12) * h // 9 AS sy
+         |       FROM px0),
+         |c AS (SELECT doc_id,
+         |        (sx*7 + sy*3 + doc_id*5) % 256 AS r,
+         |        (sx*11 + sy*5 + doc_id*3) % 256 AS g,
+         |        (sx*13 + sy*7 + doc_id) % 256 AS b
+         |      FROM px),
+         |l AS (SELECT *, (299*r + 587*g + 114*b) // 1000 // 32 AS bkt FROM c)
+         |SELECT doc_id AS media_id,
+         |  CAST(12 AS INTEGER) AS width, CAST(9 AS INTEGER) AS height,
+         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+         |  CAST(sum(b) AS BIGINT) AS sum_b,
+         |  $hist
+         |FROM l GROUP BY doc_id ORDER BY media_id""".stripMargin
+    },
+    // the synthetic-PII construction is mirrored string-for-string;
+    // the scrub cascade replays the SAME RE2-compatible patterns in
+    // the SAME order with global replacement, compared by md5
+    "q_pii_scrub" -> {
+      val Seq((emailPat, _), (urlPat, _), (numPat, _)) = TextStats.piiPatterns
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@mail' || (doc_id % 5)
+         |    || '.com or https://site' || (doc_id % 7) || '.example/p/'
+         |    || doc_id || ' tel +1-555-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+         |    || (doc_id % 100) AS txt
+         |  FROM documents),
+         |s AS (SELECT doc_id, txt,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '$emailPat', '<EMAIL>', 'g'),
+         |    '$urlPat', '<URL>', 'g'),
+         |    '$numPat', '<NUMBER>', 'g') AS scrubbed
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '$emailPat'))
+         |     + len(regexp_extract_all(txt, '$urlPat'))
+         |     + len(regexp_extract_all(txt, '$numPat')) AS INTEGER) AS n_pii,
+         |  md5(scrubbed) AS scrub_md5,
+         |  CAST(length(scrubbed) AS INTEGER) AS n_chars_scrubbed
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     // analytic recompute of the sampled GIF frames: src = f·(F−1)/3
     // integer division mirrors evenFrameIdx; gray pixels make luma = v
     // so every stat is an integer formula of (doc_id, src, x, y)
