@@ -250,6 +250,33 @@ object PipelineQueries {
       .orderBy("train_id", "probe_id")
   }
 
+  /** Flagship END-TO-END corpus build — the full pre-training data
+    * pipeline in one plan: curation keepers (lang × quality × exact ×
+    * near-dup), minus the eval split, minus decontamination flags,
+    * packed into 512-token chunk bins, reported per source. Every
+    * stage is an operator this registry already verifies in isolation
+    * ([[Curation.keepers]], [[Contamination.overlap]],
+    * [[Packing.chunkByBudget]]); this row pins their COMPOSITION —
+    * the oracle recomputes the whole chain, closure and window
+    * arithmetic included, in one SQL statement. */
+  def qCorpusBuild(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val contaminated = Contamination.overlap(
+        dd.filter(col("doc_id") % 11 =!= 0),
+        dd.filter(col("doc_id") % 11 === 0), minContainment = 0.5)
+      .select(col("train_id").as("doc_id")).distinct()
+    val corpusIds = Curation.keepers(dd, jacThreshold)
+      .filter(col("doc_id") % 11 =!= 0)       // eval split never trains
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    Packing.chunkByBudget(dd.join(corpusIds, "doc_id"), budget = 512)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("bin")).as("n_bins"),
+           sum(col("n_tokens").cast("long")).as("sum_tokens"))
+      .orderBy("source")
+  }
+
   /** REAL audio-codec path, cross-engine verified (the WAV twin of
     * [[qMultimodalFeatures]]): one deterministic PCM16 WAV per document
     * ([[Multimodal.synthSamples]]), encoded and decoded back through the
@@ -297,6 +324,7 @@ object PipelineQueries {
     "q_curation_keepers"    -> qCurationKeepers,
     "q_decontaminate"       -> qDecontaminate,
     "q_pack_bins"           -> qPackBins,
+    "q_corpus_build"        -> qCorpusBuild,  // flagship end-to-end composition
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
@@ -444,8 +472,46 @@ object PipelineQueries {
        |                     AND nd_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
 
+  /** End-to-end corpus-build oracle: curation flags (incl. the
+    * recursive closure), the decontamination overlap (reusing the `x`
+    * shingle rows the closure already computes), and the chunk-packing
+    * window — one statement, every stage recomputed. */
+  private val CORPUS_BUILD_SQL =
+    s"""WITH RECURSIVE $FLAGS_CTES,
+       |keep0 AS (
+       |  SELECT doc_id, source FROM flags
+       |  WHERE lang_keep AND quality_keep AND exact_keep AND nd_keep
+       |    AND doc_id % 11 <> 0),
+       |probe AS (SELECT doc_id AS probe_id, g FROM x WHERE doc_id % 11 = 0),
+       |trn AS (SELECT doc_id AS train_id, g FROM x WHERE doc_id % 11 <> 0),
+       |psz AS (SELECT probe_id, count(*) AS n_probe FROM probe GROUP BY 1),
+       |cont AS (
+       |  SELECT DISTINCT train_id AS doc_id
+       |  FROM (SELECT train_id, probe_id, count(*) AS common
+       |        FROM trn JOIN probe USING (g) GROUP BY 1, 2) o
+       |  JOIN psz USING (probe_id)
+       |  WHERE common / n_probe >= 0.5),
+       |corpus AS (
+       |  SELECT k.doc_id, k.source FROM keep0 k
+       |  LEFT JOIN cont c ON c.doc_id = k.doc_id WHERE c.doc_id IS NULL),
+       |sized AS (
+       |  SELECT c.doc_id, c.source, CAST(len(t.toks) AS INTEGER) AS n_tokens
+       |  FROM corpus c JOIN t ON t.doc_id = c.doc_id),
+       |packed AS (
+       |  SELECT source, n_tokens,
+       |    CAST(coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) // 512 AS bin
+       |  FROM sized)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+       |  CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS sum_tokens
+       |FROM packed GROUP BY source ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_curation_funnel" -> FUNNEL_SQL,
+    "q_corpus_build" -> CORPUS_BUILD_SQL,
     "q_curation_keepers" -> KEEPERS_SQL,
     "q_dedup_clusters" -> CLUSTERS_SQL,
     "q_dedup_simhash" -> SIMHASH_SQL,
