@@ -250,6 +250,44 @@ object PipelineQueries {
       .orderBy("train_id", "probe_id")
   }
 
+  /** Heavy-hitter audit for the bounded [[graft.functions
+    * .SpaceSavingAgg]] summary (capacity 64) over the exploded token
+    * stream — the single-pass answer to "top tokens over 100 TB" when
+    * exact groupBy cardinality won't fit. Run order can shift the
+    * ESTIMATES; the space-saving GUARANTEES cannot, and those are what
+    * the audit checks against the exact counts: every token with
+    * count·64 > N is in the summary (`guaranteed_ok`), and every
+    * summary row brackets its exact count (est ≥ exact ≥ est − err,
+    * `bounds_ok`). n_tokens and n_heavy are exact integers the oracle
+    * recomputes; the flags are literals a broken sketch flips. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SpaceSavingAgg
+    val m = 64
+    val toks = docs(s, d)
+      .select(explode(TextStats.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("c")).cache()
+    val totals = exact.agg(sum(col("c")).cast("long").as("n_tokens"))
+    val sketch = toks
+      .agg(SpaceSavingAgg.space_saving(col("tok"), m).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("tok"), col("e.est"), col("e.err"))
+    val joined = sketch.join(exact, Seq("tok"), "left")
+      .agg(min((col("est") >= coalesce(col("c"), lit(0L))
+        && col("est") - col("err") <= coalesce(col("c"), lit(0L)))
+        .cast("int")).as("bounds_ok"))
+    val heavy = exact.crossJoin(broadcast(totals))
+      .filter(col("c") * m > col("n_tokens"))
+    val guaranteed = heavy.join(sketch, Seq("tok"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    totals
+      .crossJoin(heavy.agg(count(lit(1)).as("n_heavy")))
+      .crossJoin(guaranteed)
+      .crossJoin(joined)
+      .select(col("n_tokens"), col("n_heavy"),
+        (col("n_missed") === 0L).cast("int").as("guaranteed_ok"),
+        col("bounds_ok"))
+  }
+
   /** Flagship END-TO-END corpus build — the full pre-training data
     * pipeline in one plan: curation keepers (lang × quality × exact ×
     * near-dup), minus the eval split, minus decontamination flags,
@@ -325,6 +363,7 @@ object PipelineQueries {
     "q_decontaminate"       -> qDecontaminate,
     "q_pack_bins"           -> qPackBins,
     "q_corpus_build"        -> qCorpusBuild,  // flagship end-to-end composition
+    "q_heavy_hitters"       -> qHeavyHitters, // bounded sketch, guarantee audit
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
@@ -512,6 +551,18 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_curation_funnel" -> FUNNEL_SQL,
     "q_corpus_build" -> CORPUS_BUILD_SQL,
+    // the sketch's estimates are run-order-dependent; its GUARANTEES
+    // are not — n_tokens/n_heavy are exact, the flags are literals
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($T) AS t FROM documents),
+         |c AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM c)
+         |SELECT n.n_tokens,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c, n WHERE c * 64 > n_tokens)
+         |    AS n_heavy,
+         |  CAST(1 AS INTEGER) AS guaranteed_ok,
+         |  CAST(1 AS INTEGER) AS bounds_ok
+         |FROM n""".stripMargin,
     "q_curation_keepers" -> KEEPERS_SQL,
     "q_dedup_clusters" -> CLUSTERS_SQL,
     "q_dedup_simhash" -> SIMHASH_SQL,
