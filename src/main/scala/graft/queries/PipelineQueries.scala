@@ -250,6 +250,19 @@ object PipelineQueries {
       .orderBy("train_id", "probe_id")
   }
 
+  /** Incremental-ingestion gate ([[Dedup.incrementalFlags]]): the
+    * even-id half of `documents` stands in for the existing corpus,
+    * the odd-id half for today's batch. Per batch doc the oracle
+    * recomputes the fingerprint anti-join and the cross-side Jaccard
+    * rejection from the same pair CTE the dedup oracles share. */
+  def qIncrementalIngest(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    Dedup.incrementalFlags(
+      dd.filter(col("doc_id") % 2 === 1),
+      dd.filter(col("doc_id") % 2 === 0), jacThreshold)
+      .orderBy("doc_id")
+  }
+
   /** Heavy-hitter audit for the bounded [[graft.functions
     * .SpaceSavingAgg]] summary (capacity 64) over the exploded token
     * stream — the single-pass answer to "top tokens over 100 TB" when
@@ -364,6 +377,7 @@ object PipelineQueries {
     "q_pack_bins"           -> qPackBins,
     "q_corpus_build"        -> qCorpusBuild,  // flagship end-to-end composition
     "q_heavy_hitters"       -> qHeavyHitters, // bounded sketch, guarantee audit
+    "q_incremental_ingest"  -> qIncrementalIngest,
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
@@ -551,6 +565,40 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_curation_funnel" -> FUNNEL_SQL,
     "q_corpus_build" -> CORPUS_BUILD_SQL,
+    // fingerprint anti-join + cross-parity Jaccard rejection; the pair
+    // CTE is the same exact self-join the dedup oracles use (the union
+    // of both halves IS the documents table)
+    "q_incremental_ingest" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Dedup.SHINGLES("text")} AS s FROM documents
+         |), x AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  JOIN sizes la ON la.doc_id = doc_a
+         |  JOIN sizes lb ON lb.doc_id = doc_b
+         |  WHERE common / (la.n + lb.n - common) >= $jacThreshold),
+         |cross_rej AS (
+         |  SELECT DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END
+         |    AS doc_id
+         |  FROM jac WHERE (doc_a % 2) <> (doc_b % 2)),
+         |cfp AS (SELECT DISTINCT ${TextStats.FINGERPRINT("text")} AS fp
+         |        FROM documents WHERE doc_id % 2 = 0),
+         |b AS (SELECT doc_id, source, ${TextStats.FINGERPRINT("text")} AS fp
+         |      FROM documents WHERE doc_id % 2 = 1)
+         |SELECT b.doc_id, b.source,
+         |  CAST(CASE WHEN cfp.fp IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         |    AS exact_new,
+         |  CAST(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         |    AS neardup_new,
+         |  CAST(CASE WHEN cfp.fp IS NULL AND r.doc_id IS NULL THEN 1 ELSE 0 END
+         |    AS INTEGER) AS accepted
+         |FROM b LEFT JOIN cfp ON cfp.fp = b.fp
+         |       LEFT JOIN cross_rej r ON r.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     // the sketch's estimates are run-order-dependent; its GUARANTEES
     // are not — n_tokens/n_heavy are exact, the flags are literals
     "q_heavy_hitters" ->

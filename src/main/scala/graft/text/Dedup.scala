@@ -423,4 +423,51 @@ object Dedup {
     cc.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
+
+  /** Incremental-ingestion gate: which BATCH documents survive against
+    * an EXISTING corpus — the daily-ingest shape (dedup the delta
+    * against the lake, never re-cluster the lake itself). Per batch
+    * doc: `exact_new` (fingerprint unseen in the corpus), `neardup_new`
+    * (no cross-side Jaccard pair ≥ threshold), `accepted` = both.
+    *
+    * The near-dup check runs [[jaccardPairs]] over the UNION and keeps
+    * only pairs crossing the split, so it inherits the hardened
+    * bound-then-verify scale shape (stop-shingle cap, upper-bound
+    * filter, all-hot rescue) instead of reimplementing a naive
+    * batch×corpus shingle join that hot shingles would sink.
+    * Batch-INTERNAL dups are out of scope here — that decision is
+    * [[exactGroups]]/[[nearDupClusters]] on the accepted delta. */
+  def incrementalFlags(batch: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val corpusFps = corpus
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+    val exactNew = batch
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .join(corpusFps.withColumn("fp_hit", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp_hit").isNull.as("exact_new"))
+    val pairs = jaccardPairs(
+      batch.select(col("doc_id"), col("text"))
+        .unionByName(corpus.select(col("doc_id"), col("text"))), threshold)
+    val bIds = batch.select(col("doc_id"))
+    val tagged = pairs
+      .join(bIds.select(col("doc_id").as("doc_a"), lit(true).as("a_b")),
+        Seq("doc_a"), "left")
+      .join(bIds.select(col("doc_id").as("doc_b"), lit(true).as("b_b")),
+        Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("a_b"), lit(false)).as("a_in_batch"),
+        coalesce(col("b_b"), lit(false)).as("b_in_batch"))
+    val ndRejected = tagged
+      .filter(col("a_in_batch") =!= col("b_in_batch"))
+      .select(when(col("a_in_batch"), col("doc_a")).otherwise(col("doc_b"))
+        .as("doc_id"))
+      .distinct()
+    batch.select(col("doc_id"), col("source"))
+      .join(exactNew, "doc_id")
+      .join(ndRejected.withColumn("nd_hit", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("exact_new").cast("int").as("exact_new"),
+        col("nd_hit").isNull.cast("int").as("neardup_new"),
+        (col("exact_new") && col("nd_hit").isNull).cast("int").as("accepted"))
+  }
 }
