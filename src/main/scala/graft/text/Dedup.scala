@@ -430,13 +430,19 @@ object Dedup {
     * doc: `exact_new` (fingerprint unseen in the corpus), `neardup_new`
     * (no cross-side Jaccard pair ≥ threshold), `accepted` = both.
     *
-    * The near-dup check runs [[jaccardPairs]] over the UNION and keeps
-    * only pairs crossing the split, so it inherits the hardened
-    * bound-then-verify scale shape (stop-shingle cap, upper-bound
-    * filter, all-hot rescue) instead of reimplementing a naive
-    * batch×corpus shingle join that hot shingles would sink.
-    * Batch-INTERNAL dups are out of scope here — that decision is
-    * [[exactGroups]]/[[nearDupClusters]] on the accepted delta. */
+    * The near-dup check first PRUNES the lake to candidate docs that
+    * share ≥ 1 shingle with the batch — a map-side semi-join against
+    * the broadcast batch shingle set (a cross pair at any positive
+    * Jaccard requires a shared shingle, so pruning is exact) — then
+    * runs [[jaccardPairs]] over batch ∪ candidates and keeps the pairs
+    * crossing the split, inheriting the hardened bound-then-verify
+    * scale shape (stop-shingle cap, upper-bound filter, all-hot
+    * rescue). The lake is never re-paired with itself beyond the
+    * batch-adjacent candidates; worst case (every lake doc shares a
+    * stop-shingle with the batch) degrades to the full union, where
+    * the stop-shingle cap takes over. Batch-INTERNAL dups are out of
+    * scope here — that decision is [[exactGroups]]/[[nearDupClusters]]
+    * on the accepted delta. */
   def incrementalFlags(batch: DataFrame, corpus: DataFrame,
       threshold: Double): DataFrame = {
     val corpusFps = corpus
@@ -445,9 +451,14 @@ object Dedup {
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
       .join(corpusFps.withColumn("fp_hit", lit(1)), Seq("fp"), "left")
       .select(col("doc_id"), col("fp_hit").isNull.as("exact_new"))
+    val batchShingles = shingleRows(batch).select("shingle").distinct()
+    val candidates = shingleRows(corpus)
+      .join(broadcast(batchShingles), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
     val pairs = jaccardPairs(
       batch.select(col("doc_id"), col("text"))
-        .unionByName(corpus.select(col("doc_id"), col("text"))), threshold)
+        .unionByName(corpus.join(candidates, "doc_id")
+          .select(col("doc_id"), col("text"))), threshold)
     val bIds = batch.select(col("doc_id"))
     val tagged = pairs
       .join(bIds.select(col("doc_id").as("doc_a"), lit(true).as("a_b")),

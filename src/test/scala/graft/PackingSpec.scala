@@ -45,6 +45,31 @@ class PackingSpec extends SparkSuite {
                      (3L, "b") -> 0L, (4L, "b") -> 1L))
   }
 
+  test("packing laws on the real corpus: monotone bins, next-fit 2-approximation") {
+    val docs = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
+    val budget = 512L
+    val nf = Packing.nextFitBins(docs, budget)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3)))
+    nf.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // bins are assigned monotonically in doc order, no gaps
+      val bins = ordered.map(_._4)
+      assert(bins.head == 0L, s"$src first bin")
+      bins.sliding(2).foreach { case Array(a, b) =>
+        assert(b == a || b == a + 1, s"$src bins must step by 0 or 1")
+      case _ => ()
+      }
+      // next-fit uses at most 2x the lower bound ceil(total/budget)
+      // when no single doc exceeds the budget
+      val total = ordered.map(_._3.toLong).sum
+      if (ordered.forall(_._3 <= budget)) {
+        val lower = (total + budget - 1) / budget
+        val used = bins.max + 1
+        assert(used <= 2 * lower, s"$src next-fit bound: $used > 2*$lower")
+      }
+    }
+  }
+
   test("next-fit is layout-independent (same bins after a repartition)") {
     val docs = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
     def run(df: org.apache.spark.sql.DataFrame) =
