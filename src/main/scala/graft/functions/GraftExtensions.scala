@@ -56,9 +56,15 @@ object GraftExtensions {
         graft.ops.Sampling.hashBucket(Bridge.column(children(0)), buckets))
     })
 
+  val textNormalize: Registration = (
+    FunctionIdentifier("text_normalize"),
+    new ExpressionInfo(classOf[NormalizeText].getName, "text_normalize"),
+    (children: Seq[Expression]) => NormalizeText(children.head))
+
   val all: Seq[Registration] = Seq(
     vectorDot,
     hashBucket,
+    textNormalize,
     reg("graft_cosine", 2)(c => graft.text.Similarity.cosine(c(0), c(1))),
     reg("graft_fingerprint", 1)(c => graft.text.TextStats.fingerprint(c(0))),
     reg("graft_quality_score", 1)(c => graft.text.TextStats.qualityScore(c(0))),

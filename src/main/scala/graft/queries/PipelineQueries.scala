@@ -250,6 +250,29 @@ object PipelineQueries {
       .orderBy("train_id", "probe_id")
   }
 
+  /** Unicode canonicalization ([[graft.functions.NormalizeText]] — the
+    * codegen'd NFC → casefold → whitespace-collapse pass dedup keys
+    * need): deterministic Unicode mess appended per doc — precomposed
+    * É vs E+combining-acute chosen by parity (NFC must collapse both
+    * to one md5), combining diaereses, ragged tabs/newlines, mixed
+    * case — and the oracle replays the cascade with utf8proc's
+    * `nfc_normalize`, so the two engines' Unicode tables and the
+    * explicit `[ \t\n]+` whitespace class are pinned against each
+    * other. */
+  def qTextNormalize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NormalizeText.text_normalize
+    val did = col("doc_id")
+    val mess = concat(
+      lit("  CAFÉ \t"),
+      when(did % 2 === 0, lit("Éloge")).otherwise(lit("Éloge")),
+      lit("  NAÏVE \n Über  "))
+    docs(s, d).select(did, concat(col("text"), lit("  "), mess).as("raw"))
+      .select(col("doc_id"),
+        md5(text_normalize(col("raw")).cast("binary")).as("norm_md5"),
+        length(text_normalize(col("raw"))).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental-ingestion gate ([[Dedup.incrementalFlags]]): the
     * even-id half of `documents` stands in for the existing corpus,
     * the odd-id half for today's batch. Per batch doc the oracle
@@ -378,6 +401,7 @@ object PipelineQueries {
     "q_corpus_build"        -> qCorpusBuild,  // flagship end-to-end composition
     "q_heavy_hitters"       -> qHeavyHitters, // bounded sketch, guarantee audit
     "q_incremental_ingest"  -> qIncrementalIngest,
+    "q_text_normalize"      -> qTextNormalize,  // codegen'd NFC cascade, full oracle
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
@@ -565,6 +589,24 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_curation_funnel" -> FUNNEL_SQL,
     "q_corpus_build" -> CORPUS_BUILD_SQL,
+    // identical raw construction via chr() codepoints, then utf8proc's
+    // nfc_normalize replaying the JDK cascade: NFC -> lower ->
+    // explicit [ \t\n]+ collapse -> trim
+    "q_text_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || '  ' || '  CAFE' || chr(769) || ' ' || chr(9)
+        |    || CASE WHEN doc_id % 2 = 0 THEN chr(201) || 'loge'
+        |            ELSE 'E' || chr(769) || 'loge' END
+        |    || '  NAI' || chr(776) || 'VE ' || chr(10) || ' U' || chr(776)
+        |    || 'ber  ' AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(raw)), '[ \t\n]+', ' ', 'g'))
+        |    AS norm
+        |  FROM r)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |  CAST(length(norm) AS INTEGER) AS n_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
     // fingerprint anti-join + cross-parity Jaccard rejection; the pair
     // CTE is the same exact self-join the dedup oracles use (the union
     // of both halves IS the documents table)
