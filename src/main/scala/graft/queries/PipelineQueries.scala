@@ -250,6 +250,42 @@ object PipelineQueries {
       .orderBy("train_id", "probe_id")
   }
 
+  /** Unigram language-model scoring — the LM-based quality filter a
+    * curation pipeline runs (the CCNet shape: score each doc against a
+    * per-source smoothed unigram model; outliers are boilerplate or
+    * noise). Per source: p(tok) = (c+1)/(N+V) add-one smoothed; per
+    * doc: mean −ln p over its tokens.
+    *
+    * Cross-engine determinism: ln agrees between engines (pinned by
+    * the PMI/TF-IDF rows), but float SUM order would not — so the
+    * per-doc terms are folded LEFT-TO-RIGHT IN TOKEN ORDER on both
+    * sides (sort_array + aggregate here, list(... ORDER BY tok) +
+    * list_sum there), making the whole score bit-identical before the
+    * 6-dp round. */
+  def qLmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"), col("source"),
+      explode(TextStats.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val model = counts.join(totals, "source")
+      .select(col("source"), col("tok"),
+        log((col("c") + lit(1)) / (col("n") + col("v"))).as("logp"))
+    val perDocTok = toks.groupBy("doc_id", "source", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .join(model, Seq("source", "tok"))
+      .select(col("doc_id"), col("tok"),
+        (col("cnt") * col("logp")).as("term"), col("cnt"))
+    perDocTok.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("term"))))
+             .as("terms"),
+           sum(col("cnt")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-expr("aggregate(terms, 0d, (acc, x) -> acc + x.term)")
+          / col("n_tokens"), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Unicode canonicalization ([[graft.functions.NormalizeText]] — the
     * codegen'd NFC → casefold → whitespace-collapse pass dedup keys
     * need): deterministic Unicode mess appended per doc — precomposed
@@ -402,6 +438,7 @@ object PipelineQueries {
     "q_heavy_hitters"       -> qHeavyHitters, // bounded sketch, guarantee audit
     "q_incremental_ingest"  -> qIncrementalIngest,
     "q_text_normalize"      -> qTextNormalize,  // codegen'd NFC cascade, full oracle
+    "q_lm_score"            -> qLmScore,        // unigram LM quality filter
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
@@ -589,6 +626,33 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_curation_funnel" -> FUNNEL_SQL,
     "q_corpus_build" -> CORPUS_BUILD_SQL,
+    // per-source add-one unigram model, per-doc mean -ln p; the float
+    // fold runs left-to-right in token order on BOTH engines (list(..
+    // ORDER BY tok) + list_sum here = sort_array + aggregate there) so
+    // the sum is bit-identical before the round
+    "q_lm_score" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest($T) AS tok FROM documents),
+         |counts AS (SELECT source, tok, count(*) AS c
+         |           FROM tok GROUP BY source, tok),
+         |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         |                  count(*) AS v
+         |           FROM counts GROUP BY source),
+         |model AS (SELECT counts.source, counts.tok,
+         |                 ln((c + 1) / (n + v)) AS logp
+         |          FROM counts JOIN totals ON counts.source = totals.source),
+         |per_doc_tok AS (
+         |  SELECT t.doc_id, t.tok, count(*) * m.logp AS term,
+         |         count(*) AS cnt
+         |  FROM tok t JOIN model m ON m.source = t.source AND m.tok = t.tok
+         |  GROUP BY t.doc_id, t.tok, m.logp),
+         |agg AS (
+         |  SELECT doc_id, list(term ORDER BY tok) AS terms,
+         |         CAST(sum(cnt) AS BIGINT) AS n_tokens
+         |  FROM per_doc_tok GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(-list_sum(terms) / n_tokens, 6) AS lm_score
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // identical raw construction via chr() codepoints, then utf8proc's
     // nfc_normalize replaying the JDK cascade: NFC -> lower ->
     // explicit [ \t\n]+ collapse -> trim
