@@ -19,10 +19,13 @@ class PlanAuditSpec extends SparkSuite {
   // exact all-pairs join (the thing the LSH path is measured against);
   // the LSH side itself stays equi-join (pinned by the gated-plan test
   // below).
+  // q_heavy_hitters crossJoins its 1-row audit frames (n_tokens,
+  // n_heavy, flags) — the same single-row-broadcast shape.
   private val intendedNestedLoop = Set(
     "q_ann_brute", "q_cosine_pairs", "q_cosine_pairs_lsh", "q_ann_ivf",
     "q_ann_lsh", "q_band_join",
-    "q_anomaly_days", "q_tfidf_terms", "q_pmi_bigrams", "q_key_skew")
+    "q_anomaly_days", "q_tfidf_terms", "q_pmi_bigrams", "q_key_skew",
+    "q_heavy_hitters")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
