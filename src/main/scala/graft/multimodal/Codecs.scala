@@ -200,6 +200,14 @@ object Codecs {
     * MPEG-1 Layer III frame header after the tag; duration is the CBR
     * estimate payload·8/bitrate. None if no valid frame sync found. */
   def parseMp3(bytes: Array[Byte]): Option[AudioMeta] = {
+    // anchored container magic wins over the unanchored sync scan: an
+    // Ogg page's granule/serial bytes can fake an MPEG sync (found by
+    // the cross-engine oracle: granule -1 = FF… followed by a serial
+    // whose low byte is FA/FB), and RIFF audio is WAV's to parse
+    if (bytes.length >= 4 &&
+        ((bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' && bytes(3) == 'S') ||
+         (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')))
+      return None
     val (tagEnd, title, artist) = parseId3v2(bytes)
     var pos = tagEnd
     while (pos + 4 <= bytes.length) {
@@ -223,10 +231,42 @@ object Codecs {
   /** Walk Ogg pages; identify Vorbis or Opus from the first packet's id
     * header; duration from the last granule position (Opus granules
     * run at 48 kHz by spec, Vorbis at the declared rate). */
+  /** Parse a VorbisComment / OpusTags block at `off`: vendor string
+    * then n `KEY=value` UTF-8 comments — extract TITLE and ARTIST
+    * (case-insensitive keys per spec). Bounds-checked: a hostile
+    * length field stops the scan, never overruns. */
+  private def parseComments(bytes: Array[Byte], off: Int,
+      end: Int): (Option[String], Option[String]) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (off + 4 > end) return (None, None)
+    val vendorLen = bb.getInt(off)
+    if (vendorLen < 0 || off + 4 + vendorLen + 4 > end) return (None, None)
+    var pos = off + 4 + vendorLen
+    val n = bb.getInt(pos); pos += 4
+    if (n < 0) return (None, None)
+    var title: Option[String] = None; var artist: Option[String] = None
+    var i = 0
+    while (i < n && pos + 4 <= end) {
+      val len = bb.getInt(pos); pos += 4
+      if (len < 0 || pos + len > end) return (title, artist)
+      val c = new String(bytes, pos, len, "UTF-8")
+      val eq = c.indexOf('=')
+      if (eq > 0) {
+        val key = c.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
+        val v = Some(c.substring(eq + 1)).filter(_.nonEmpty)
+        if (key == "TITLE") title = v
+        if (key == "ARTIST") artist = v
+      }
+      pos += len; i += 1
+    }
+    (title, artist)
+  }
+
   def parseOgg(bytes: Array[Byte]): Option[AudioMeta] = {
     var pos = 0
     var rate = 0; var channels = 0; var codec = ""
     var lastGranule = 0L; var preSkip = 0
+    var title: Option[String] = None; var artist: Option[String] = None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var first = true
     while (pos + 27 <= bytes.length &&
@@ -251,12 +291,24 @@ object Codecs {
           rate = 48000 // granule clock; input rate at body+12 is advisory
         }
         first = false
+      } else if (title.isEmpty && artist.isEmpty) {
+        // metadata packet: type-3 vorbis comment header or OpusTags
+        val bodyEnd = math.min(body + bodyLen, bytes.length)
+        if (body + 7 <= bytes.length && bytes(body) == 3 &&
+            new String(bytes, body + 1, 6, "ISO-8859-1") == "vorbis") {
+          val (t, a) = parseComments(bytes, body + 7, bodyEnd)
+          title = t; artist = a
+        } else if (body + 8 <= bytes.length &&
+            new String(bytes, body, 8, "ISO-8859-1") == "OpusTags") {
+          val (t, a) = parseComments(bytes, body + 8, bodyEnd)
+          title = t; artist = a
+        }
       }
       pos = body + bodyLen // body > pos always: the walk cannot stall
     }
     if (codec.isEmpty || rate <= 0) None
     else Some(AudioMeta("ogg/" + codec, rate, channels, 0,
-      math.max(0L, lastGranule - preSkip) * 1000.0 / rate, None, None))
+      math.max(0L, lastGranule - preSkip) * 1000.0 / rate, title, artist))
   }
 
   /** Container-level audio metadata for any supported format: WAV gets
@@ -266,8 +318,8 @@ object Codecs {
     decodeWavPcm16(bytes).map(w =>
         AudioMeta("wav", w.sampleRate, w.channels, w.sampleRate * w.bitsPerSample * w.channels / 1000,
           w.durationMs, None, None))
+      .orElse(parseOgg(bytes)) // anchored magic before the MP3 sync scan
       .orElse(parseMp3(bytes))
-      .orElse(parseOgg(bytes))
 
   // ---- ImageIO (PNG/JPEG/GIF/BMP — JDK-standard codecs) ----
 

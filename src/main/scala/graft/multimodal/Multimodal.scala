@@ -190,6 +190,15 @@ object Multimodal {
       Array[Byte](1, body.length.toByte) ++ body
   }
 
+  /** VorbisComment/OpusTags payload (after the magic): vendor string +
+    * TITLE/ARTIST comments — the tag block both Ogg codecs share. */
+  private def commentBlock(id: Long): Array[Byte] = {
+    val vendor = "graft".getBytes("UTF-8")
+    def c(s: String) = { val b = s.getBytes("UTF-8"); le32(b.length) ++ b }
+    le32(vendor.length) ++ vendor ++ le32(2) ++
+      c(s"TITLE=T$id") ++ c(s"ARTIST=A${id % 7}")
+  }
+
   def synthOggVorbis(id: Long): Array[Byte] = {
     val v = id / 3
     val rate = VorbisRateSweep((v % 5).toInt)
@@ -198,8 +207,11 @@ object Multimodal {
     val idHeader = Array[Byte](1) ++ "vorbis".getBytes("ISO-8859-1") ++
       le32(0) ++ Array(channels.toByte) ++ le32(rate) ++
       le32(0) ++ le32(0) ++ le32(0) ++ Array[Byte](0xB8.toByte, 1)
+    val comments = Array[Byte](3) ++ "vorbis".getBytes("ISO-8859-1") ++
+      commentBlock(id)
     oggPage(2, 0L, id, 0, idHeader) ++
-      oggPage(4, granule, id, 1, Array[Byte](0))
+      oggPage(0, -1L, id, 1, comments) ++
+      oggPage(4, granule, id, 2, Array[Byte](0))
   }
 
   def synthOggOpus(id: Long): Array[Byte] = {
@@ -210,8 +222,10 @@ object Multimodal {
     val idHeader = "OpusHead".getBytes("ISO-8859-1") ++
       Array[Byte](1, channels.toByte) ++ le16(preSkip) ++
       le32(48000) ++ le16(0) ++ Array[Byte](0)
+    val tags = "OpusTags".getBytes("ISO-8859-1") ++ commentBlock(id)
     oggPage(2, 0L, id, 0, idHeader) ++
-      oggPage(4, granule, id, 1, Array[Byte](0))
+      oggPage(0, -1L, id, 1, tags) ++
+      oggPage(4, granule, id, 2, Array[Byte](0))
   }
 
   /** One real compressed-audio container per document id, batched per

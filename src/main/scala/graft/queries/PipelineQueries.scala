@@ -877,8 +877,8 @@ object PipelineQueries {
         |             WHEN m = 1 THEN (1000 + (u * 7) % 96000) * 1000.0 / vorbis_rate
         |             ELSE (48000 + u % 48000 - (312 + u % 100)) * 1000.0 / 48000
         |        END, 6) AS duration_ms,
-        |  CASE WHEN m = 0 THEN 'T' || doc_id END AS title,
-        |  CASE WHEN m = 0 THEN 'A' || (doc_id % 7) END AS artist
+        |  'T' || doc_id AS title,
+        |  'A' || (doc_id % 7) AS artist
         |FROM f ORDER BY media_id""".stripMargin,
     // the ANN result SET is engine-specific; what IS cross-engine
     // checkable is the corpus-derived query count and the quality

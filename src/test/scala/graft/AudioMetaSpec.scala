@@ -102,6 +102,16 @@ class AudioMetaSpec extends SparkSuite {
       math.abs(out(3L).getDouble(5) - 1000.0) < 1e-9)
   }
 
+  test("Ogg bytes that fake an MPEG sync still route to the Ogg parser") {
+    // id 4346: serial low byte 0xFA right after the comment page's
+    // granule -1 (0xFF…) — an unanchored MP3 sync scan bites here
+    val m = Codecs.audioMeta(Multimodal.synthAudioContainer(4346L))
+      .getOrElse(fail("did not parse"))
+    assert(m.format == "ogg/opus", s"misrouted as ${m.format}")
+    assert(Codecs.parseMp3(Multimodal.synthOggOpus(4346L)).isEmpty,
+      "parseMp3 must reject OggS-headed payloads")
+  }
+
   test("synthetic container sweep round-trips every header field (q_audio_container's invariant)") {
     for (id <- 0L until 60L) {
       val m = Codecs.audioMeta(Multimodal.synthAudioContainer(id))
@@ -120,11 +130,15 @@ class AudioMetaSpec extends SparkSuite {
           assert(m.sampleRate == Multimodal.VorbisRateSweep((u % 5).toInt))
           assert(m.channels == 1 + (u % 2).toInt && m.bitrateKbps == 0)
           assert(m.durationMs == (1000L + (u * 7) % 96000) * 1000.0 / m.sampleRate)
+          assert(m.title.contains(s"T$id") && m.artist.contains(s"A${id % 7}"),
+            "VorbisComment TITLE/ARTIST must parse")
         case _ =>
           assert(m.format == "ogg/opus")
           assert(m.sampleRate == 48000 && m.channels == 1 + (u % 2).toInt)
           assert(m.durationMs ==
             (48000L + u % 48000 - (312 + u % 100)) * 1000.0 / 48000)
+          assert(m.title.contains(s"T$id") && m.artist.contains(s"A${id % 7}"),
+            "OpusTags TITLE/ARTIST must parse")
       }
     }
   }
