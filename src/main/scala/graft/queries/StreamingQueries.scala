@@ -69,8 +69,15 @@ object StreamingQueries {
   def qStreamEnrich(s: SparkSession, d: String): DataFrame =
     Events.enrichedSegmentTotals(s, d)
 
+  /** Streaming ingest gate: stream-static anti join against the lake's
+    * fingerprint set (see [[Events.streamingIngestGate]]); oracle is
+    * the batch NOT EXISTS. */
+  def qStreamIngest(s: SparkSession, d: String): DataFrame =
+    Events.streamingIngestGate(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_enrich"    -> qStreamEnrich,
+    "q_stream_ingest"    -> qStreamIngest,
     "q_stream_join"      -> qStreamJoin,
     "q_stream_sessions"  -> qStreamSessions,
     "q_fmgws_sessions"   -> qFmgwsSessions,
@@ -81,6 +88,15 @@ object StreamingQueries {
     "q_stateful_totals"  -> qStatefulTotals)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_ingest" ->
+      s"""SELECT b.doc_id, b.source
+         |FROM documents b
+         |WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+         |  SELECT 1 FROM documents c
+         |  WHERE c.doc_id % 2 = 0
+         |    AND ${graft.text.TextStats.FINGERPRINT("c.text")}
+         |      = ${graft.text.TextStats.FINGERPRINT("b.text")})
+         |ORDER BY b.doc_id""".stripMargin,
     "q_stream_enrich" ->
       s"""SELECT c_mktsegment, count(*) AS n_events,
          |  ${Q.DSUM("value")} AS total_value

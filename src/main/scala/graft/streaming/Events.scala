@@ -347,4 +347,33 @@ object Events {
       .select(col("user_id"), col("n_events"), col("total_value"))
       .orderBy("user_id")
   }
+
+  /** Streaming ingest gate — the curation layer's daily-delta shape
+    * run as a STREAM: new documents arrive on a file stream, the
+    * existing lake's fingerprint set is the static side, and a
+    * stream-static LEFT ANTI join (stateless ⇒ append mode, no
+    * watermark needed) admits only fingerprints the lake has never
+    * seen. The static side broadcasts — at scale it is the lake's
+    * fingerprint INDEX (one slim column, far smaller than the lake)
+    * and the gate itself is map-side per micro-batch. Near-dup gating
+    * stays in the batch [[graft.text.Dedup.incrementalFlags]] — its
+    * bound-then-verify join is not expressible inside a micro-batch
+    * without unbounded state. */
+  def streamingIngestGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextStats
+    val lakeFps = graft.io.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+    val batch = spark.readStream.schema(graft.io.Tables.schemas("documents"))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        TextStats.fingerprint(col("text")).as("fp"))
+    val admitted = batch
+      .join(broadcast(lakeFps), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"))
+    runToCompletion(spark, admitted, mode = "append")
+      .orderBy("doc_id")
+  }
 }
