@@ -250,6 +250,31 @@ object PipelineQueries {
       .orderBy("train_id", "probe_id")
   }
 
+  /** RAG/embedding chunk prep ([[TextStats.chunkDocs]]): 64-token
+    * windows every 48 tokens, md5 chunk ids. The oracle re-slices the
+    * token lists in SQL, so window arithmetic (starts, clamped final
+    * window) and the join-text hashing are cross-engine pinned. */
+  def qChunkSpans(s: SparkSession, d: String): DataFrame =
+    TextStats.chunkDocs(docs(s, d), size = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Cross-source duplication matrix: where near-dup mass concentrates
+    * (which sources copy which) — the corpus-level view of the pair
+    * graph a dedup report leads with. Pairs from the hardened
+    * [[Dedup.jaccardPairs]]; sources rejoin id-keyed; the (src_a ≤
+    * src_b) canonicalization makes the matrix triangular. */
+  def qDupMatrix(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val src = dd.select(col("doc_id"), col("source"))
+    Dedup.jaccardPairs(dd, jacThreshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+               greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Unigram language-model scoring — the LM-based quality filter a
     * curation pipeline runs (the CCNet shape: score each doc against a
     * per-source smoothed unigram model; outliers are boilerplate or
@@ -439,6 +464,8 @@ object PipelineQueries {
     "q_incremental_ingest"  -> qIncrementalIngest,
     "q_text_normalize"      -> qTextNormalize,  // codegen'd NFC cascade, full oracle
     "q_lm_score"            -> qLmScore,        // unigram LM quality filter
+    "q_chunk_spans"         -> qChunkSpans,     // RAG chunk prep
+    "q_dup_matrix"          -> qDupMatrix,      // cross-source near-dup matrix
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
     "q_text_stats"          -> qTextStats,
@@ -626,6 +653,37 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_curation_funnel" -> FUNNEL_SQL,
     "q_corpus_build" -> CORPUS_BUILD_SQL,
+    // SQL re-slices the token lists: range() is stop-exclusive where
+    // sequence() is stop-inclusive, so greatest(n,1) vs greatest(n-1,0)
+    // produce the same start set; list[a:b] clamps like slice()
+    "q_chunk_spans" ->
+      s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |        unnest(range(0, greatest(len(toks), 1), 48)) AS st
+         |      FROM t)
+         |SELECT doc_id, CAST(st // 48 AS INTEGER) AS chunk_idx,
+         |  CAST(len(toks[st+1 : st+64]) AS INTEGER) AS n_chunk_tokens,
+         |  md5(array_to_string(toks[st+1 : st+64], ' ')) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_dup_matrix" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Dedup.SHINGLES("text")} AS s FROM documents
+         |), x AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |      FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  JOIN sizes la ON la.doc_id = doc_a
+         |  JOIN sizes lb ON lb.doc_id = doc_b
+         |  WHERE common / (la.n + lb.n - common) >= $jacThreshold)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM jac JOIN documents da ON da.doc_id = jac.doc_a
+         |         JOIN documents db ON db.doc_id = jac.doc_b
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     // per-source add-one unigram model, per-doc mean -ln p; the float
     // fold runs left-to-right in token order on BOTH engines (list(..
     // ORDER BY tok) + list_sum here = sort_array + aggregate there) so

@@ -123,4 +123,28 @@ object TextStats {
     piiPatterns.map { case (pat, _) =>
       size(regexp_extract_all(text, lit(pat), lit(0)))
     }.reduce(_ + _)
+
+  /** Overlapping token-window chunking — the retrieval/embedding prep
+    * step (size-token windows every stride tokens; the final window
+    * may be short). One row per (doc, chunk): chunk index, its token
+    * count, and the md5 of the space-joined chunk text (the id an
+    * embedding or retrieval index would key on). Pure row-local
+    * explode — embarrassingly parallel, no shuffle beyond output
+    * ordering. */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, size: Int,
+      stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("toks")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / lit(stride)).cast("int").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(
+          slice(col("toks"), col("start") + 1, lit(size))).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(size)))
+          .cast("binary")).as("chunk_md5"))
+  }
 }
