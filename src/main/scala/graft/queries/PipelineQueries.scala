@@ -258,6 +258,18 @@ object PipelineQueries {
     TextStats.chunkDocs(docs(s, d), size = 64, stride = 48)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Passage-level dedup: repeated 64-token windows across documents
+    * (boilerplate paragraphs survive doc-level dedup when the
+    * surrounding text differs — chunk-granular exact matching catches
+    * them). One hash-groupBy over [[TextStats.chunkDocs]]' md5 ids. */
+  def qChunkDedup(s: SparkSession, d: String): DataFrame =
+    TextStats.chunkDocs(docs(s, d), size = 64, stride = 48)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("chunk_md5")
+
   /** Cross-source duplication matrix: where near-dup mass concentrates
     * (which sources copy which) — the corpus-level view of the pair
     * graph a dedup report leads with. Pairs from the hardened
@@ -465,6 +477,7 @@ object PipelineQueries {
     "q_text_normalize"      -> qTextNormalize,  // codegen'd NFC cascade, full oracle
     "q_lm_score"            -> qLmScore,        // unigram LM quality filter
     "q_chunk_spans"         -> qChunkSpans,     // RAG chunk prep
+    "q_chunk_dedup"         -> qChunkDedup,     // passage-level exact dedup
     "q_dup_matrix"          -> qDupMatrix,      // cross-source near-dup matrix
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
@@ -665,6 +678,18 @@ object PipelineQueries {
          |  CAST(len(toks[st+1 : st+64]) AS INTEGER) AS n_chunk_tokens,
          |  md5(array_to_string(toks[st+1 : st+64], ' ')) AS chunk_md5
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |        unnest(range(0, greatest(len(toks), 1), 48)) AS st
+         |      FROM t),
+         |c AS (SELECT doc_id,
+         |        md5(array_to_string(toks[st+1 : st+64], ' ')) AS chunk_md5
+         |      FROM s)
+         |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM c GROUP BY chunk_md5 HAVING count(*) > 1
+         |ORDER BY chunk_md5""".stripMargin,
     "q_dup_matrix" ->
       s"""WITH sh AS (
          |  SELECT doc_id, ${Dedup.SHINGLES("text")} AS s FROM documents
