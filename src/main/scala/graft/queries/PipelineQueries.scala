@@ -258,6 +258,27 @@ object PipelineQueries {
     TextStats.chunkDocs(docs(s, d), size = 64, stride = 48)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Per-source release manifest ([[Curation.manifest]]): counts,
+    * token mass, and the order-independent bit_xor content
+    * fingerprint — cross-engine because the 60-bit md5 hash is and
+    * XOR commutes. */
+  def qCorpusManifest(s: SparkSession, d: String): DataFrame =
+    Curation.manifest(docs(s, d)).orderBy("source")
+
+  /** Snapshot diff ([[Curation.snapshotDiff]]): v_old = ids ∉ 7ℤ,
+    * v_new = ids ∉ 5ℤ with every id ∈ 3ℤ rewritten (text + " v2") —
+    * exercising all four statuses; oracle replays the full outer
+    * join. */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val vOld = dd.filter(col("doc_id") % 7 =!= 0)
+    val vNew = dd.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    Curation.snapshotDiff(vOld, vNew).orderBy("source")
+  }
+
   /** Passage-level dedup: repeated 64-token windows across documents
     * (boilerplate paragraphs survive doc-level dedup when the
     * surrounding text differs — chunk-granular exact matching catches
@@ -478,6 +499,8 @@ object PipelineQueries {
     "q_lm_score"            -> qLmScore,        // unigram LM quality filter
     "q_chunk_spans"         -> qChunkSpans,     // RAG chunk prep
     "q_chunk_dedup"         -> qChunkDedup,     // passage-level exact dedup
+    "q_corpus_manifest"     -> qCorpusManifest, // release integrity manifest
+    "q_snapshot_diff"       -> qSnapshotDiff,   // version-to-version report
     "q_dup_matrix"          -> qDupMatrix,      // cross-source near-dup matrix
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
@@ -678,6 +701,38 @@ object PipelineQueries {
          |  CAST(len(toks[st+1 : st+64]) AS INTEGER) AS n_chunk_tokens,
          |  md5(array_to_string(toks[st+1 : st+64], ' ')) AS chunk_md5
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // bit_xor commutes, so the content fingerprint is aggregation-
+    // order-free; the 60-bit shifted hash keeps both engines sign-safe
+    "q_corpus_manifest" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(len($T) AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(${Dedup.MD5_HASH64("text")} >> 4) AS BIGINT)
+         |    AS content_xor
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_snapshot_diff" ->
+      s"""WITH o AS (
+         |  SELECT doc_id, source AS src_old,
+         |         ${TextStats.FINGERPRINT("text")} AS fp_old
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |n AS (
+         |  SELECT doc_id, source AS src_new,
+         |         ${TextStats.FINGERPRINT(
+                      "CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END")}
+         |           AS fp_new
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |j AS (
+         |  SELECT coalesce(n.src_new, o.src_old) AS source,
+         |    CASE WHEN o.fp_old IS NULL THEN 'added'
+         |         WHEN n.fp_new IS NULL THEN 'removed'
+         |         WHEN o.fp_old <> n.fp_new THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
          |s AS (SELECT doc_id, toks,

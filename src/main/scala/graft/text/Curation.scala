@@ -80,4 +80,42 @@ object Curation {
     graft.ops.Scale.writePartitioned(
       docs.join(keepers(docs, jacThreshold).select("doc_id"), "doc_id"),
       path, "source")
+
+  /** Per-source release manifest: doc count, token mass, and an
+    * ORDER-INDEPENDENT content fingerprint (bit_xor of the md5-derived
+    * 60-bit text hashes — XOR commutes, never overflows, and flips on
+    * any single-document change), the integrity line a corpus release
+    * ships with. */
+  def manifest(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_toks"),
+        // 60-bit form (sign-free on both engines: DuckDB's UBIGINT
+        // hash cast to BIGINT would overflow above 2^63)
+        shiftrightunsigned(Dedup.md5Hash64(col("text")), 4).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("n_tokens"),
+           expr("bit_xor(h)").as("content_xor"))
+
+  /** Snapshot diff between two corpus versions, per source: rows
+    * added / removed / changed (same id, different fingerprint) /
+    * unchanged — the release-to-release report. One full outer join
+    * on doc_id; fingerprints compare content, not bytes-on-disk. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), col("source").as("src_old"),
+      TextStats.fingerprint(col("text")).as("fp_old"))
+    val n = newDocs.select(col("doc_id"), col("source").as("src_new"),
+      TextStats.fingerprint(col("text")).as("fp_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source")
+      .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+           sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+           sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+           sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
 }

@@ -37,6 +37,33 @@ class CurationSpec extends SparkSuite {
     } finally flags.unpersist()
   }
 
+  test("manifest fingerprint is order-independent and flips on any content change") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "x y z"), (2L, "a", "p q"), (3L, "b", "m"))
+      .toDF("doc_id", "source", "text")
+    def xor(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Curation.manifest(df).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val base = xor(docs)
+    assert(xor(docs.repartition(5)) == base, "layout must not matter")
+    assert(xor(docs.orderBy(col("doc_id").desc)) == base, "order must not matter")
+    val mutated = Seq((1L, "a", "x y z"), (2L, "a", "p q!"), (3L, "b", "m"))
+      .toDF("doc_id", "source", "text")
+    assert(xor(mutated)("a") != base("a") && xor(mutated)("b") == base("b"))
+  }
+
+  test("snapshotDiff reports all four statuses") {
+    import spark.implicits._
+    val vOld = Seq((1L, "a", "same"), (2L, "a", "will change"), (3L, "a", "will drop"))
+      .toDF("doc_id", "source", "text")
+    val vNew = Seq((1L, "a", "same"), (2L, "a", "changed!"), (4L, "a", "brand new"))
+      .toDF("doc_id", "source", "text")
+    val r = graft.text.Curation.snapshotDiff(vOld, vNew).collect().head
+    assert(r.getString(0) == "a")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((1L, 1L, 1L, 1L)), "added/removed/changed/unchanged")
+  }
+
   test("materialize writes the kept documents partitioned by source and round-trips") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val out = java.nio.file.Files.createTempDirectory("curated").toString
