@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.Wave4Queries.queries ++
     graft.queries.FinanceQueries.queries ++
     graft.queries.EventAnalytics.queries ++
-    graft.queries.Wave5Queries.queries
+    graft.queries.Wave5Queries.queries ++
+    graft.queries.Wave6Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
     graft.queries.Wave4Queries.oracles ++
     graft.queries.FinanceQueries.oracles ++
     graft.queries.EventAnalytics.oracles ++
-    graft.queries.Wave5Queries.oracles
+    graft.queries.Wave5Queries.oracles ++
+    graft.queries.Wave6Queries.oracles
 }

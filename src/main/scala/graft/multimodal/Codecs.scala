@@ -367,6 +367,53 @@ object Codecs {
         .map(pixelStats(_, nBuckets))
     } catch { case _: Exception => None }
 
+  /** Difference hash (dHash) — the standard perceptual image
+    * fingerprint for image-level dedup: decode (any ImageIO format),
+    * nearest-neighbor sample a 9×8 grayscale grid (same integer index
+    * arithmetic as [[resizeImageNearest]]: src = dstIdx·srcDim/dstDim),
+    * then one bit per horizontally adjacent pair — bit j·8+i set iff
+    * gray(i+1,j) > gray(i,j). 64 bits returned as two non-negative
+    * 32-bit halves (lo = bits 0–31, hi = bits 32–63) so SQL engines can
+    * rebuild the signature without signed-overflow hazards. Lossless
+    * inputs make the hash integer-exact and cross-engine verifiable.
+    * None if the payload doesn't decode or is narrower than the grid
+    * needs (w < 9 or h < 8 would alias NN samples; we still hash — NN
+    * indexing is total — so only a failed decode returns None. */
+  def dhash64(bytes: Array[Byte]): Option[(Long, Long)] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val gray = Array.ofDim[Int](8, 9)
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 9) {
+            val sx = (i.toLong * w / 9).toInt
+            val sy = (j.toLong * h / 8).toInt
+            val p = img.getRGB(sx, sy)
+            gray(j)(i) = (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF)
+              + 114 * (p & 0xFF)) / 1000
+            i += 1
+          }
+          j += 1
+        }
+        var lo = 0L; var hi = 0L
+        j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            if (gray(j)(i + 1) > gray(j)(i)) {
+              val bit = j * 8 + i
+              if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+            }
+            i += 1
+          }
+          j += 1
+        }
+        (hi, lo)
+      }
+    } catch { case _: Exception => None }
+
   /** PNG writer over packed RGB triples (tests / synthetic corpora);
     * lossless, so decode(encode(rgb)) returns the exact input pixels. */
   def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {

@@ -84,6 +84,69 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthetic NEAR-DUPLICATE image corpus for the perceptual-hash
+    * dedup path: documents sharing `doc_id mod 97` get the same base
+    * image (geometry and gradient derive from the group, not the doc),
+    * and each doc perturbs a sparse deterministic subset of pixels
+    * (every (id·7 + x·5 + y·11) ≡ 0 mod 37 pixel brightened by 55) —
+    * so same-group hashes land a small Hamming distance apart while
+    * cross-group hashes are far. Base channels stay < 200 so the +55
+    * never clips, keeping every pixel an exact integer formula of
+    * (doc_id, group, x, y) that a SQL engine can replay. */
+  def nearDupGroup(id: Long): Long = id % 97
+  def nearDupWidth(g: Long): Int = (16 + g % 17).toInt
+  def nearDupHeight(g: Long): Int = (16 + g % 13).toInt
+  def nearDupPixels(id: Long): Array[Byte] = {
+    val g = nearDupGroup(id)
+    val w = nearDupWidth(g); val h = nearDupHeight(g)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      val add = if ((id * 7 + x * 5 + y * 11) % 37 == 0) 55 else 0
+      rgb(3 * i) = ((x * 7 + y * 3 + g * 5) % 200 + add).toByte
+      rgb(3 * i + 1) = ((x * 11 + y * 5 + g * 3) % 200 + add).toByte
+      rgb(3 * i + 2) = ((x * 13 + y * 7 + g) % 200 + add).toByte
+      i += 1
+    }
+    rgb
+  }
+
+  /** One real PNG per document id over the [[nearDupPixels]] formula —
+    * the image-dedup twin of [[syntheticImages]]. */
+  def syntheticNearDupImages(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val g = nearDupGroup(id)
+          Row(id, Codecs.encodePng(nearDupWidth(g), nearDupHeight(g),
+            nearDupPixels(id)))
+        }
+      }(enc)
+  }
+
+  /** Perceptual signatures: REAL decode → [[Codecs.dhash64]] per
+    * payload; rows that don't decode are dropped. Output
+    * (media_id, sig_hi, sig_lo) feeds the Hamming pigeonhole join. */
+  def dhashSignatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sig_hi", LongType),
+      StructField("sig_lo", LongType))))
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.dhash64(r.getAs[Array[Byte]](1)).map { case (hi, lo) =>
+            Row(r.getLong(0), hi, lo)
+          }
+        }
+      }(enc)
+  }
+
   /** Deterministic synthetic PCM16 samples from the media id — integer
     * arithmetic only, so a SQL engine can recompute the decoded
     * amplitude stats analytically (the audio twin of [[synthPixels]]):

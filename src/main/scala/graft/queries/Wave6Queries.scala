@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.multimodal.Multimodal
+import graft.text.{Dedup, Similarity, TextStats}
+
+/** Round-5 wave 6 — the curation/lakehouse operators the earlier waves
+  * did not cover, each oracle-checked end to end:
+  *
+  *  - `q_scd2`: slowly-changing-dimension (type 2) history build —
+  *    gaps-and-islands over each customer's order-priority timeline
+  *    (the reference's date-indexed model kept only current state;
+  *    SURVEY §1.1 — a lakehouse needs the full validity-interval
+  *    history).
+  *  - `q_lm_bigram`: interpolated bigram language-model quality score
+  *    per document (the CCNet-style perplexity filter, one order up
+  *    from `q_lm_score`'s unigram model).
+  *  - `q_semantic_dedup`: embedding-space near-duplicate DECISIONS —
+  *    exact cosine pairs → connected components → keeper per cluster
+  *    (the SemDeDup shape: Abbas et al. 2023, arXiv:2303.09540).
+  *  - `q_image_dedup`: perceptual-hash image dedup — real PNG decode →
+  *    dHash → Hamming-≤3 pairs via a pigeonhole chunk join that is
+  *    provably complete at that radius (no quadratic join anywhere).
+  */
+object Wave6Queries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** SCD-2 build over `orders`: each customer's o_orderpriority
+    * timeline collapsed into change-islands (consecutive equal values
+    * merge), one version row per island with [valid_from, valid_to)
+    * and an is_current flag. Ordering is (o_orderdate, o_orderkey) so
+    * same-day orders resolve deterministically. One window + one
+    * groupBy — both shuffle on o_custkey only, so the build scales as
+    * a single hash-partitioned pass at any corpus size. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val byOrder = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val marked = Tables.load(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(byOrder)
+          === col("o_orderpriority"), lit(0)).otherwise(lit(1)))
+      .withColumn("version", sum(col("chg")).over(byOrder))
+    val byVer = Window.partitionBy("o_custkey").orderBy("version")
+    marked
+      .groupBy("o_custkey", "version", "o_orderpriority")
+      .agg(min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+      .select(col("o_custkey").as("custkey"), col("version"),
+        col("o_orderpriority").as("priority"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"),
+        col("n_orders"))
+      .orderBy("custkey", "version")
+  }
+
+  /** Interpolated bigram LM score per document, model fitted per
+    * source on the corpus itself (the self-perplexity quality filter):
+    * p(w2|w1) = 0.9·c(w1w2)/c(w1) + 0.1·c(w2)/N, score =
+    * −Σ log p / n_bigrams. The per-doc sum folds in bigram-string
+    * order (same order-pinned fold as `q_lm_score`) so the double
+    * accumulation is bit-reproducible across engines and partition
+    * layouts. Counts are corpus-wide groupBys (uniform keys); the
+    * per-doc join broadcasts nothing and shuffles on (source, bigram)
+    * — the shape survives a 100× corpus. */
+  def qLmBigram(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).repartition(col("doc_id"))
+    val bg = base.select(col("doc_id"), col("source"),
+      explode(Dedup.ngrams(col("text"), n = 2)).as("bg"))
+    val toks = base.select(col("doc_id"), col("source"),
+      explode(TextStats.tokens(col("text"))).as("tok"))
+    val uni = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val tot = uni.groupBy("source").agg(sum(col("c")).as("n"))
+    val c12 = bg.groupBy("source", "bg").agg(count(lit(1)).as("c12"))
+    val model = c12
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("source"), col("tok").as("w1"), col("c").as("c1")),
+        Seq("source", "w1"))
+      .join(uni.select(col("source"), col("tok").as("w2"), col("c").as("c2")),
+        Seq("source", "w2"))
+      .join(tot, "source")
+      .select(col("source"), col("bg"),
+        log(lit(0.9) * col("c12") / col("c1")
+          + lit(0.1) * col("c2") / col("n")).as("logp"))
+    bg.groupBy("doc_id", "source", "bg").agg(count(lit(1)).as("cnt"))
+      .join(model, Seq("source", "bg"))
+      .select(col("doc_id"), col("bg"),
+        (col("cnt") * col("logp")).as("term"), col("cnt"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("bg"), col("term"))))
+        .as("terms"),
+        sum(col("cnt")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-expr("aggregate(terms, 0d, (acc, x) -> acc + x.term)")
+          / col("n_bigrams"), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-space dedup DECISIONS (SemDeDup shape): exact cosine
+    * pairs ≥ 0.45 over the size-gated pair miner, transitive clusters
+    * via the O(log n)-round connected components, keeper = min vec_id
+    * per cluster. Only vectors in ≥1 near-dup pair appear (singletons
+    * are not duplicates). Every stage reuses a 100×-safe component:
+    * the gate swaps the quadratic pair join for LSH candidates above
+    * 100k rows, and the CC rounds are diameter-independent. */
+  def qSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val pairs = Similarity.cosinePairs(embs(s, d), threshold = 0.45)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"),
+        col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** Perceptual-hash image dedup over REAL decoded pixels: the
+    * synthetic near-duplicate PNG corpus ([[Multimodal
+    * .syntheticNearDupImages]] — same-group images differ by a sparse
+    * deterministic pixel perturbation) through ImageIO decode →
+    * [[graft.multimodal.Codecs.dhash64]] → [[Dedup.hammingPairs64]] at
+    * radius 3, where the 4×16-bit pigeonhole join is provably complete
+    * — so the oracle can demand the EXACT all-pairs answer and any
+    * defect in the decode, the NN grid sampling, the bit packing, or
+    * the chunk join breaks the hash. */
+  def qImageDedup(s: SparkSession, d: String): DataFrame = {
+    val sigs = Multimodal.dhashSignatures(
+      Multimodal.syntheticNearDupImages(docs(s, d)))
+    Dedup.hammingPairs64(sigs, maxDist = 3)
+      .withColumn("hamming", col("hamming").cast("integer"))
+      .orderBy("media_a", "media_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> qScd2,
+    "q_lm_bigram" -> qLmBigram,
+    "q_semantic_dedup" -> qSemanticDedup,
+    "q_image_dedup" -> qImageDedup)
+
+  /** dHash recomputed analytically from the synthesis formula: the 9×8
+    * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
+    * the perturbed channel formulas, integer luma, one bit per
+    * horizontal neighbor pair, packed into the same (hi, lo) halves.
+    * The pair scan is the EXACT full self-join (no chunk-candidate
+    * mirror) — legal because the 4-chunk pigeonhole at radius 3 is
+    * complete, and stronger: a broken chunk mask on the Spark side
+    * surfaces as a missing pair here. */
+  private val IMAGE_DEDUP_SQL =
+    """WITH d AS (SELECT doc_id, doc_id % 97 AS grp FROM documents),
+      |dim AS (SELECT doc_id, grp, 16 + grp % 17 AS w, 16 + grp % 13 AS h
+      |        FROM d),
+      |g0 AS (SELECT doc_id, grp, w, h, unnest(range(0, 72)) AS i FROM dim),
+      |gp AS (SELECT doc_id, grp, i % 9 AS gx, i // 9 AS gy,
+      |              ((i % 9) * w) // 9 AS sx, ((i // 9) * h) // 8 AS sy
+      |       FROM g0),
+      |gf AS (SELECT *, CASE WHEN (doc_id*7 + sx*5 + sy*11) % 37 = 0
+      |                      THEN 55 ELSE 0 END AS f
+      |       FROM gp),
+      |gr AS (SELECT doc_id, gx, gy,
+      |         (299*((sx*7 + sy*3 + grp*5) % 200 + f)
+      |          + 587*((sx*11 + sy*5 + grp*3) % 200 + f)
+      |          + 114*((sx*13 + sy*7 + grp) % 200 + f)) // 1000 AS gray
+      |       FROM gf),
+      |bits AS (SELECT l.doc_id, l.gy*8 + l.gx AS bit
+      |         FROM gr l JOIN gr r ON r.doc_id = l.doc_id
+      |           AND r.gy = l.gy AND r.gx = l.gx + 1
+      |         WHERE l.gx < 8 AND r.gray > l.gray),
+      |sig0 AS (SELECT doc_id,
+      |           CAST(coalesce(sum(CASE WHEN bit < 32
+      |             THEN (1::BIGINT << bit) END), 0) AS BIGINT) AS lo,
+      |           CAST(coalesce(sum(CASE WHEN bit >= 32
+      |             THEN (1::BIGINT << (bit - 32)) END), 0) AS BIGINT) AS hi
+      |         FROM bits GROUP BY doc_id),
+      |sig AS (SELECT doc_id, coalesce(lo, 0) AS lo, coalesce(hi, 0) AS hi
+      |        FROM d LEFT JOIN sig0 USING (doc_id))
+      |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+      |  CAST(bit_count(xor(a.lo, b.lo))
+      |     + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      |ORDER BY media_a, media_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH m AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority) OVER w = o_orderpriority
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |v AS (
+        |  SELECT *, CAST(sum(chg) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |    AS BIGINT) AS version
+        |  FROM m),
+        |i AS (
+        |  SELECT o_custkey, version, o_orderpriority,
+        |         min(o_orderdate) AS valid_from, count(*) AS n_orders
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT o_custkey AS custkey, version, o_orderpriority AS priority,
+        |  valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  (lead(valid_from) OVER w2 IS NULL) AS is_current,
+        |  n_orders
+        |FROM i
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
+        |ORDER BY custkey, version""".stripMargin,
+    "q_lm_bigram" -> {
+      val T = TextStats.TOKENS("text")
+      val B = Dedup.NGRAMS("text", 2)
+      s"""WITH bg AS (
+         |  SELECT doc_id, source, unnest($B) AS bg FROM documents),
+         |tok AS (SELECT doc_id, source, unnest($T) AS tok FROM documents),
+         |uni AS (SELECT source, tok, count(*) AS c
+         |        FROM tok GROUP BY source, tok),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |        FROM uni GROUP BY source),
+         |c12 AS (SELECT source, bg, count(*) AS c12
+         |        FROM bg GROUP BY source, bg),
+         |model AS (
+         |  SELECT c12.source, c12.bg,
+         |    ln(0.9 * c12 / u1.c + 0.1 * u2.c / tot.n) AS logp
+         |  FROM c12
+         |  JOIN uni u1 ON u1.source = c12.source
+         |             AND u1.tok = split_part(bg, ' ', 1)
+         |  JOIN uni u2 ON u2.source = c12.source
+         |             AND u2.tok = split_part(bg, ' ', 2)
+         |  JOIN tot ON tot.source = c12.source),
+         |per_doc AS (
+         |  SELECT b.doc_id, b.bg, count(*) * m.logp AS term,
+         |         count(*) AS cnt
+         |  FROM bg b JOIN model m ON m.source = b.source AND m.bg = b.bg
+         |  GROUP BY b.doc_id, b.bg, m.logp),
+         |agg AS (
+         |  SELECT doc_id, list(term ORDER BY bg) AS terms,
+         |         CAST(sum(cnt) AS BIGINT) AS n_bigrams
+         |  FROM per_doc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  round(-list_sum(terms) / n_bigrams, 6) AS lm_score
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "q_semantic_dedup" -> {
+      val cos = Similarity.COSINE("ea", "eb", 64)
+      s"""WITH RECURSIVE a AS (
+         |  SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
+         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
+         |jac AS (
+         |  SELECT vec_a, vec_b FROM a JOIN b ON vec_a < vec_b
+         |  WHERE $cos >= 0.45),
+         |e AS (SELECT vec_a AS src, vec_b AS dst FROM jac
+         |      UNION ALL SELECT vec_b, vec_a FROM jac),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (
+         |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT l.vec_id, l.cluster_id,
+         |  l.vec_id = l.cluster_id AS is_keeper, c.cluster_size
+         |FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
+         |                 FROM lab GROUP BY 1) c USING (cluster_id)
+         |ORDER BY l.vec_id""".stripMargin
+    },
+    "q_image_dedup" -> IMAGE_DEDUP_SQL)
+}

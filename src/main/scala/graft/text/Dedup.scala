@@ -38,6 +38,21 @@ object Dedup {
        |  range(greatest(len(${TextStats.TOKENS(e)}) - ${n - 1}, 0)),
        |  i -> array_to_string(${TextStats.TOKENS(e)}[i+1:i+$n], ' ')))""".stripMargin
 
+  /** [[shingles]] WITHOUT the distinct collapse — every occurrence kept,
+    * for frequency-sensitive consumers (n-gram language models count
+    * occurrences; dedup shingling wants sets). */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+  }
+
+  def NGRAMS(e: String, n: Int): String =
+    s"""list_transform(
+       |  range(greatest(len(${TextStats.TOKENS(e)}) - ${n - 1}, 0)),
+       |  i -> array_to_string(${TextStats.TOKENS(e)}[i+1:i+$n], ' '))""".stripMargin
+
   /** doc_id → exploded distinct shingle rows. Repartitioned first: a
     * single-file parquet source otherwise leaves the shingle/hash compute
     * on one partition (one core), regardless of shuffle.partitions. */
@@ -305,6 +320,40 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               popcount(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= lit(maxDist))
+  }
+
+  /** Hamming-≤ maxDist pairs over a split 64-bit signature
+    * (sig_hi = bits 32–63, sig_lo = bits 0–31, both non-negative) —
+    * the pairing engine behind perceptual-hash image dedup. Same
+    * 16-bit chunk pigeonhole as [[simhashNearDups]]: a Hamming
+    * distance ≤ 3 spread across 4 disjoint chunks must leave one chunk
+    * untouched, so for maxDist ≤ 3 the equi-join candidate set is
+    * PROVABLY COMPLETE — the output equals the exact all-pairs answer
+    * without any quadratic join. Input columns (media_id, sig_hi,
+    * sig_lo); output (media_a, media_b, hamming). */
+  def hammingPairs64(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val pieces = Seq(
+      col("sig_lo").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("sig_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("sig_hi").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("sig_hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    val chunks = pieces.zipWithIndex.map { case (p, c) =>
+      struct(lit(c).as("chunk"), p.as("piece"))
+    }
+    val keyed = sigs
+      .select(col("media_id"), col("sig_hi"), col("sig_lo"),
+        explode(array(chunks: _*)).as("ck"))
+      .select(col("media_id"), col("sig_hi"), col("sig_lo"),
+        col("ck.chunk"), col("ck.piece"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.piece") === col("b.piece") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        (bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi"))) +
+          bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= lit(maxDist))
   }

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.multimodal.{Codecs, Multimodal}
+import graft.queries.Wave6Queries
+import graft.text.Dedup
+
+/** Wave-6 operators: perceptual-hash image dedup (dHash + pigeonhole
+  * Hamming join), SCD-2 history build, bigram-LM scoring, semantic
+  * dedup decisions. */
+class Wave6Spec extends SparkSuite {
+
+  // ---- dHash primitive ----
+
+  test("dhash64 is deterministic and identical for identical images") {
+    val png = Codecs.encodePng(Multimodal.nearDupWidth(3),
+      Multimodal.nearDupHeight(3), Multimodal.nearDupPixels(3))
+    val a = Codecs.dhash64(png).get
+    val b = Codecs.dhash64(png.clone()).get
+    assert(a == b)
+    assert(a._1 >= 0L && a._2 >= 0L, "halves must be non-negative")
+    assert((a._1 >>> 32) == 0L && (a._2 >>> 32) == 0L,
+      "each half holds exactly 32 bits")
+  }
+
+  test("dhash64 of same-group perturbed images stays within a small " +
+      "Hamming radius; cross-group images are far") {
+    def sig(id: Long): (Long, Long) = {
+      val g = Multimodal.nearDupGroup(id)
+      Codecs.dhash64(Codecs.encodePng(Multimodal.nearDupWidth(g),
+        Multimodal.nearDupHeight(g), Multimodal.nearDupPixels(id))).get
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // ids 5 and 102 share group 5; 6 is in group 6 (different geometry
+    // and gradient). The sparse perturbation flips only a few sampled
+    // comparisons, the group change rewrites the whole gradient.
+    val same = ham(sig(5), sig(102))
+    val cross = ham(sig(5), sig(6))
+    assert(same <= 8, s"same-group Hamming should be small, got $same")
+    assert(cross > 8, s"cross-group Hamming should be large, got $cross")
+  }
+
+  test("dhash64 returns None for undecodable payloads") {
+    assert(Codecs.dhash64("not an image".getBytes).isEmpty)
+    assert(Codecs.dhash64(Array.emptyByteArray).isEmpty)
+  }
+
+  // ---- Hamming pigeonhole join ----
+
+  test("hammingPairs64 equals brute force at radius 3 (pigeonhole " +
+      "completeness) on a corpus with adversarial bit spreads") {
+    // signatures that differ in 1..4 bits spread across chunks —
+    // including a 4-bit spread hitting all four chunks (must be
+    // EXCLUDED at radius 3, would be the classic incompleteness trap)
+    val base = 0x0123456789ABCDEFL
+    val sigs = Seq(
+      0L -> base,
+      1L -> (base ^ 1L), // 1 bit, chunk 0
+      2L -> (base ^ (1L << 17)), // 1 bit, chunk 1
+      3L -> (base ^ 1L ^ (1L << 17) ^ (1L << 33)), // 3 bits, 3 chunks
+      4L -> (base ^ 1L ^ (1L << 17) ^ (1L << 33) ^ (1L << 49)), // 4 bits
+      5L -> ~base) // far away
+    val rows = sigs.map { case (id, s) =>
+      Row(id, s >>> 32, s & 0xFFFFFFFFL)
+    }
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sig_hi", LongType),
+      StructField("sig_lo", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val got = Dedup.hammingPairs64(df, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == brute,
+      s"pigeonhole join must equal brute force: got $got expected $brute")
+    assert(!got.exists(p => p._1 == 0L && p._2 == 4L),
+      "4 bits across 4 chunks is beyond radius 3")
+  }
+
+  // ---- registry queries on real test data ----
+
+  test("q_image_dedup emits only radius-3 pairs and the pair set is " +
+      "symmetric-free and deduplicated") {
+    val out = Wave6Queries.qImageDedup(spark, sf("sf0.001"))
+    val rows = out.collect()
+    assert(rows.nonEmpty, "the near-dup corpus must produce pairs")
+    assert(rows.forall(_.getInt(2) <= 3))
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.forall(p => p._1 < p._2))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("q_scd2 versions are contiguous islands per customer") {
+    val out = Wave6Queries.qScd2(spark, sf("sf0.001"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 1L, s"cust $cust versions start at 1")
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"cust $cust versions must be dense")
+      // exactly one current row, and it is the last version
+      val currents = sorted.filter(_.getBoolean(5))
+      assert(currents.length == 1 && currents.head == sorted.last)
+      // valid_to chains to the next island's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(4) == b.get(3),
+            s"cust $cust: valid_to must equal next valid_from")
+        case _ =>
+      }
+      // consecutive islands carry different priorities (else they'd merge)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(2) != b.getString(2))
+        case _ =>
+      }
+    }
+  }
+
+  test("q_lm_bigram scores are positive and bigram counts match " +
+      "token counts minus one per multi-token doc") {
+    val out = Wave6Queries.qLmBigram(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) > 0.0),
+      "self-perplexity of observed bigrams is a positive -log-likelihood")
+    // docs with n tokens contribute exactly n-1 bigram OCCURRENCES
+    // (ngrams keeps duplicates — the distinct-collapsing shingles
+    // variant would undercount repeated bigrams and skew the LM)
+    val toks = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"),
+        size(graft.text.TextStats.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == toks(r.getLong(0)) - 1L)
+    }
+  }
+
+  test("q_semantic_dedup keepers are cluster minima and sizes add up") {
+    val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid,
+        "cluster id is the minimum member")
+      assert(members.count(_.getBoolean(2)) == 1, "exactly one keeper")
+      assert(members.forall(_.getLong(3) == members.length),
+        "cluster_size matches membership")
+      assert(members.length >= 2, "near-dup clusters have at least a pair")
+    }
+  }
+}
