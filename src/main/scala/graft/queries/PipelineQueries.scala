@@ -571,7 +571,7 @@ object PipelineQueries {
     * component id = min reachable doc_id. Shared CTE chain: the
     * clusters oracle and the curation-funnel oracle both end in `lab`
     * (doc_id, cluster_id — only docs that appear in ≥ 1 pair). */
-  private val CLOSURE_CTES =
+  private[queries] val CLOSURE_CTES =
     s"""sh AS (
        |  SELECT doc_id, ${Dedup.SHINGLES("text")} AS s FROM documents
        |), x AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -604,7 +604,7 @@ object PipelineQueries {
   /** Unrounded quality score — the exact expression `q_text_stats`
     * rounds for output; the funnel gates on it raw, so both oracles
     * must share one spelling. */
-  private def QUALITY(text: String, toks: String): String = {
+  private[queries] def QUALITY(text: String, toks: String): String = {
     val stops = TextStats.stopwords.values.flatten.toSeq.distinct
       .map(w => s"'$w'").mkString(", ")
     s"""least(greatest(least(len($toks) / 100.0, 1.0)

@@ -140,11 +140,87 @@ object Wave6Queries {
       .orderBy("media_a", "media_b")
   }
 
+  /** URL / domain analytics — the domain-level filtering signal every
+    * web-scraped corpus needs (blocklists, per-domain budgets).
+    * Deterministic synthetic URLs (pure string formulas of doc_id) are
+    * appended in-plan, then extracted with the SAME RE2-compatible
+    * regex both engines run, grouped per domain with doc reach and a
+    * literal blocklist flag. Explode + groupBy on a low-cardinality
+    * key — one shuffle, scale-safe. */
+  def qUrlDomains(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val withUrls = docs(s, d).select(did,
+      concat_ws(" ", col("text"),
+        concat(lit("https://site"), (did % 7).cast("string"),
+          lit(".example/p/"), did.cast("string")),
+        concat(lit("http://cdn"), (did % 11).cast("string"),
+          lit(".assets.test/img/"), (did % 5).cast("string"))).as("text"))
+    withUrls
+      .select(did, explode(
+        expr("regexp_extract_all(text, 'https?://[^ ]+', 0)")).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([^/]+)", 1))
+      .groupBy("domain")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+      .withColumn("blocked",
+        col("domain").isin("cdn0.assets.test", "cdn1.assets.test"))
+      .orderBy("domain")
+  }
+
+  /** Boilerplate signal: the share of a document's distinct 3-shingles
+    * that are corpus-common (document frequency ≥ 32) — the per-doc
+    * surface of the stop-shingle statistic the Jaccard skew cap is
+    * built on. High ratio = templated/boilerplate text. Two uniform
+    * groupBy shuffles (shingle, then doc_id); no joins wider than the
+    * exploded shingle rows. */
+  def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingleRows(docs(s, d))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 32, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        round(col("n_common") / col("n_shingles"), 6)
+          .as("boilerplate_ratio"),
+        (col("n_common") * lit(2) >= col("n_shingles")).as("is_boilerplate"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-aware keeper selection: near-dup clusters (exact-Jaccard
+    * pairs → connected components) keep their HIGHEST-QUALITY member,
+    * not the lowest id — the decision a real curation pipeline makes.
+    * Tie-break on (rounded quality desc, doc_id) so both engines pick
+    * the same doc when scores collide. */
+  def qClusterBest(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val pairs = Dedup.jaccardPairs(base, jacThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    val q = base.select(col("doc_id"),
+      round(TextStats.qualityScore(col("text")), 6).as("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    cc.join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+      .select(col("cluster_id"), col("doc_id").as("best_doc"),
+        col("quality").as("best_quality"), col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
+  private val jacThreshold = 0.8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2" -> qScd2,
     "q_lm_bigram" -> qLmBigram,
     "q_semantic_dedup" -> qSemanticDedup,
-    "q_image_dedup" -> qImageDedup)
+    "q_image_dedup" -> qImageDedup,
+    "q_url_domains" -> qUrlDomains,
+    "q_boilerplate" -> qBoilerplate,
+    "q_cluster_best" -> qClusterBest)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -272,5 +348,53 @@ object Wave6Queries {
          |                 FROM lab GROUP BY 1) c USING (cluster_id)
          |ORDER BY l.vec_id""".stripMargin
     },
-    "q_image_dedup" -> IMAGE_DEDUP_SQL)
+    "q_image_dedup" -> IMAGE_DEDUP_SQL,
+    "q_url_domains" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' https://site' || (doc_id % 7) || '.example/p/' || doc_id
+        |       || ' http://cdn' || (doc_id % 11) || '.assets.test/img/'
+        |       || (doc_id % 5) AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url
+        |      FROM t),
+        |dm AS (SELECT doc_id,
+        |         regexp_extract(url, 'https?://([^/]+)', 1) AS domain
+        |       FROM u)
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls,
+        |  domain IN ('cdn0.assets.test', 'cdn1.assets.test') AS blocked
+        |FROM dm GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_boilerplate" -> {
+      val S = Dedup.SHINGLES("text")
+      s"""WITH sh AS (SELECT doc_id, unnest($S) AS shingle FROM documents),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df >= 32 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common,
+         |  round(sum(CASE WHEN df >= 32 THEN 1 ELSE 0 END) / count(*), 6)
+         |    AS boilerplate_ratio,
+         |  sum(CASE WHEN df >= 32 THEN 1 ELSE 0 END) * 2 >= count(*)
+         |    AS is_boilerplate
+         |FROM sh JOIN dfreq USING (shingle)
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+    },
+    "q_cluster_best" -> {
+      val T = TextStats.TOKENS("text")
+      s"""WITH RECURSIVE ${PipelineQueries.CLOSURE_CTES},
+         |t AS (SELECT doc_id, text, $T AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |        round(${PipelineQueries.QUALITY("text", "toks")}, 6)
+         |          AS quality
+         |      FROM t),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM lab GROUP BY 1),
+         |rk AS (SELECT l.cluster_id, l.doc_id, q.quality,
+         |         row_number() OVER (PARTITION BY l.cluster_id
+         |           ORDER BY q.quality DESC, l.doc_id) AS rk
+         |       FROM lab l JOIN q ON q.doc_id = l.doc_id)
+         |SELECT r.cluster_id, r.doc_id AS best_doc,
+         |  r.quality AS best_quality, sz.cluster_size
+         |FROM rk r JOIN sz USING (cluster_id)
+         |WHERE r.rk = 1 ORDER BY r.cluster_id""".stripMargin
+    })
 }

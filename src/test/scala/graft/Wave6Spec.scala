@@ -144,6 +144,53 @@ class Wave6Spec extends SparkSuite {
     }
   }
 
+  test("q_url_domains finds every synthetic URL and flags the blocklist") {
+    val rows = Wave6Queries.qUrlDomains(spark, sf("sf0.001")).collect()
+    // 7 site domains + 11 cdn domains over 500 docs
+    assert(rows.length == 18)
+    assert(rows.map(_.getLong(2)).sum == 1000L, "two URLs per document")
+    val blocked = rows.filter(_.getBoolean(3)).map(_.getString(0)).toSet
+    assert(blocked == Set("cdn0.assets.test", "cdn1.assets.test"))
+  }
+
+  test("q_boilerplate ratio is n_common/n_shingles and bounded") {
+    val rows = Wave6Queries.qBoilerplate(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(c <= n)
+      assert(math.abs(ratio - c.toDouble / n) < 1e-6)
+      assert(r.getBoolean(4) == (2 * c >= n))
+    }
+  }
+
+  test("q_cluster_best picks the highest-quality member of each cluster") {
+    val best = Wave6Queries.qClusterBest(spark, sf("sf0.001")).collect()
+    assert(best.nonEmpty)
+    // recompute membership + quality and cross-check the argmax
+    val pairs = graft.text.Dedup.jaccardPairs(
+      graft.io.Tables.load(spark, sf("sf0.001"), "documents"), 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = graft.text.Dedup.connectedComponents(pairs)
+    val q = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"),
+        round(graft.text.TextStats.qualityScore(col("text")), 6).as("q"))
+    val members = cc.join(q, "doc_id").collect()
+      .groupBy(_.getLong(1))
+      .map { case (cid, ms) =>
+        cid -> ms.map(m => (m.getLong(0), m.getDouble(2))).toSeq
+      }
+    best.foreach { r =>
+      val (cid, bestDoc, bestQ, size) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      val ms = members(cid)
+      assert(ms.size == size)
+      val expected = ms.minBy { case (id, qq) => (-qq, id) }
+      assert((bestDoc, bestQ) == expected,
+        s"cluster $cid argmax mismatch: got ($bestDoc,$bestQ) exp $expected")
+    }
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
