@@ -211,6 +211,69 @@ object Wave6Queries {
       .orderBy("cluster_id")
   }
 
+  /** Image-level dedup DECISIONS — [[qImageDedup]]'s pair graph through
+    * the same O(log n) connected components the text path uses: one
+    * cluster per perceptually-equal image family, keeper = min
+    * media_id. Because the radius-3 pigeonhole pair set is exact, the
+    * whole pipeline (decode → hash → pairs → clusters) stays
+    * oracle-checkable. */
+  def qImageClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.hammingPairs64(
+      Multimodal.dhashSignatures(
+        Multimodal.syntheticNearDupImages(docs(s, d))), maxDist = 3)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id").as("media_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"),
+        col("cluster_size"))
+      .orderBy("media_id")
+  }
+
+  /** Token-distribution drift per source between two deterministic
+    * halves of the corpus (the snapshot-to-snapshot drift monitor —
+    * the split is the md5 hash-bucket parity from [[graft.ops
+    * .Sampling]], NOT doc_id parity, which the generator correlates
+    * with source): symmetric KL over the SHARED vocabulary, each
+    * direction's sum folded in token order so the double accumulation
+    * is bit-reproducible. Distributions are normalized over
+    * shared-vocab counts only, so every term is finite by
+    * construction. */
+  def qKlDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).repartition(col("doc_id"))
+      .select(col("source"),
+        (graft.ops.Sampling.hashBucket(col("doc_id"), 2) === 0).as("even"),
+        explode(TextStats.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("source", "tok")
+      .agg(sum(when(col("even"), 1L).otherwise(0L)).as("ce"),
+        sum(when(col("even"), 0L).otherwise(1L)).as("co"))
+      .filter(col("ce") > 0 && col("co") > 0)
+    val totals = counts.groupBy("source")
+      .agg(sum(col("ce")).as("ne"), sum(col("co")).as("no"),
+        count(lit(1)).as("n_shared"))
+    counts.join(totals, "source")
+      .select(col("source"), col("tok"), col("n_shared"),
+        ((col("ce") / col("ne"))
+          * log((col("ce") / col("ne")) / (col("co") / col("no"))))
+          .as("term_pq"),
+        ((col("co") / col("no"))
+          * log((col("co") / col("no")) / (col("ce") / col("ne"))))
+          .as("term_qp"))
+      .groupBy("source")
+      .agg(max(col("n_shared")).as("n_shared"),
+        sort_array(collect_list(struct(col("tok"), col("term_pq"))))
+          .as("tpq"),
+        sort_array(collect_list(struct(col("tok"), col("term_qp"))))
+          .as("tqp"))
+      .select(col("source"), col("n_shared"),
+        round(expr("aggregate(tpq, 0d, (acc, x) -> acc + x.term_pq)"), 6)
+          .as("kl_even_odd"),
+        round(expr("aggregate(tqp, 0d, (acc, x) -> acc + x.term_qp)"), 6)
+          .as("kl_odd_even"))
+      .orderBy("source")
+  }
+
   private val jacThreshold = 0.8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -220,7 +283,9 @@ object Wave6Queries {
     "q_image_dedup" -> qImageDedup,
     "q_url_domains" -> qUrlDomains,
     "q_boilerplate" -> qBoilerplate,
-    "q_cluster_best" -> qClusterBest)
+    "q_cluster_best" -> qClusterBest,
+    "q_image_clusters" -> qImageClusters,
+    "q_kl_drift" -> qKlDrift)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -230,8 +295,11 @@ object Wave6Queries {
     * mirror) — legal because the 4-chunk pigeonhole at radius 3 is
     * complete, and stronger: a broken chunk mask on the Spark side
     * surfaces as a missing pair here. */
-  private val IMAGE_DEDUP_SQL =
-    """WITH d AS (SELECT doc_id, doc_id % 97 AS grp FROM documents),
+  /** Shared CTE chain ending in `sig` (doc_id, lo, hi) — the pair scan
+    * and the clusters closure both start from the same recomputed
+    * signatures. */
+  private val IMAGE_SIG_CTES =
+    """d AS (SELECT doc_id, doc_id % 97 AS grp FROM documents),
       |dim AS (SELECT doc_id, grp, 16 + grp % 17 AS w, 16 + grp % 13 AS h
       |        FROM d),
       |g0 AS (SELECT doc_id, grp, w, h, unnest(range(0, 72)) AS i FROM dim),
@@ -257,13 +325,39 @@ object Wave6Queries {
       |             THEN (1::BIGINT << (bit - 32)) END), 0) AS BIGINT) AS hi
       |         FROM bits GROUP BY doc_id),
       |sig AS (SELECT doc_id, coalesce(lo, 0) AS lo, coalesce(hi, 0) AS hi
-      |        FROM d LEFT JOIN sig0 USING (doc_id))
+      |        FROM d LEFT JOIN sig0 USING (doc_id))""".stripMargin
+
+  private val IMAGE_DEDUP_SQL =
+    s"""WITH $IMAGE_SIG_CTES
       |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
       |  CAST(bit_count(xor(a.lo, b.lo))
       |     + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
       |ORDER BY media_a, media_b""".stripMargin
+
+  /** Image clusters: exact radius-3 pair graph → recursive-CTE
+    * transitive closure (same shape as the text/semantic closures). */
+  private val IMAGE_CLUSTERS_SQL =
+    s"""WITH RECURSIVE $IMAGE_SIG_CTES,
+      |ip AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+      |       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |       WHERE bit_count(xor(a.lo, b.lo))
+      |           + bit_count(xor(a.hi, b.hi)) <= 3),
+      |e AS (SELECT pa AS src, pb AS dst FROM ip
+      |      UNION ALL SELECT pb, pa FROM ip),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      |lab AS (
+      |  SELECT src AS media_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src)
+      |SELECT l.media_id, l.cluster_id,
+      |  l.media_id = l.cluster_id AS is_keeper, c.cluster_size
+      |FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
+      |                 FROM lab GROUP BY 1) c USING (cluster_id)
+      |ORDER BY l.media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_scd2" ->
@@ -396,5 +490,39 @@ object Wave6Queries {
          |  r.quality AS best_quality, sz.cluster_size
          |FROM rk r JOIN sz USING (cluster_id)
          |WHERE r.rk = 1 ORDER BY r.cluster_id""".stripMargin
+    },
+    "q_image_clusters" -> IMAGE_CLUSTERS_SQL,
+    "q_kl_drift" -> {
+      val T = TextStats.TOKENS("text")
+      s"""WITH tok AS (
+         |  SELECT source,
+         |    ${graft.ops.Sampling.HASH_BUCKET("doc_id", 2)} = 0 AS even,
+         |    unnest($T) AS tok
+         |  FROM documents),
+         |counts AS (
+         |  SELECT source, tok,
+         |    CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+         |    CAST(sum(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS co
+         |  FROM tok GROUP BY source, tok
+         |  HAVING sum(CASE WHEN even THEN 1 ELSE 0 END) > 0
+         |     AND sum(CASE WHEN even THEN 0 ELSE 1 END) > 0),
+         |totals AS (
+         |  SELECT source, CAST(sum(ce) AS BIGINT) AS ne,
+         |         CAST(sum(co) AS BIGINT) AS no_, count(*) AS n_shared
+         |  FROM counts GROUP BY source),
+         |terms AS (
+         |  SELECT c.source, c.tok, t.n_shared,
+         |    (ce / ne) * ln((ce / ne) / (co / no_)) AS term_pq,
+         |    (co / no_) * ln((co / no_) / (ce / ne)) AS term_qp
+         |  FROM counts c JOIN totals t USING (source)),
+         |agg AS (
+         |  SELECT source, max(n_shared) AS n_shared,
+         |    list(term_pq ORDER BY tok) AS tpq,
+         |    list(term_qp ORDER BY tok) AS tqp
+         |  FROM terms GROUP BY source)
+         |SELECT source, n_shared,
+         |  round(list_sum(tpq), 6) AS kl_even_odd,
+         |  round(list_sum(tqp), 6) AS kl_odd_even
+         |FROM agg ORDER BY source""".stripMargin
     })
 }

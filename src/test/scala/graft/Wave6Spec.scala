@@ -191,6 +191,35 @@ class Wave6Spec extends SparkSuite {
     }
   }
 
+  test("q_image_clusters is consistent with the image pair graph") {
+    val pairs = Wave6Queries.qImageDedup(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Wave6Queries.qImageClusters(spark, sf("sf0.001")).collect()
+    val cid = clusters.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair's endpoints share a cluster; cluster id = min member
+    pairs.foreach { case (a, b) =>
+      assert(cid(a) == cid(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_.getLong(1)).foreach { case (c, ms) =>
+      assert(ms.map(_.getLong(0)).min == c)
+      assert(ms.count(_.getBoolean(2)) == 1)
+    }
+    // membership is exactly the docs appearing in >= 1 pair
+    assert(clusters.map(_.getLong(0)).toSet ==
+      pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
+  test("q_kl_drift is non-negative, finite, and split is non-degenerate") {
+    val rows = Wave6Queries.qKlDrift(spark, sf("sf0.001")).collect()
+    assert(rows.length == 20, "one row per source")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "shared vocabulary must be non-empty")
+      // Gibbs' inequality: KL >= 0 (up to the 1e-6 output rounding)
+      assert(r.getDouble(2) >= -1e-6 && r.getDouble(3) >= -1e-6)
+      assert(!r.getDouble(2).isNaN && !r.getDouble(3).isNaN)
+    }
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
