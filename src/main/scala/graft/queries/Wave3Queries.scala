@@ -43,6 +43,55 @@ object Wave3Queries {
       .agg(Q.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
            count(lit(1)).as("n"))
 
+  /** TPC-H Q5 (local supplier volume): revenue per nation where the
+    * customer and the supplier share the nation — the classic 6-table
+    * snowflake with a fact-fact shuffle core (lineitem⋈orders on
+    * orderkey, then custkey/suppkey) and broadcast leaves for the tiny
+    * nation/region dims. customer and supplier stay on the shuffle
+    * path: both grow linearly with SF (at 100 TB neither is
+    * broadcastable), and the c_nationkey = s_nationkey cross-filter
+    * rides the supplier join as a residual condition. */
+  def qTpchQ5(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                  col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")
+          .filter(col("r_name") === lit("ASIA"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Q.dsum(Q.revenue).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** TPC-H Q17 (small-quantity-order revenue): parts of one brand below
+    * a size cut, lineitems under 20% of that part's average quantity.
+    * The correlated scalar subquery decorrelates into a per-part
+    * aggregate joined back on partkey — one extra uniform-key shuffle
+    * instead of a per-row probe; the threshold is derived with the
+    * exact decimal sum so the < comparison lands identically in both
+    * engines. */
+  def qTpchQ17(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val parts = t(s, d, "part")
+      .filter(col("p_brand") === lit("Brand#23") && col("p_size") < lit(15))
+      .select(col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (Q.dsum(col("l_quantity")) / count(col("l_quantity"))))
+        .as("qty_cut"))
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg((Q.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q10 (returned items): top 20 customers by lost revenue. */
   def qTpchQ10(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").filter(col("l_returnflag") === lit("R"))
@@ -218,8 +267,10 @@ object Wave3Queries {
     "q_large_orders"  -> qLargeOrders,
     "q_range_join"    -> qRangeJoin,
     "q_tpch_q3"       -> qTpchQ3,
+    "q_tpch_q5"       -> qTpchQ5,
     "q_tpch_q6"       -> qTpchQ6,
     "q_tpch_q10"      -> qTpchQ10,
+    "q_tpch_q17"      -> qTpchQ17,
     "q_window_extras" -> qWindowExtras,
     "q_unpivot"       -> qUnpivot,
     "q_token_explode" -> qTokenExplode,
@@ -296,6 +347,18 @@ object Wave3Queries {
          |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
          |GROUP BY l_orderkey, orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      s"""SELECT n_name, ${Q.DSUM(Q.REVENUE)} AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q_tpch_q6" ->
       s"""SELECT ${Q.DSUM("l_extendedprice * l_discount")} AS revenue, count(*) AS n
          |FROM lineitem
@@ -303,6 +366,18 @@ object Wave3Queries {
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_discount BETWEEN 0.03 AND 0.07
          |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q17" ->
+      s"""WITH pq AS (
+         |  SELECT l_partkey AS t_partkey,
+         |    0.2 * (${Q.DSUM("l_quantity")} / count(l_quantity)) AS qty_cut
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT ${Q.DSUM("l_extendedprice")} / 7.0 AS avg_yearly,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN pq ON t_partkey = l_partkey
+         |WHERE p_brand = 'Brand#23' AND p_size < 15
+         |  AND l_quantity < qty_cut""".stripMargin,
     "q_tpch_q10" ->
       s"""SELECT c_custkey, c_name, n_name,
          |  ${Q.DSUM(Q.REVENUE)} AS revenue, count(*) AS n_items

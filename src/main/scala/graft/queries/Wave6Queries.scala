@@ -274,6 +274,30 @@ object Wave6Queries {
       .orderBy("source")
   }
 
+  /** Cross-modal duplicate agreement — do the TEXT near-dup pairs and
+    * the IMAGE near-dup pairs point at the same documents? A corpus
+    * where they diverge has mismatched text/media (scraper bugs,
+    * watermarked rehosts). Full-outer join of the two exact pair sets,
+    * collapsed to one agreement row. Both inputs are the bounded pair
+    * miners; the join key is the pair itself, so the extra cost over
+    * running the two miners is one equi-join. */
+  def qCrossmodalDups(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val txt = Dedup.jaccardPairs(base, jacThreshold)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("txt"))
+    val img = Dedup.hammingPairs64(
+        Multimodal.dhashSignatures(Multimodal.syntheticNearDupImages(base)),
+        maxDist = 3)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"),
+        lit(true).as("img"))
+    txt.join(img, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("txt").isNotNull && col("img").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("img").isNull, 1L).otherwise(0L)).as("n_text_only"),
+        sum(when(col("txt").isNull, 1L).otherwise(0L)).as("n_image_only"))
+  }
+
   private val jacThreshold = 0.8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -285,7 +309,8 @@ object Wave6Queries {
     "q_boilerplate" -> qBoilerplate,
     "q_cluster_best" -> qClusterBest,
     "q_image_clusters" -> qImageClusters,
-    "q_kl_drift" -> qKlDrift)
+    "q_kl_drift" -> qKlDrift,
+    "q_crossmodal_dups" -> qCrossmodalDups)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -492,6 +517,34 @@ object Wave6Queries {
          |WHERE r.rk = 1 ORDER BY r.cluster_id""".stripMargin
     },
     "q_image_clusters" -> IMAGE_CLUSTERS_SQL,
+    "q_crossmodal_dups" -> {
+      val S = Dedup.SHINGLES("text")
+      s"""WITH $IMAGE_SIG_CTES,
+         |ip AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+         |       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.lo, b.lo))
+         |           + bit_count(xor(a.hi, b.hi)) <= 3),
+         |sh2 AS (SELECT doc_id, $S AS s2 FROM documents),
+         |x2 AS (SELECT doc_id, unnest(s2) AS g FROM sh2),
+         |sizes2 AS (SELECT doc_id, len(s2) AS n FROM sh2),
+         |p2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         count(*) AS common
+         |       FROM x2 a JOIN x2 b ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |tp AS (SELECT doc_a, doc_b FROM p2
+         |       JOIN sizes2 la ON la.doc_id = doc_a
+         |       JOIN sizes2 lb ON lb.doc_id = doc_b
+         |       WHERE common / (la.n + lb.n - common) >= $jacThreshold)
+         |SELECT count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN t.doc_a IS NOT NULL AND i.pa IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(sum(CASE WHEN i.pa IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_text_only,
+         |  CAST(sum(CASE WHEN t.doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_image_only
+         |FROM tp t FULL OUTER JOIN ip i
+         |  ON t.doc_a = i.pa AND t.doc_b = i.pb""".stripMargin
+    },
     "q_kl_drift" -> {
       val T = TextStats.TOKENS("text")
       s"""WITH tok AS (

@@ -220,6 +220,27 @@ class Wave6Spec extends SparkSuite {
     }
   }
 
+  test("q_crossmodal_dups partitions the union of pair sets") {
+    val r = Wave6Queries.qCrossmodalDups(spark, sf("sf0.001")).collect().head
+    val (n, both, txt, img) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n == both + txt + img, "agreement cells must partition the union")
+    val nText = graft.text.Dedup.jaccardPairs(
+      graft.io.Tables.load(spark, sf("sf0.001"), "documents"), 0.8).count()
+    assert(both + txt == nText, "text margin must equal the text pair count")
+  }
+
+  test("q_tpch_q5 broadcasts only the tiny dims; fact tables stay on " +
+      "the shuffle path") {
+    val plan = graft.queries.Wave3Queries.qTpchQ5(spark, sf("sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // nation + region ride broadcast joins (the explicit hints)
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
