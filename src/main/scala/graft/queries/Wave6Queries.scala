@@ -298,6 +298,56 @@ object Wave6Queries {
         sum(when(col("txt").isNull, 1L).otherwise(0L)).as("n_image_only"))
   }
 
+  /** k-anonymity audit over the customer quasi-identifier pair
+    * (nation, market segment): equivalence-class sizes, how many
+    * classes/rows fall under k=4 (suppression candidates), and the
+    * re-identification ceiling 1/min(class size). The privacy gate a
+    * training-data release runs before shipping user-derived rows.
+    * One groupBy + one global aggregate — trivially scale-safe. */
+  def qKAnonymity(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val classes = Tables.load(s, d, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("class_size")).as("n_rows"),
+      sum(when(col("class_size") < k, 1L).otherwise(0L))
+        .as("n_small_classes"),
+      sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+        .as("n_suppressed_rows"),
+      min(col("class_size")).as("min_class"),
+      round(lit(1.0) / min(col("class_size")), 6).as("reident_risk"))
+  }
+
+  /** URL canonicalization dedup — the crawler-side collapse that runs
+    * BEFORE any content dedup: scheme and www. stripped, query string
+    * and fragment dropped, trailing slash trimmed, host lowercased.
+    * Synthetic variant URLs (four spellings per target, formulas of
+    * doc_id) must collapse to one canonical form each; output is the
+    * canonical → variant-count table. Pure regexp_replace cascade —
+    * row-local, codegen'd, identical RE2 semantics in the oracle. */
+  def qUrlCanon(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val variant = did % 4
+    val host = concat(lit("Site"), (did % 7).cast("string"), lit(".example"))
+    val path = concat(lit("/p/"), (did % 50).cast("string"))
+    val url = when(variant === 0, concat(lit("http://"), host, path))
+      .when(variant === 1, concat(lit("https://www."), host, path, lit("/")))
+      .when(variant === 2, concat(lit("https://"), host, path, lit("?utm=x")))
+      .otherwise(concat(lit("http://www."), host, path, lit("#frag")))
+    val canon = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(url), "^https?://(www\\.)?", ""),
+        "[?#].*$", ""),
+      "/$", "")
+    docs(s, d).select(did, url.as("url"), canon.as("canonical"))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("url")).as("n_distinct_spellings"))
+      .orderBy("canonical")
+  }
+
   private val jacThreshold = 0.8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -310,7 +360,9 @@ object Wave6Queries {
     "q_cluster_best" -> qClusterBest,
     "q_image_clusters" -> qImageClusters,
     "q_kl_drift" -> qKlDrift,
-    "q_crossmodal_dups" -> qCrossmodalDups)
+    "q_crossmodal_dups" -> qCrossmodalDups,
+    "q_k_anonymity" -> qKAnonymity,
+    "q_url_canon" -> qUrlCanon)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -517,6 +569,40 @@ object Wave6Queries {
          |WHERE r.rk = 1 ORDER BY r.cluster_id""".stripMargin
     },
     "q_image_clusters" -> IMAGE_CLUSTERS_SQL,
+    "q_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN class_size < 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_classes,
+        |  CAST(sum(CASE WHEN class_size < 4 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS n_suppressed_rows,
+        |  min(class_size) AS min_class,
+        |  round(CAST(1.0 AS DOUBLE) / min(class_size), 6) AS reident_risk
+        |FROM classes""".stripMargin,
+    "q_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'http://Site' || (doc_id % 7) || '.example/p/'
+        |                || (doc_id % 50)
+        |    WHEN 1 THEN 'https://www.Site' || (doc_id % 7) || '.example/p/'
+        |                || (doc_id % 50) || '/'
+        |    WHEN 2 THEN 'https://Site' || (doc_id % 7) || '.example/p/'
+        |                || (doc_id % 50) || '?utm=x'
+        |    ELSE 'http://www.Site' || (doc_id % 7) || '.example/p/'
+        |         || (doc_id % 50) || '#frag'
+        |  END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    lower(url), '^https?://(www\.)?', ''), '[?#].*$', ''),
+        |    '/$', '') AS canonical
+        |  FROM u)
+        |SELECT canonical, count(*) AS n_variants,
+        |  count(DISTINCT url) AS n_distinct_spellings
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
     "q_crossmodal_dups" -> {
       val S = Dedup.SHINGLES("text")
       s"""WITH $IMAGE_SIG_CTES,

@@ -241,6 +241,30 @@ class Wave6Spec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("q_url_canon collapses scheme/www/query/fragment/slash variants") {
+    val rows = Wave6Queries.qUrlCanon(spark, sf("sf0.001")).collect()
+    // 7 hosts x 50 paths = 350 canonical targets over 500 docs
+    assert(rows.length == 350)
+    assert(rows.map(_.getLong(1)).sum == 500L, "one URL per document")
+    rows.foreach { r =>
+      val canon = r.getString(0)
+      assert(!canon.contains("http") && !canon.contains("www.") &&
+        !canon.contains("?") && !canon.contains("#") && !canon.endsWith("/"),
+        s"canonical form still carries variant decoration: $canon")
+      assert(canon == canon.toLowerCase)
+    }
+  }
+
+  test("q_k_anonymity accounts for every customer row") {
+    val r = Wave6Queries.qKAnonymity(spark, sf("sf0.001")).collect().head
+    val nCustomers = graft.io.Tables.load(spark, sf("sf0.001"), "customer")
+      .count()
+    assert(r.getLong(1) == nCustomers)
+    assert(r.getLong(2) <= r.getLong(0), "small classes are a subset")
+    assert(r.getLong(3) < nCustomers)
+    assert(math.abs(r.getDouble(5) - 1.0 / r.getLong(4)) < 1e-6)
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
