@@ -170,13 +170,15 @@ object Wave6Queries {
   /** Boilerplate signal: the share of a document's distinct 3-shingles
     * that are corpus-common (document frequency ≥ 32) — the per-doc
     * surface of the stop-shingle statistic the Jaccard skew cap is
-    * built on. High ratio = templated/boilerplate text. Two uniform
-    * groupBy shuffles (shingle, then doc_id); no joins wider than the
-    * exploded shingle rows. */
+    * built on. High ratio = templated/boilerplate text. The document
+    * frequency is a count-over-window on the shingle partition — one
+    * shuffle of the exploded rows — instead of a groupBy + join back,
+    * which would shuffle the same rows twice more. Total: two uniform
+    * hash shuffles (shingle, then doc_id). */
   def qBoilerplate(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingleRows(docs(s, d))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    sh.join(dfreq, "shingle")
+    sh.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("shingle")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 32, 1L).otherwise(0L)).as("n_common"))
