@@ -350,6 +350,60 @@ object Wave6Queries {
       .orderBy("canonical")
   }
 
+  /** Domain authority via weighted PageRank (5 fixed iterations,
+    * d = 0.85) over the deterministic site↔cdn link graph the URL
+    * synthesis induces (each doc links its site → its cdn, and its cdn
+    * back to a second site — so every node has out-edges and no
+    * dangling-mass correction is needed). The crawl-curation signal:
+    * rank domains by link authority before spending a fetch/compute
+    * budget on them.
+    *
+    * Scale + determinism: each iteration is one equi-join of the edge
+    * list with the 18-row rank vector (rank side broadcast at any
+    * corpus size — the node set is domains, not documents) plus one
+    * groupBy(dst); the incoming-mass sum folds in src order (the
+    * [[qLmScore]]/[[qKlDrift]] pattern), so five chained float
+    * reductions stay bit-identical across engines and partitionings —
+    * an ITERATIVE fixpoint computation under a full cross-engine
+    * oracle. */
+  def qDomainRank(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val site = concat(lit("site"), (did % 7).cast("string"), lit(".example"))
+    val cdn = concat(lit("cdn"), (did % 11).cast("string"),
+      lit(".assets.test"))
+    val site2 = concat(lit("site"), ((did * 3) % 7).cast("string"),
+      lit(".example"))
+    val base = docs(s, d).select(did)
+    val rawEdges = base.select(site.as("src"), cdn.as("dst"))
+      .unionAll(base.select(cdn.as("src"), site2.as("dst")))
+    val edges = rawEdges.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+    val weighted = edges.join(wout, "src")
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    val nFrame = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nFrame))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to 5) {
+      val contrib = weighted
+        .join(broadcast(pr), col("src") === col("node"))
+        .select(col("dst"), col("src"),
+          ((col("w") / col("wout")) * col("pr")).as("c"))
+      val summed = contrib.groupBy("dst")
+        .agg(sort_array(collect_list(struct(col("src"), col("c"))))
+          .as("cs"))
+        .select(col("dst").as("node"),
+          expr("aggregate(cs, 0d, (a, x) -> a + x.c)").as("insum"))
+      pr = nodes.join(summed, Seq("node"), "left")
+        .crossJoin(broadcast(nFrame))
+        .select(col("node"),
+          (lit(0.15) / col("n")
+            + lit(0.85) * coalesce(col("insum"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("node"))
+  }
+
   private val jacThreshold = 0.8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -364,7 +418,8 @@ object Wave6Queries {
     "q_kl_drift" -> qKlDrift,
     "q_crossmodal_dups" -> qCrossmodalDups,
     "q_k_anonymity" -> qKAnonymity,
-    "q_url_canon" -> qUrlCanon)
+    "q_url_canon" -> qUrlCanon,
+    "q_domain_rank" -> qDomainRank)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -571,6 +626,42 @@ object Wave6Queries {
          |WHERE r.rk = 1 ORDER BY r.cluster_id""".stripMargin
     },
     "q_image_clusters" -> IMAGE_CLUSTERS_SQL,
+    "q_domain_rank" -> {
+      val base =
+        """e0 AS (SELECT 'site' || (doc_id % 7) || '.example' AS src,
+          |         'cdn' || (doc_id % 11) || '.assets.test' AS dst
+          |       FROM documents
+          |       UNION ALL
+          |       SELECT 'cdn' || (doc_id % 11) || '.assets.test',
+          |              'site' || ((doc_id * 3) % 7) || '.example'
+          |       FROM documents),
+          |e AS (SELECT src, dst, count(*) AS w FROM e0 GROUP BY src, dst),
+          |wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+          |       FROM e GROUP BY src),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS pr
+          |        FROM nodes CROSS JOIN nn)""".stripMargin
+      val iters = (1 to 5).map { k =>
+        s"""c$k AS (SELECT e.dst, e.src, (e.w / wo.wout) * p.pr AS c
+           |  FROM e JOIN wo ON wo.src = e.src
+           |  JOIN pr${k - 1} p ON p.node = e.src),
+           |s$k AS (SELECT dst AS node,
+           |    list_sum(list(c ORDER BY src)) AS insum
+           |  FROM c$k GROUP BY dst),
+           |pr$k AS (SELECT nodes.node,
+           |    CAST(0.15 AS DOUBLE) / nn.n
+           |      + CAST(0.85 AS DOUBLE)
+           |        * coalesce(s$k.insum, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN s$k ON s$k.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $base,
+         |$iters
+         |SELECT node, round(pr, 6) AS pagerank FROM pr5
+         |ORDER BY pagerank DESC, node""".stripMargin
+    },
     "q_k_anonymity" ->
       """WITH classes AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size

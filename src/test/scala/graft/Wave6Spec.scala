@@ -85,6 +85,43 @@ class Wave6Spec extends SparkSuite {
       "4 bits across 4 chunks is beyond radius 3")
   }
 
+  test("hammingPairs64 equals brute force on random signature corpora " +
+      "(property, fixed seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sig_hi", LongType),
+      StructField("sig_lo", LongType)))
+    // clustered generator: a few base signatures, members flip 0-5
+    // random bits — produces a realistic mix of 0..5-distance pairs
+    val gen = for {
+      bases <- Gen.listOfN(4, Gen.long)
+      sigs <- Gen.listOfN(24, for {
+        b <- Gen.oneOf(bases)
+        nf <- Gen.chooseNum(0, 5)
+        bits <- Gen.listOfN(nf, Gen.chooseNum(0, 63))
+      } yield bits.foldLeft(b)((s, k) => s ^ (1L << k)))
+    } yield sigs
+    (0 until 5).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(7L + i)).foreach { sigs =>
+        val rows = sigs.zipWithIndex.map { case (s, id) =>
+          Row(id.toLong, s >>> 32, s & 0xFFFFFFFFL)
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 4), schema)
+        val got = Dedup.hammingPairs64(df, maxDist = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val brute = (for {
+          (sa, ia) <- sigs.zipWithIndex; (sb, ib) <- sigs.zipWithIndex
+          if ia < ib
+          h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+        } yield (ia.toLong, ib.toLong, h)).toSet
+        assert(got == brute, s"seed ${7 + i}: pigeonhole != brute force")
+      }
+    }
+  }
+
   // ---- registry queries on real test data ----
 
   test("q_image_dedup emits only radius-3 pairs and the pair set is " +
@@ -263,6 +300,19 @@ class Wave6Spec extends SparkSuite {
     assert(r.getLong(2) <= r.getLong(0), "small classes are a subset")
     assert(r.getLong(3) < nCustomers)
     assert(math.abs(r.getDouble(5) - 1.0 / r.getLong(4)) < 1e-6)
+  }
+
+  test("q_domain_rank conserves probability mass and ranks every domain") {
+    val rows = Wave6Queries.qDomainRank(spark, sf("sf0.001")).collect()
+    assert(rows.length == 18, "7 site + 11 cdn domains")
+    val mass = rows.map(_.getDouble(1)).sum
+    // no dangling nodes by construction => sum pr = 1 exactly (up to
+    // the 6-dp output rounding x 18 rows)
+    assert(math.abs(mass - 1.0) < 18 * 5e-7, s"mass $mass")
+    assert(rows.forall(_.getDouble(1) > 0))
+    // sites receive mass from 11 cdns each iteration; with uniform-ish
+    // weights the top-ranked node must be a site domain
+    assert(rows.head.getString(0).startsWith("site"))
   }
 
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
