@@ -404,6 +404,52 @@ object Wave6Queries {
       .orderBy(col("pagerank").desc, col("node"))
   }
 
+  /** Cluster-aware train/val/test split with a leakage audit. Naive
+    * per-document hash splitting leaks: a near-dup pair straddling the
+    * train/test boundary is test-set contamination (the failure mode
+    * that motivates corpus dedup in the first place). Splitting on the
+    * CLUSTER REPRESENTATIVE (cluster id for near-dup members, own id
+    * for singletons) provably sends every member of a duplicate family
+    * to the same split. Output: per-split sizes both ways, the
+    * near-dup pair count, and the straddling-pair counts — naive > 0
+    * on this corpus, cluster-aware identically 0. Buckets 0–7 train,
+    * 8 val, 9 test over the md5 hash bucket. */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sampling
+    val base = docs(s, d)
+    val pairs = Dedup.jaccardPairs(base, jacThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    val rep = base.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+    val split = (b: org.apache.spark.sql.Column) =>
+      when(b <= 7, lit("train")).when(b === 8, lit("val"))
+        .otherwise(lit("test"))
+    val assigned = rep.select(col("doc_id"),
+      split(Sampling.hashBucket(col("rep"), 10)).as("cluster_split"),
+      split(Sampling.hashBucket(col("doc_id"), 10)).as("naive_split"))
+    val straddle = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"),
+        col("cluster_split").as("ca"), col("naive_split").as("na")), "doc_a")
+      .join(assigned.select(col("doc_id").as("doc_b"),
+        col("cluster_split").as("cb"), col("naive_split").as("nb")), "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+          .as("n_leaky_naive"),
+        sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L))
+          .as("n_leaky_cluster"))
+    val sizes = assigned.agg(
+      sum(when(col("cluster_split") === "train", 1L).otherwise(0L))
+        .as("n_train"),
+      sum(when(col("cluster_split") === "val", 1L).otherwise(0L))
+        .as("n_val"),
+      sum(when(col("cluster_split") === "test", 1L).otherwise(0L))
+        .as("n_test"))
+    sizes.crossJoin(straddle)
+  }
+
   private val jacThreshold = 0.8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -419,7 +465,8 @@ object Wave6Queries {
     "q_crossmodal_dups" -> qCrossmodalDups,
     "q_k_anonymity" -> qKAnonymity,
     "q_url_canon" -> qUrlCanon,
-    "q_domain_rank" -> qDomainRank)
+    "q_domain_rank" -> qDomainRank,
+    "q_split_leakage" -> qSplitLeakage)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -661,6 +708,35 @@ object Wave6Queries {
          |$iters
          |SELECT node, round(pr, 6) AS pagerank FROM pr5
          |ORDER BY pagerank DESC, node""".stripMargin
+    },
+    "q_split_leakage" -> {
+      def hb(e: String) = graft.ops.Sampling.HASH_BUCKET(e, 10)
+      def sp(e: String) =
+        s"""CASE WHEN ${hb(e)} <= 7 THEN 'train'
+           |     WHEN ${hb(e)} = 8 THEN 'val' ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE ${PipelineQueries.CLOSURE_CTES},
+         |rep AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+         |asg AS (SELECT doc_id, ${sp("rep")} AS cs, ${sp("doc_id")} AS ns
+         |        FROM rep),
+         |str AS (SELECT count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN a.ns <> b.ns THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaky_naive,
+         |  CAST(sum(CASE WHEN a.cs <> b.cs THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaky_cluster
+         |  FROM jac j JOIN asg a ON a.doc_id = j.doc_a
+         |             JOIN asg b ON b.doc_id = j.doc_b),
+         |sz AS (SELECT
+         |  CAST(sum(CASE WHEN cs = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_train,
+         |  CAST(sum(CASE WHEN cs = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_val,
+         |  CAST(sum(CASE WHEN cs = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_test
+         |  FROM asg)
+         |SELECT sz.n_train, sz.n_val, sz.n_test,
+         |       str.n_pairs, str.n_leaky_naive, str.n_leaky_cluster
+         |FROM sz CROSS JOIN str""".stripMargin
     },
     "q_k_anonymity" ->
       """WITH classes AS (

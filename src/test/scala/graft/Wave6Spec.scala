@@ -315,6 +315,20 @@ class Wave6Spec extends SparkSuite {
     assert(rows.head.getString(0).startsWith("site"))
   }
 
+  test("q_split_leakage: cluster-aware split leaks zero near-dup pairs " +
+      "and covers every document") {
+    val r = Wave6Queries.qSplitLeakage(spark, sf("sf0.001")).collect().head
+    val nDocs = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
+      .count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) == nDocs,
+      "every document lands in exactly one split")
+    assert(r.getLong(3) > 0, "corpus must contain near-dup pairs")
+    assert(r.getLong(5) == 0L,
+      "cluster-representative splitting can never straddle a pair")
+    assert(r.getLong(4) > 0L,
+      "the naive split must demonstrate the leak on this corpus")
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
