@@ -450,6 +450,42 @@ object Wave6Queries {
     sizes.crossJoin(straddle)
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * vector draws 2 negatives from the NEXT hash-ring bucket (16
+    * buckets — candidate sets are corpus/16-sized, never all-pairs),
+    * scored by the md5 pair hash (layout-independent, engine-
+    * recomputable), EXCLUDING anything in the query's own semantic
+    * near-dup cluster — a near-duplicate used as a "negative" teaches
+    * the model the opposite of the truth. Window top-2 per query with
+    * a full-ordering tiebreak. */
+  def qNegSamples(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sampling
+    val e = embs(s, d)
+    val bk = e.select(col("vec_id"),
+      Sampling.hashBucket(col("vec_id"), 16).as("bkt"))
+    val cand = bk
+      .join(bk.select(col("vec_id").as("neg_id"), col("bkt").as("nbkt")),
+        col("nbkt") === (col("bkt") + 1) % 16)
+    val cl = Dedup.connectedComponents(
+      Similarity.cosinePairs(e, threshold = 0.45)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val scored = cand
+      .join(cl.select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("cq")), Seq("vec_id"), "left")
+      .join(cl.select(col("doc_id").as("neg_id"),
+        col("cluster_id").as("cn")), Seq("neg_id"), "left")
+      .filter(col("cq").isNull || col("cn").isNull || col("cq") =!= col("cn"))
+      .withColumn("score", shiftrightunsigned(
+        Dedup.md5Hash64(concat(col("vec_id").cast("string"), lit("_"),
+          col("neg_id").cast("string"))), 4))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score"), col("neg_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("vec_id"), col("rank"), col("neg_id"), col("score"))
+      .orderBy("vec_id", "rank")
+  }
+
   private val jacThreshold = 0.8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -466,7 +502,8 @@ object Wave6Queries {
     "q_k_anonymity" -> qKAnonymity,
     "q_url_canon" -> qUrlCanon,
     "q_domain_rank" -> qDomainRank,
-    "q_split_leakage" -> qSplitLeakage)
+    "q_split_leakage" -> qSplitLeakage,
+    "q_neg_samples" -> qNegSamples)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -737,6 +774,45 @@ object Wave6Queries {
          |SELECT sz.n_train, sz.n_val, sz.n_test,
          |       str.n_pairs, str.n_leaky_naive, str.n_leaky_cluster
          |FROM sz CROSS JOIN str""".stripMargin
+    },
+    "q_neg_samples" -> {
+      val cos = Similarity.COSINE("ea", "eb", 64)
+      val hb = graft.ops.Sampling.HASH_BUCKET("vec_id", 16)
+      val score = "(md5_number_upper(CAST(cand.vec_id AS VARCHAR) || '_' " +
+        "|| CAST(cand.neg_id AS VARCHAR)) >> 4)"
+      s"""WITH RECURSIVE a AS (
+         |  SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
+         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
+         |jac AS (
+         |  SELECT vec_a, vec_b FROM a JOIN b ON vec_a < vec_b
+         |  WHERE $cos >= 0.45),
+         |e AS (SELECT vec_a AS src, vec_b AS dst FROM jac
+         |      UNION ALL SELECT vec_b, vec_a FROM jac),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |bk AS (SELECT vec_id, $hb AS bkt FROM embeddings),
+         |cand AS (
+         |  SELECT q.vec_id, c.vec_id AS neg_id
+         |  FROM bk q JOIN bk c ON c.bkt = (q.bkt + 1) % 16),
+         |sc AS (
+         |  SELECT cand.vec_id, cand.neg_id, $score AS score
+         |  FROM cand
+         |  LEFT JOIN lab lq ON lq.doc_id = cand.vec_id
+         |  LEFT JOIN lab ln ON ln.doc_id = cand.neg_id
+         |  WHERE lq.cluster_id IS NULL OR ln.cluster_id IS NULL
+         |     OR lq.cluster_id <> ln.cluster_id),
+         |rk AS (
+         |  SELECT vec_id, neg_id, score,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score, neg_id) AS rank
+         |  FROM sc)
+         |SELECT vec_id, CAST(rank AS INTEGER) AS rank, neg_id, score
+         |FROM rk WHERE rank <= 2 ORDER BY vec_id, rank""".stripMargin
     },
     "q_k_anonymity" ->
       """WITH classes AS (

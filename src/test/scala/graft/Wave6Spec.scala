@@ -329,6 +329,25 @@ class Wave6Spec extends SparkSuite {
       "the naive split must demonstrate the leak on this corpus")
   }
 
+  test("q_neg_samples never samples a semantic near-dup as a negative") {
+    val negs = Wave6Queries.qNegSamples(spark, sf("sf0.001")).collect()
+    assert(negs.nonEmpty)
+    assert(negs.forall(_.getInt(1) <= 2))
+    assert(negs.forall(r => r.getLong(0) != r.getLong(2)),
+      "a vector can never be its own negative")
+    // no sampled pair may be a semantic near-dup pair
+    val dupPairs = Wave6Queries.qSemanticDedup(spark, sf("sf0.001"))
+      .collect().groupBy(_.getLong(1)).values
+      .flatMap { ms =>
+        val ids = ms.map(_.getLong(0)).toSeq
+        for (a <- ids; b <- ids if a != b) yield (a, b)
+      }.toSet
+    negs.foreach { r =>
+      assert(!dupPairs.contains((r.getLong(0), r.getLong(2))),
+        s"near-dup pair sampled as negative: ${r.getLong(0)},${r.getLong(2)}")
+    }
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
