@@ -486,6 +486,35 @@ object Wave6Queries {
       .orderBy("vec_id", "rank")
   }
 
+  /** Temperature-scaled source mixing weights (τ = 0.5): w_s ∝
+    * (n_s/N)^τ, the standard rebalancing that upsamples low-resource
+    * sources when composing a training mixture. τ = 0.5 makes the
+    * exponent an IEEE-exact `sqrt` (a general pow() is not correctly
+    * rounded across libms); the normalizing denominator folds in
+    * source order so the 20-term float sum is engine-identical.
+    * Outputs the natural share, the temperature weight, and the
+    * upsampling factor w/p per source. */
+  def qMixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d).repartition(col("doc_id"))
+      .select(col("source"), explode(TextStats.tokens(col("text"))).as("t"))
+      .groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val tot = counts.agg(sum(col("n_tokens")).as("total"))
+    val sq = counts.crossJoin(broadcast(tot))
+      .withColumn("share_raw", col("n_tokens") / col("total"))
+      .withColumn("sq", sqrt(col("share_raw")))
+    val den = sq
+      .agg(sort_array(collect_list(struct(col("source"), col("sq"))))
+        .as("sqs"))
+      .select(expr("aggregate(sqs, 0d, (a, x) -> a + x.sq)").as("denom"))
+    sq.crossJoin(broadcast(den))
+      .select(col("source"), col("n_tokens"),
+        round(col("share_raw"), 6).as("share"),
+        round(col("sq") / col("denom"), 6).as("weight"),
+        round((col("sq") / col("denom")) / col("share_raw"), 6)
+          .as("upsample"))
+      .orderBy("source")
+  }
+
   private val jacThreshold = 0.8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -503,7 +532,8 @@ object Wave6Queries {
     "q_url_canon" -> qUrlCanon,
     "q_domain_rank" -> qDomainRank,
     "q_split_leakage" -> qSplitLeakage,
-    "q_neg_samples" -> qNegSamples)
+    "q_neg_samples" -> qNegSamples,
+    "q_mixture_weights" -> qMixtureWeights)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -813,6 +843,22 @@ object Wave6Queries {
          |  FROM sc)
          |SELECT vec_id, CAST(rank AS INTEGER) AS rank, neg_id, score
          |FROM rk WHERE rank <= 2 ORDER BY vec_id, rank""".stripMargin
+    },
+    "q_mixture_weights" -> {
+      val T = TextStats.TOKENS("text")
+      s"""WITH tok AS (SELECT source, unnest($T) AS t FROM documents),
+         |counts AS (SELECT source, count(*) AS n_tokens
+         |           FROM tok GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM counts),
+         |sq AS (SELECT source, n_tokens, n_tokens / total AS share_raw,
+         |         sqrt(n_tokens / total) AS sq
+         |       FROM counts CROSS JOIN tot),
+         |den AS (SELECT list_sum(list(sq ORDER BY source)) AS denom FROM sq)
+         |SELECT source, n_tokens,
+         |  round(share_raw, 6) AS share,
+         |  round(sq / denom, 6) AS weight,
+         |  round((sq / denom) / share_raw, 6) AS upsample
+         |FROM sq CROSS JOIN den ORDER BY source""".stripMargin
     },
     "q_k_anonymity" ->
       """WITH classes AS (

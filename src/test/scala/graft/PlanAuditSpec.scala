@@ -26,11 +26,14 @@ class PlanAuditSpec extends SparkSuite {
   // term) — six 1-row broadcasts, never a data-sized product.
   // q_split_leakage crosses its two 1-row audit frames (split sizes ×
   // straddle counts) into the single output row.
+  // q_mixture_weights crosses the 1-row total and 1-row denominator
+  // frames into the 20-row source table.
   private val intendedNestedLoop = Set(
     "q_ann_brute", "q_cosine_pairs", "q_cosine_pairs_lsh", "q_ann_ivf",
     "q_ann_lsh", "q_band_join",
     "q_anomaly_days", "q_tfidf_terms", "q_pmi_bigrams", "q_key_skew",
-    "q_heavy_hitters", "q_domain_rank", "q_split_leakage")
+    "q_heavy_hitters", "q_domain_rank", "q_split_leakage",
+    "q_mixture_weights")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")

@@ -348,6 +348,22 @@ class Wave6Spec extends SparkSuite {
     }
   }
 
+  test("q_mixture_weights: weights normalize and compress toward the mean") {
+    val rows = Wave6Queries.qMixtureWeights(spark, sf("sf0.001")).collect()
+    assert(rows.length == 20)
+    val shares = rows.map(_.getDouble(2))
+    val weights = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 2e-5)
+    assert(math.abs(weights.sum - 1.0) < 2e-5)
+    // temperature < 1 compresses: under-represented sources upsample
+    // (w > p), over-represented downsample (w < p)
+    rows.foreach { r =>
+      val (p, w, up) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      if (p < 1.0 / 25) assert(w > p, s"low-resource source must upsample")
+      assert(math.abs(up - w / p) < 1e-3)
+    }
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
