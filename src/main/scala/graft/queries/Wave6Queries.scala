@@ -515,6 +515,37 @@ object Wave6Queries {
       .orderBy("source")
   }
 
+  /** Token-distribution entropy per document: H = −Σ p·ln p over the
+    * doc's token frequencies, plus the normalized H/ln(vocab) in
+    * [0, 1]. Low entropy = repetitive/boilerplate text, high = diverse
+    * (or gibberish when paired with a low quality score) — the
+    * standard cheap complement to the repetition ratio. Per-doc fold
+    * in token order (engine-identical), one groupBy(doc_id, tok) +
+    * one groupBy(doc_id). */
+  def qEntropy(s: SparkSession, d: String): DataFrame = {
+    val tokCounts = docs(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val withN = tokCounts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
+      .withColumn("p", col("c") / col("n"))
+      .withColumn("term", -(col("p") * log(col("p"))))
+    withN.groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sort_array(collect_list(struct(col("tok"), col("term"))))
+          .as("terms"))
+      .select(col("doc_id"), col("n_tokens"), col("vocab"),
+        round(expr("aggregate(terms, 0d, (a, x) -> a + x.term)"), 6)
+          .as("entropy"),
+        round(
+          when(col("vocab") > 1,
+            expr("aggregate(terms, 0d, (a, x) -> a + x.term)")
+              / log(col("vocab").cast("double")))
+            .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
   private val jacThreshold = 0.8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -533,7 +564,8 @@ object Wave6Queries {
     "q_domain_rank" -> qDomainRank,
     "q_split_leakage" -> qSplitLeakage,
     "q_neg_samples" -> qNegSamples,
-    "q_mixture_weights" -> qMixtureWeights)
+    "q_mixture_weights" -> qMixtureWeights,
+    "q_entropy" -> qEntropy)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -859,6 +891,27 @@ object Wave6Queries {
          |  round(sq / denom, 6) AS weight,
          |  round((sq / denom) / share_raw, 6) AS upsample
          |FROM sq CROSS JOIN den ORDER BY source""".stripMargin
+    },
+    "q_entropy" -> {
+      val T = TextStats.TOKENS("text")
+      s"""WITH tok AS (SELECT doc_id, unnest($T) AS tok FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS c
+         |       FROM tok GROUP BY doc_id, tok),
+         |wn AS (SELECT doc_id, tok, c,
+         |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+         |       FROM tc),
+         |t2 AS (SELECT doc_id, tok, n, c / n AS p,
+         |         -((c / n) * ln(c / n)) AS term
+         |       FROM wn),
+         |agg AS (SELECT doc_id, max(n) AS n_tokens, count(*) AS vocab,
+         |          list_sum(list(term ORDER BY tok)) AS h
+         |        FROM t2 GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, vocab,
+         |  round(h, 6) AS entropy,
+         |  round(CASE WHEN vocab > 1
+         |    THEN h / ln(CAST(vocab AS DOUBLE)) ELSE 0.0 END, 6)
+         |    AS norm_entropy
+         |FROM agg ORDER BY doc_id""".stripMargin
     },
     "q_k_anonymity" ->
       """WITH classes AS (

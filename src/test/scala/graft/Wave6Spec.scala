@@ -364,6 +364,21 @@ class Wave6Spec extends SparkSuite {
     }
   }
 
+  test("q_entropy is bounded by ln(vocab) and norm_entropy by 1") {
+    val rows = Wave6Queries.qEntropy(spark, sf("sf0.001")).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, v, h, nh) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(v <= n)
+      assert(h >= -1e-9, "entropy is non-negative")
+      assert(h <= math.log(v.toDouble) + 1e-6, "H <= ln(vocab)")
+      assert(nh >= -1e-9 && nh <= 1.0 + 1e-6)
+      if (v == n) // all tokens distinct => uniform => H = ln(n)
+        assert(math.abs(h - math.log(n.toDouble)) < 1e-5)
+    }
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
