@@ -546,6 +546,37 @@ object Wave6Queries {
       .orderBy("doc_id")
   }
 
+  /** Truncation-duplicate detection: doc A whose token sequence is a
+    * strict PREFIX of doc B — the scrape artifact (cut-off rehosts,
+    * pagination tails) that content-hash dedup misses entirely and
+    * Jaccard only catches when the truncation keeps most of the text.
+    * Deterministic truncated copies (half-length, id + 1,000,000, every
+    * 5th doc) are injected in-plan so the pair set is provably
+    * non-empty and both engines synthesize it identically. Candidates
+    * join on the md5 of the first 8 tokens (docs shorter than 8 tokens
+    * are out of scope by declared semantics — the oracle mirrors the
+    * gate), then the full prefix is verified with an exact array-slice
+    * equality in the join residual. Never all-pairs: candidate volume
+    * is Σ bucket² over 8-token-prefix buckets. */
+  def qDedupPrefix(s: SparkSession, d: String): DataFrame = {
+    val tb = docs(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val tr = tb.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("slice(toks, 1, greatest(size(toks) div 2, 1))").as("toks"))
+    val wn = tb.unionAll(tr)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= 8)
+      .withColumn("pk", md5(array_join(expr("slice(toks, 1, 8)"), " ")
+        .cast("binary")))
+    wn.as("a").join(wn.as("b"),
+        col("a.pk") === col("b.pk") && col("a.n") < col("b.n") &&
+          expr("slice(b.toks, 1, a.n)") === col("a.toks"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val jacThreshold = 0.8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -565,7 +596,8 @@ object Wave6Queries {
     "q_split_leakage" -> qSplitLeakage,
     "q_neg_samples" -> qNegSamples,
     "q_mixture_weights" -> qMixtureWeights,
-    "q_entropy" -> qEntropy)
+    "q_entropy" -> qEntropy,
+    "q_dedup_prefix" -> qDedupPrefix)
 
   /** dHash recomputed analytically from the synthesis formula: the 9×8
     * NN grid (src = gridIdx·dim/9 resp. /8 — exact integer division),
@@ -912,6 +944,24 @@ object Wave6Queries {
          |    THEN h / ln(CAST(vocab AS DOUBLE)) ELSE 0.0 END, 6)
          |    AS norm_entropy
          |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_prefix" -> {
+      val T = TextStats.TOKENS("text")
+      s"""WITH tb AS (SELECT doc_id, $T AS toks FROM documents),
+         |tr AS (SELECT doc_id + 1000000 AS doc_id,
+         |         toks[1:greatest(len(toks) // 2, 1)] AS toks
+         |       FROM tb WHERE doc_id % 5 = 0),
+         |u AS (SELECT * FROM tb UNION ALL SELECT * FROM tr),
+         |wn AS (SELECT doc_id, toks, len(toks) AS n FROM u
+         |       WHERE len(toks) >= 8),
+         |pk AS (SELECT doc_id, toks, n,
+         |         md5(array_to_string(toks[1:8], ' ')) AS pk
+         |       FROM wn)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(a.n AS INTEGER) AS n_a, CAST(b.n AS INTEGER) AS n_b
+         |FROM pk a JOIN pk b ON a.pk = b.pk AND a.n < b.n
+         |  AND b.toks[1:a.n] = a.toks
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_k_anonymity" ->
       """WITH classes AS (

@@ -28,6 +28,7 @@ class CodecFuzzSpec extends SparkSuite {
     Codecs.decodeFrames(bytes)
     Codecs.audioMeta(bytes)
     Codecs.resizeImageNearest(bytes, 4, 4)
+    Codecs.dhash64(bytes)
   }
 
   test("random byte soup never throws in any parser") {

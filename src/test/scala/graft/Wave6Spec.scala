@@ -379,6 +379,39 @@ class Wave6Spec extends SparkSuite {
     }
   }
 
+  test("q_dedup_prefix finds every injected truncation and only true " +
+      "prefixes") {
+    val rows = Wave6Queries.qDedupPrefix(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    // every injected half-doc (id+1e6, source >= 16 tokens) pairs with
+    // its origin
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val toks = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"),
+        graft.text.TextStats.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    toks.keys.filter(id => id % 5 == 0).foreach { id =>
+      val half = toks(id).take(math.max(toks(id).length / 2, 1))
+      if (half.length >= 8 && half.length < toks(id).length)
+        assert(found.contains((id + 1000000L, id)),
+          s"truncated copy of doc $id not paired with its origin")
+    }
+    // soundness: each reported pair is a genuine strict token prefix
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val ta = if (a >= 1000000L) {
+        val src = toks(a - 1000000L)
+        src.take(math.max(src.length / 2, 1))
+      } else toks(a)
+      val tb = if (b >= 1000000L) {
+        val src = toks(b - 1000000L)
+        src.take(math.max(src.length / 2, 1))
+      } else toks(b)
+      assert(ta.length < tb.length && tb.startsWith(ta),
+        s"pair ($a,$b) is not a strict prefix")
+    }
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
