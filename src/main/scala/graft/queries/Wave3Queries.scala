@@ -92,6 +92,41 @@ object Wave3Queries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q12 shape (shipping-delay priority split): per linestatus,
+    * how many late-shipped lines (> 30 days after the order date)
+    * carry high vs low order priority — the fact-fact join with
+    * conditional aggregation. Adapted to this schema: l_shipmode /
+    * commitdate don't exist here, so linestatus is the dimension and
+    * the lateness predicate derives from shipdate − orderdate. */
+  def qTpchQ12(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 30)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  /** TPC-H Q14 (promotion effect): PROMO-part share of one month's
+    * revenue — the conditional-sum ratio over a fact×dim join; the
+    * part side broadcasts at test SFs and shuffles at scale (AQE's
+    * call, not hinted). Both sums are decimal-exact so the ratio is
+    * engine-identical before rounding. */
+  def qTpchQ14(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01") &&
+        col("l_shipdate") < lit("1996-10-01"))
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0)
+          * Q.dsum(when(col("p_type") === "PROMO", Q.revenue)
+            .otherwise(lit(0.0)))
+          / Q.dsum(Q.revenue), 6).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q10 (returned items): top 20 customers by lost revenue. */
   def qTpchQ10(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").filter(col("l_returnflag") === lit("R"))
@@ -270,6 +305,8 @@ object Wave3Queries {
     "q_tpch_q5"       -> qTpchQ5,
     "q_tpch_q6"       -> qTpchQ6,
     "q_tpch_q10"      -> qTpchQ10,
+    "q_tpch_q12"      -> qTpchQ12,
+    "q_tpch_q14"      -> qTpchQ14,
     "q_tpch_q17"      -> qTpchQ17,
     "q_window_extras" -> qWindowExtras,
     "q_unpivot"       -> qUnpivot,
@@ -366,6 +403,23 @@ object Wave3Queries {
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_discount BETWEEN 0.03 AND 0.07
          |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', o_orderdate, l_shipdate) > 30
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_tpch_q14" ->
+      s"""SELECT round(CAST(100.0 AS DOUBLE)
+         |    * ${Q.DSUM(s"CASE WHEN p_type = 'PROMO' THEN ${Q.REVENUE} ELSE 0.0 END")}
+         |    / ${Q.DSUM(Q.REVENUE)}, 6) AS promo_revenue_pct,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
     "q_tpch_q17" ->
       s"""WITH pq AS (
          |  SELECT l_partkey AS t_partkey,

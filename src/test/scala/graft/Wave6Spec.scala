@@ -412,6 +412,25 @@ class Wave6Spec extends SparkSuite {
     }
   }
 
+  test("order-pinned float folds are layout-independent: results are " +
+      "byte-identical at 4 vs 32 shuffle partitions") {
+    // the bit-reproducibility claim behind q_kl_drift / q_lm_bigram /
+    // q_domain_rank / q_entropy / q_mixture_weights: the fold order is
+    // pinned by data (token/source), not by partitioning
+    val queries = Seq("q_kl_drift", "q_lm_bigram", "q_domain_rank",
+      "q_entropy", "q_mixture_weights")
+    val d = sf("sf0.001")
+    queries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val a = fn(spark, d).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val b = fn(spark, d).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a == b, s"$name drifted across shuffle layouts")
+    }
+  }
+
   test("q_semantic_dedup keepers are cluster minima and sizes add up") {
     val rows = Wave6Queries.qSemanticDedup(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
