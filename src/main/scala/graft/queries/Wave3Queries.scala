@@ -127,6 +127,24 @@ object Wave3Queries {
           / Q.dsum(Q.revenue), 6).as("promo_revenue_pct"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q19 shape (discounted revenue under a disjunction of
+    * conjunctive brand/size/quantity bands): the OR-of-ANDs predicate
+    * that exercises predicate normalization — each disjunct pairs a
+    * part filter with a lineitem quantity band, and the join must not
+    * degrade to a cartesian when the predicate mixes both sides. */
+  def qTpchQ19(s: SparkSession, d: String): DataFrame = {
+    val joined = t(s, d, "lineitem")
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+    joined.filter(
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)))
+      .agg(Q.dsum(Q.revenue).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q10 (returned items): top 20 customers by lost revenue. */
   def qTpchQ10(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").filter(col("l_returnflag") === lit("R"))
@@ -308,6 +326,7 @@ object Wave3Queries {
     "q_tpch_q12"      -> qTpchQ12,
     "q_tpch_q14"      -> qTpchQ14,
     "q_tpch_q17"      -> qTpchQ17,
+    "q_tpch_q19"      -> qTpchQ19,
     "q_window_extras" -> qWindowExtras,
     "q_unpivot"       -> qUnpivot,
     "q_token_explode" -> qTokenExplode,
@@ -420,6 +439,15 @@ object Wave3Queries {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "q_tpch_q19" ->
+      s"""SELECT ${Q.DSUM(Q.REVENUE)} AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_tpch_q17" ->
       s"""WITH pq AS (
          |  SELECT l_partkey AS t_partkey,
