@@ -376,9 +376,10 @@ object Codecs {
     * 32-bit halves (lo = bits 0–31, hi = bits 32–63) so SQL engines can
     * rebuild the signature without signed-overflow hazards. Lossless
     * inputs make the hash integer-exact and cross-engine verifiable.
-    * None if the payload doesn't decode or is narrower than the grid
-    * needs (w < 9 or h < 8 would alias NN samples; we still hash — NN
-    * indexing is total — so only a failed decode returns None. */
+    * Returns None ONLY when the payload fails to decode. Images
+    * narrower than the 9×8 grid are still hashed — the NN index
+    * arithmetic is total (it just resamples the same source pixels),
+    * so tiny images yield a (degenerate but deterministic) hash. */
   def dhash64(bytes: Array[Byte]): Option[(Long, Long)] =
     try {
       Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>

@@ -149,8 +149,11 @@ object Wave6Queries {
     * key — one shuffle, scale-safe. */
   def qUrlDomains(s: SparkSession, d: String): DataFrame = {
     val did = col("doc_id")
+    // coalesce text on BOTH engines: concat_ws skips NULLs while the
+    // oracle's || propagates them — a nullable text column would keep
+    // the synthetic URLs here but drop the whole row's URLs in DuckDB
     val withUrls = docs(s, d).select(did,
-      concat_ws(" ", col("text"),
+      concat_ws(" ", coalesce(col("text"), lit("")),
         concat(lit("https://site"), (did % 7).cast("string"),
           lit(".example/p/"), did.cast("string")),
         concat(lit("http://cdn"), (did % 11).cast("string"),
@@ -757,7 +760,7 @@ object Wave6Queries {
     "q_image_dedup" -> IMAGE_DEDUP_SQL,
     "q_url_domains" ->
       """WITH t AS (SELECT doc_id,
-        |  text || ' https://site' || (doc_id % 7) || '.example/p/' || doc_id
+        |  coalesce(text, '') || ' https://site' || (doc_id % 7) || '.example/p/' || doc_id
         |       || ' http://cdn' || (doc_id % 11) || '.assets.test/img/'
         |       || (doc_id % 5) AS text
         |  FROM documents),

@@ -25,13 +25,23 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** 3-word shingles (mirrors the DuckDB slice construction in
-    * [[SHINGLES]]). */
+    * [[SHINGLES]]). Docs with fewer than n tokens yield an EMPTY array —
+    * guarded explicitly because Spark's `sequence(0, -1)` is the
+    * DESCENDING range [0, -1] (it would feed `slice(toks, 0, n)`, which
+    * throws on a zero start index), while the DuckDB twin's
+    * `range(greatest(len-(n-1), 0))` is already empty. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextStats.tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    array_distinct(shortDocGuard(toks, n, transform(
+      sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
   }
+
+  /** Empty string-array for docs shorter than the n-gram width (see
+    * [[shingles]] — `sequence`'s descending-range footgun). */
+  private def shortDocGuard(toks: Column, n: Int, grams: Column): Column =
+    when(size(toks) >= lit(n), grams)
+      .otherwise(array().cast("array<string>"))
 
   def SHINGLES(e: String, n: Int = 3): String =
     s"""list_distinct(list_transform(
@@ -43,9 +53,9 @@ object Dedup {
     * occurrences; dedup shingling wants sets). */
   def ngrams(text: Column, n: Int): Column = {
     val toks = TextStats.tokens(text)
-    transform(
-      sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    shortDocGuard(toks, n, transform(
+      sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
   def NGRAMS(e: String, n: Int): String =
@@ -334,6 +344,9 @@ object Dedup {
     * without any quadratic join. Input columns (media_id, sig_hi,
     * sig_lo); output (media_a, media_b, hamming). */
   def hammingPairs64(sigs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"4-chunk pigeonhole is only complete for maxDist <= 3 (got $maxDist); " +
+      "derive more chunks (maxDist+1) before raising the radius")
     val pieces = Seq(
       col("sig_lo").bitwiseAND(lit(0xFFFFL)),
       shiftright(col("sig_lo"), 16).bitwiseAND(lit(0xFFFFL)),

@@ -30,6 +30,26 @@ class TextOpsSpec extends SparkSuite {
     assert(got(5L) == "und") // no stopwords at all
   }
 
+  test("shingles and ngrams return empty arrays for docs shorter than n") {
+    // sequence(0, -1) in Spark is the DESCENDING range [0, -1]: unguarded,
+    // a 1-token doc would feed slice(toks, 0, n) and throw at runtime
+    val short = Seq((0L, "one"), (1L, "two words"), (2L, ""), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = short.select(col("doc_id"),
+        size(Dedup.shingles(col("text"))).as("sh"),
+        size(Dedup.ngrams(col("text"), 2)).as("bi"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(0L) == ((0, 0)))   // 1 token: no trigram, no bigram
+    assert(got(1L) == ((0, 1)))   // 2 tokens: no trigram, one bigram
+    assert(got(2L) == ((0, 0)))   // empty text
+    assert(got(3L) == ((1, 2)))   // 3 tokens: one trigram, two bigrams
+  }
+
+  test("hammingPairs64 rejects radii the 4-chunk pigeonhole cannot cover") {
+    val sigs = Seq((1L, 0L, 0L)).toDF("media_id", "sig_hi", "sig_lo")
+    intercept[IllegalArgumentException] { Dedup.hammingPairs64(sigs, 4) }
+  }
+
   test("exact dedup groups identical texts") {
     val g = Dedup.exactGroups(docs).filter(col("n_docs") > 1).collect()
     assert(g.length == 1)
