@@ -453,21 +453,54 @@ object Wave6Queries {
     sizes.crossJoin(straddle)
   }
 
+  /** Per-ring-bucket candidate cap for [[qNegSamples]]. */
+  private[graft] val negCandK = 64
+
+  /** The capped candidate pool: for each of the 16 hash-ring buckets,
+    * the [[negCandK]] member vectors with the smallest md5 order
+    * (engine-recomputable, layout-independent). Candidate volume for
+    * the sampling join is therefore O(n·K) — a CONSTANT number of
+    * candidates per query vector — where the uncapped next-bucket
+    * join was Σ bucketᵢ·bucketᵢ₊₁ ≈ n²/16, the same quadratic
+    * blow-up as an ungated cosine self-join (just 16× cheaper).
+    *
+    * Computed as a TWO-PHASE top-K so no single reducer ever sorts a
+    * whole ring bucket (n/16 rows — the skew bomb at corpus scale):
+    * phase 1 takes the top-K within (bucket, salt) sub-partitions
+    * (32-way xxhash salt, each sorts ~n/512), phase 2 the exact
+    * top-K over the ≤ 16·32·K survivors. Any global top-K member is
+    * its salt group's top-K member, so the result PROVABLY equals the
+    * one-phase window — which is what the DuckDB oracle replays. */
+  private[graft] def negCandidatePool(bk: DataFrame): DataFrame = {
+    val cs = shiftrightunsigned(
+      Dedup.md5Hash64(col("neg_id").cast("string")), 4)
+    val side = bk.select(col("vec_id").as("neg_id"), col("bkt").as("nbkt"))
+      .withColumn("cs", cs)
+      .withColumn("salt", pmod(xxhash64(col("neg_id")), lit(32)))
+    val w1 = Window.partitionBy("nbkt", "salt").orderBy(col("cs"), col("neg_id"))
+    val w2 = Window.partitionBy("nbkt").orderBy(col("cs"), col("neg_id"))
+    side
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= negCandK)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= negCandK)
+      .select(col("neg_id"), col("nbkt"))
+  }
+
   /** Deterministic negative sampling for contrastive training: each
-    * vector draws 2 negatives from the NEXT hash-ring bucket (16
-    * buckets — candidate sets are corpus/16-sized, never all-pairs),
-    * scored by the md5 pair hash (layout-independent, engine-
-    * recomputable), EXCLUDING anything in the query's own semantic
-    * near-dup cluster — a near-duplicate used as a "negative" teaches
-    * the model the opposite of the truth. Window top-2 per query with
-    * a full-ordering tiebreak. */
+    * vector draws 2 negatives from a CAPPED candidate pool — the
+    * [[negCandK]] md5-smallest members of the NEXT hash-ring bucket
+    * ([[negCandidatePool]]; O(n·K) candidate volume) — scored by the
+    * md5 pair hash (layout-independent, engine-recomputable),
+    * EXCLUDING anything in the query's own semantic near-dup cluster
+    * — a near-duplicate used as a "negative" teaches the model the
+    * opposite of the truth. Window top-2 per query with a
+    * full-ordering tiebreak. */
   def qNegSamples(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val e = embs(s, d)
     val bk = e.select(col("vec_id"),
       Sampling.hashBucket(col("vec_id"), 16).as("bkt"))
     val cand = bk
-      .join(bk.select(col("vec_id").as("neg_id"), col("bkt").as("nbkt")),
+      .join(broadcast(negCandidatePool(bk)),
         col("nbkt") === (col("bkt") + 1) % 16)
     val cl = Dedup.connectedComponents(
       Similarity.cosinePairs(e, threshold = 0.45)
@@ -893,9 +926,16 @@ object Wave6Queries {
          |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |  FROM reach GROUP BY src),
          |bk AS (SELECT vec_id, $hb AS bkt FROM embeddings),
+         |cap AS (
+         |  SELECT neg_id, nbkt FROM (
+         |    SELECT vec_id AS neg_id, bkt AS nbkt,
+         |      row_number() OVER (PARTITION BY bkt
+         |        ORDER BY (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4),
+         |                 vec_id) AS r
+         |    FROM bk) WHERE r <= 64),
          |cand AS (
-         |  SELECT q.vec_id, c.vec_id AS neg_id
-         |  FROM bk q JOIN bk c ON c.bkt = (q.bkt + 1) % 16),
+         |  SELECT q.vec_id, c.neg_id
+         |  FROM bk q JOIN cap c ON c.nbkt = (q.bkt + 1) % 16),
          |sc AS (
          |  SELECT cand.vec_id, cand.neg_id, $score AS score
          |  FROM cand

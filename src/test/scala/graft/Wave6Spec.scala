@@ -348,6 +348,38 @@ class Wave6Spec extends SparkSuite {
     }
   }
 
+  test("q_neg_samples candidate pool is capped at K per ring bucket and " +
+      "two-phase top-K equals the one-phase window the oracle runs") {
+    import graft.ops.Sampling
+    import graft.text.Dedup
+    import org.apache.spark.sql.expressions.Window
+    // 4000 ids -> ~250 per bucket, well above K=64 so the cap must bite
+    val bk = spark.range(4000).select(col("id").as("vec_id"),
+      Sampling.hashBucket(col("id"), 16).as("bkt"))
+    val pool = Wave6Queries.negCandidatePool(bk)
+    val perBucket = pool.groupBy("nbkt").count().collect()
+    assert(perBucket.length == 16)
+    assert(perBucket.forall(_.getLong(1) == Wave6Queries.negCandK),
+      "every ring bucket must be capped at exactly K candidates here")
+    // the salted two-phase must equal the single global window per bucket
+    val onePhase = bk
+      .withColumn("cs", shiftrightunsigned(
+        Dedup.md5Hash64(col("vec_id").cast("string")), 4))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("bkt").orderBy(col("cs"), col("vec_id"))))
+      .filter(col("r") <= Wave6Queries.negCandK)
+      .select(col("vec_id").as("neg_id"), col("bkt").as("nbkt"))
+    assert(pool.exceptAll(onePhase).isEmpty && onePhase.exceptAll(pool).isEmpty,
+      "two-phase top-K must equal the one-phase window")
+  }
+
+  test("q_neg_samples candidate join broadcasts the capped pool") {
+    val plan = Wave6Queries.qNegSamples(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the O(16*K)-row candidate pool must be the broadcast build side:\n" + plan)
+  }
+
   test("q_mixture_weights: weights normalize and compress toward the mean") {
     val rows = Wave6Queries.qMixtureWeights(spark, sf("sf0.001")).collect()
     assert(rows.length == 20)
