@@ -96,21 +96,23 @@ object PipelineQueries {
     * the code that actually runs above the 100k-row gate (i.e. the only
     * path that exists at 100 TB), which the green `q_cosine_pairs` row
     * never exercises at test SFs. Runs the LSH path at its production
-    * default dial (8 tables × 7 bits) against the exact all-pairs
-    * truth ([[Similarity.pairRecall]]): `n_extra` must be 0 (the
-    * verify stage makes precision exact — oracle-checked literally)
-    * and recall must clear the floor. Measured recall at threshold
-    * 0.45 on the near-uniform test embeddings (deterministic — the
-    * hyperplanes are hash-derived, no RNG): 0.43 / 0.21 / 0.375 at
-    * sf0.001/0.01/0.1; floor 0.1 sits 2× under the minimum. Real
-    * near-dup corpora (cos ≥ 0.8) bucket far more reliably — the
-    * uniform test corpus is the adversarial case. */
+    * default dial (8 tables × 7 bits, one-bit multi-probe) against the
+    * exact all-pairs truth ([[Similarity.pairRecall]]): `n_extra` must
+    * be 0 (the verify stage makes precision exact — oracle-checked
+    * literally) and recall must clear the floor. Measured recall at
+    * threshold 0.45 on the near-uniform test embeddings (deterministic
+    * — the hyperplanes are hash-derived, no RNG): 1.000 / 0.929 /
+    * 0.875 at sf0.001/0.01/0.1; floor 0.6 sits 1.45× under the
+    * minimum (exact-probe measured 0.21–0.43 — multi-probe is what
+    * buys the margin). Real near-dup corpora (cos ≥ 0.8) bucket far
+    * more reliably — the uniform test corpus is the adversarial
+    * case. */
   def qCosinePairsLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     Similarity.pairRecall(
       Similarity.cosinePairsLsh(e, threshold = 0.45),
       Similarity.cosinePairs(e, threshold = 0.45, maxExact = Long.MaxValue),
-      floor = 0.1)
+      floor = 0.6)
   }
 
   /** Sequence packing ([[graft.text.Packing]]): both packing shapes

@@ -101,41 +101,68 @@ object Similarity {
     } else cosinePairsLsh(corpus, threshold)
   }
 
-  /** Scale path for [[cosinePairs]]: vectors sharing a signature chunk
-    * are candidates (equi-join on (table, piece) — a hash join, never a
-    * cartesian), deduped across tables, then exact-cosine verified, so
-    * precision is exact and only recall is approximate. Candidate
-    * volume per table is Σ bucketᵢ² at 2^chunkBits buckets; the 8×7-bit
-    * default (56-bit signature) keeps that at ~n²/128 per table on
-    * uniform data and far less on clustered (real near-dup) corpora,
-    * where threshold-0.8 pairs land in the same bucket with
-    * p ≈ 0.795⁷ ≈ 0.20/table (recall ≈ 0.83 over 8 tables). */
+  /** Scale path for [[cosinePairs]]: vectors whose signature chunks
+    * are within Hamming distance ≤ 1 in some table are candidates,
+    * deduped across tables, then exact-cosine verified, so precision
+    * is exact and only recall is approximate.
+    *
+    * MULTI-PROBE: side a explodes each table's chunk into the exact
+    * piece plus its chunkBits one-bit flips, side b keeps the exact
+    * piece — so a pair fires in a table iff its chunk Hamming distance
+    * is ≤ 1 (flips are symmetric), still a pure equi-join on
+    * (table, piece), never a cartesian. For neighbors whose bits match
+    * with probability p, a table fires with p^c + c·p^(c-1)(1−p)
+    * instead of p^c: at the 0.45-threshold margin (p ≈ 0.65) the
+    * 8×7-bit dial goes from ≈0.05 to ≈0.23 per table, recall over 8
+    * tables from ≈0.33 to ≈0.88 — measured 0.875 / 0.929 / 1.000 at
+    * sf0.1/0.01/0.001 on the near-uniform test embeddings (see
+    * `tools/LshPairRecall`), vs 0.21–0.43 exact-probe. Real near-dup
+    * corpora (cos ≥ 0.8, p ≈ 0.8+) bucket far more reliably.
+    *
+    * Cost: candidate volume per table is (c+1)·Σ bucketᵢ² at
+    * 2^chunkBits buckets (≈ n²/16 per table on uniform data — the
+    * recall price), and ONLY (id, table, piece) rows ride the bucket
+    * shuffle: embeddings rejoin id-keyed AFTER the candidate set has
+    * collapsed (the lshTopK lesson — never drag the arrays through
+    * the exploded join). */
   def cosinePairsLsh(corpus: DataFrame, threshold: Double,
-      nTables: Int = 8, chunkBits: Int = 7): DataFrame = {
+      nTables: Int = 8, chunkBits: Int = 7,
+      multiProbe: Boolean = true): DataFrame = {
     val nBits = nTables * chunkBits
     require(nBits <= 63, "signature must fit a long")
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     val mask = (1L << chunkBits) - 1
-    // signature materialized once per row; chunk keys derive from the
-    // sig COLUMN after the explode (see lshTopK — never repeat the
-    // signature expression inside the exploded array)
-    val n = corpus.select(col("vec_id"), col("embedding"),
-                          norm(col("embedding")).as("nrm"),
-                          lshSignature(col("embedding"), dim, nBits).as("sig"))
-    def keyed(side: String) =
-      n.select(col("vec_id").as(s"vec_$side"),
-               col("embedding").as(s"e$side"), col("nrm").as(s"n$side"),
-               col("sig"),
-               explode(typedLit((0 until nTables).toArray)).as("tbl"))
-        .select(col(s"vec_$side"), col(s"e$side"), col(s"n$side"),
-                col("tbl").as(s"tbl_$side"),
-                expr(s"shiftright(sig, tbl * $chunkBits)")
-                  .bitwiseAND(lit(mask)).as(s"piece_$side"))
-    keyed("a").join(keyed("b"),
+    // ids + signature ONLY through the bucket join; the signature is
+    // materialized once per row and chunk keys derive from the sig
+    // COLUMN after the explode (never repeat the signature expression
+    // inside the exploded array — the q_winnow lesson)
+    val sigs = corpus.repartition(col("vec_id"))
+      .select(col("vec_id"), lshSignature(col("embedding"), dim, nBits).as("sig"))
+    // (table, xorMask) probe space: mask 0 = the exact piece; side b
+    // probes nothing (d(a,b) <= 1 iff b's exact piece is a's probe)
+    val aProbes = for {
+      t <- 0 until nTables
+      m <- 0L +: (if (multiProbe) (0 until chunkBits).map(1L << _) else Seq.empty)
+    } yield (t, m)
+    def keyed(side: String, probes: Seq[(Int, Long)]) =
+      sigs.select(col("vec_id").as(s"vec_$side"), col("sig"),
+          explode(typedLit(probes.toArray)).as("pr"))
+        .select(col(s"vec_$side"), col("pr._1").as(s"tbl_$side"),
+          expr(s"shiftright(sig, pr._1 * $chunkBits)")
+            .bitwiseAND(lit(mask)).bitwiseXOR(col("pr._2")).as(s"piece_$side"))
+    val exactProbes = (0 until nTables).map((_, 0L))
+    val cand = keyed("a", aProbes).join(keyed("b", exactProbes),
         col("tbl_a") === col("tbl_b") && col("piece_a") === col("piece_b") &&
           col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "ea", "eb", "na", "nb")
-      .distinct() // a pair can collide in several tables
+      .select("vec_a", "vec_b")
+      .distinct() // a pair can collide in several tables/probes
+    val ne = corpus.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    cand
+      .join(ne.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(ne.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_b")
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= lit(threshold))
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))

@@ -24,13 +24,14 @@ object LshPairRecall {
       val truth = Similarity.cosinePairs(e, 0.45, maxExact = Long.MaxValue)
         .select("vec_a", "vec_b").cache()
       val nTrue = truth.count()
-      for ((nt, cb) <- Seq((8, 7), (8, 6), (8, 5), (12, 5))) {
-        val found = Similarity.cosinePairsLsh(e, 0.45, nTables = nt, chunkBits = cb)
+      for ((nt, cb, mp) <- Seq((8, 7, false), (8, 7, true), (8, 6, true), (7, 9, true))) {
+        val found = Similarity.cosinePairsLsh(e, 0.45, nTables = nt,
+            chunkBits = cb, multiProbe = mp)
           .select("vec_a", "vec_b")
         val nFound = found.count()
         val nHits = found.join(truth, Seq("vec_a", "vec_b")).count()
         val rec = if (nTrue == 0) 1.0 else nHits.toDouble / nTrue
-        println(f"$sf tables=$nt bits=$cb n_true=$nTrue n_found=$nFound n_hits=$nHits recall=$rec%.3f")
+        println(f"$sf tables=$nt bits=$cb probe=$mp n_true=$nTrue n_found=$nFound n_hits=$nHits recall=$rec%.3f")
       }
       truth.unpersist()
     }
