@@ -588,29 +588,20 @@ object Wave6Queries {
     * Jaccard only catches when the truncation keeps most of the text.
     * Deterministic truncated copies (half-length, id + 1,000,000, every
     * 5th doc) are injected in-plan so the pair set is provably
-    * non-empty and both engines synthesize it identically. Candidates
-    * join on the md5 of the first 8 tokens (docs shorter than 8 tokens
-    * are out of scope by declared semantics — the oracle mirrors the
-    * gate), then the full prefix is verified with an exact array-slice
-    * equality in the join residual. Never all-pairs: candidate volume
-    * is Σ bucket² over 8-token-prefix buckets. */
+    * non-empty and both engines synthesize it identically. Pairing is
+    * [[Dedup.prefixPairs]] — hot-prefix-capped candidate buckets on
+    * the md5 of the first 8 tokens (docs shorter than 8 tokens are
+    * out of scope by declared semantics — the oracle mirrors the
+    * gate), with exact slice-equality verification; the oracle
+    * replays all three branches (cold bucket / 16-token re-key /
+    * output-bounded short rescue) with the same cap. */
   def qDedupPrefix(s: SparkSession, d: String): DataFrame = {
     val tb = docs(s, d).repartition(col("doc_id"))
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val tr = tb.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         expr("slice(toks, 1, greatest(size(toks) div 2, 1))").as("toks"))
-    val wn = tb.unionAll(tr)
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-      .filter(col("n") >= 8)
-      .withColumn("pk", md5(array_join(expr("slice(toks, 1, 8)"), " ")
-        .cast("binary")))
-    wn.as("a").join(wn.as("b"),
-        col("a.pk") === col("b.pk") && col("a.n") < col("b.n") &&
-          expr("slice(b.toks, 1, a.n)") === col("a.toks"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .orderBy("doc_a", "doc_b")
+    Dedup.prefixPairs(tb.unionAll(tr)).orderBy("doc_a", "doc_b")
   }
 
   private val jacThreshold = 0.8
@@ -990,21 +981,49 @@ object Wave6Queries {
     },
     "q_dedup_prefix" -> {
       val T = TextStats.TOKENS("text")
+      // replays Dedup.prefixPairs branch for branch: cold buckets at
+      // prefix-df cap 256, hot long docs re-keyed on the 16-token
+      // prefix, hot short docs via the full-content-key rescue
       s"""WITH tb AS (SELECT doc_id, $T AS toks FROM documents),
          |tr AS (SELECT doc_id + 1000000 AS doc_id,
          |         toks[1:greatest(len(toks) // 2, 1)] AS toks
          |       FROM tb WHERE doc_id % 5 = 0),
          |u AS (SELECT * FROM tb UNION ALL SELECT * FROM tr),
-         |wn AS (SELECT doc_id, toks, len(toks) AS n FROM u
-         |       WHERE len(toks) >= 8),
-         |pk AS (SELECT doc_id, toks, n,
+         |wn AS (SELECT doc_id, toks, len(toks) AS n,
          |         md5(array_to_string(toks[1:8], ' ')) AS pk
-         |       FROM wn)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(a.n AS INTEGER) AS n_a, CAST(b.n AS INTEGER) AS n_b
-         |FROM pk a JOIN pk b ON a.pk = b.pk AND a.n < b.n
-         |  AND b.toks[1:a.n] = a.toks
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |       FROM u WHERE len(toks) >= 8),
+         |dfc AS (SELECT pk, count(*) AS df FROM wn GROUP BY pk),
+         |cold AS (SELECT w.* FROM wn w JOIN dfc USING (pk)
+         |         WHERE df <= 256),
+         |hot AS (SELECT w.doc_id, w.toks, w.n FROM wn w JOIN dfc USING (pk)
+         |        WHERE df > 256),
+         |p_cold AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b
+         |  FROM cold a JOIN cold b ON a.pk = b.pk AND a.n < b.n
+         |    AND b.toks[1:a.n] = a.toks),
+         |hot16 AS (SELECT doc_id, toks, n,
+         |            md5(array_to_string(toks[1:16], ' ')) AS pk16
+         |          FROM hot WHERE n >= 16),
+         |p_16 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b
+         |  FROM hot16 a JOIN hot16 b ON a.pk16 = b.pk16 AND a.n < b.n
+         |    AND b.toks[1:a.n] = a.toks),
+         |short_a AS (SELECT doc_id, toks, n,
+         |              md5(array_to_string(toks, ' ')) AS fk
+         |            FROM hot WHERE n < 16),
+         |long_b AS (SELECT doc_id, toks, n,
+         |             md5(array_to_string(toks[1:j], ' ')) AS fk
+         |           FROM (SELECT *, unnest(range(8, least(15, n - 1) + 1)) AS j
+         |                 FROM hot WHERE n >= 9)),
+         |p_short AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b
+         |  FROM short_a a JOIN long_b b ON a.fk = b.fk AND a.n < b.n
+         |    AND b.toks[1:a.n] = a.toks),
+         |pairs AS (SELECT * FROM p_cold UNION ALL SELECT * FROM p_16
+         |          UNION ALL SELECT * FROM p_short)
+         |SELECT doc_a, doc_b, CAST(n_a AS INTEGER) AS n_a,
+         |  CAST(n_b AS INTEGER) AS n_b
+         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_k_anonymity" ->
       """WITH classes AS (

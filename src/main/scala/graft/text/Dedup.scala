@@ -371,6 +371,80 @@ object Dedup {
       .filter(col("hamming") <= lit(maxDist))
   }
 
+  /** Truncation-prefix pairs: every (a, b) where a's token sequence is
+    * a strict PREFIX of b's, over docs with ≥ 8 tokens (shorter docs
+    * are out of scope by declared semantics). Output: (doc_a, doc_b,
+    * n_a, n_b), exactly equal to the naive pk8 self-join — but
+    * HOT-PREFIX CAPPED, because the candidate key (md5 of the first 8
+    * tokens) is precisely the boilerplate-opening statistic: license
+    * headers and templated intros put millions of docs on one key and
+    * make the naive Σ bucket² join quadratic (the same skew bomb
+    * [[jaccardPairs]] solves with stop-shingles). Three branches, all
+    * bucketed equi-joins:
+    *
+    *  1. COLD buckets (prefix df ≤ `hotPrefixDf`): join within the
+    *     8-token bucket, exact slice-equality residual. Candidate
+    *     volume ≤ cap · n.
+    *  2. HOT buckets, both docs ≥ 16 tokens: re-key on the md5 of the
+    *     first 16 tokens and join within the sub-bucket (legal: a
+    *     prefix pair with n_a ≥ 16 shares its first 16 tokens by
+    *     definition). One recursion level — a 16-token-identical
+    *     opening with df > cap keeps quadratic candidates; the ladder
+    *     generalizes by iterating (32, 64, …) if a real corpus ever
+    *     needs it.
+    *  3. HOT buckets, a shorter than 16 tokens: OUTPUT-BOUNDED rescue.
+    *     The b side emits md5 keys of its j-token prefixes for
+    *     j ∈ [8, min(15, n_b−1)]; the short a side keys on its FULL
+    *     token content (one key). Key equality already implies the
+    *     prefix match (the slice residual stays as md5-collision
+    *     armor), so join volume ≈ true pair count — never a bucket².
+    *
+    * Branches are disjoint (cold/hot by bucket, n_a ≥ 16 vs < 16
+    * within hot), so the union needs no dedup. `PrefixDedupSkewSpec`
+    * proves output equality with the uncapped join on a synthetic
+    * common-opening corpus that forces all three branches. */
+  def prefixPairs(tokenized: DataFrame, hotPrefixDf: Long = 256): DataFrame = {
+    val wn = tokenized
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= 8)
+      .withColumn("pk", md5(array_join(expr("slice(toks, 1, 8)"), " ")
+        .cast("binary")))
+    val dfc = wn.groupBy("pk").agg(count(lit(1)).as("df"))
+    val flagged = wn.join(dfc, "pk")
+    val cold = flagged.filter(col("df") <= lit(hotPrefixDf))
+      .select("pk", "doc_id", "toks", "n")
+    val hot = flagged.filter(col("df") > lit(hotPrefixDf))
+      .select("doc_id", "toks", "n")
+
+    def verified(a: DataFrame, b: DataFrame, key: String) =
+      a.as("a").join(b.as("b"),
+          col(s"a.$key") === col(s"b.$key") && col("a.n") < col("b.n") &&
+            expr("slice(b.toks, 1, a.n)") === col("a.toks"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+
+    val coldPairs = verified(cold, cold, "pk")
+
+    val hot16 = hot.filter(col("n") >= 16)
+      .withColumn("pk16", md5(array_join(expr("slice(toks, 1, 16)"), " ")
+        .cast("binary")))
+    val subPairs = verified(hot16, hot16, "pk16")
+
+    // output-bounded short rescue: a = hot docs with 8 <= n < 16 keyed
+    // by full content; b = hot docs emitting one key per prefix length
+    // j in [8, min(15, n-1)] (n >= 9 guard keeps sequence() ascending)
+    val shortA = hot.filter(col("n") < 16)
+      .withColumn("fk", md5(array_join(col("toks"), " ").cast("binary")))
+    val longB = hot.filter(col("n") >= 9)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(8), least(lit(15), col("n") - 1))).as("j"))
+      .withColumn("fk", md5(array_join(expr("slice(toks, 1, j)"), " ")
+        .cast("binary")))
+    val shortPairs = verified(shortA, longB, "fk")
+
+    coldPairs.unionAll(subPairs).unionAll(shortPairs)
+  }
+
   /** Exact dedup groups: canonical fingerprint → group size + keeper
     * (min doc_id). */
   def exactGroups(docs: DataFrame): DataFrame =
