@@ -368,15 +368,30 @@ object Wave6Queries {
     * [[qLmScore]]/[[qKlDrift]] pattern), so five chained float
     * reductions stay bit-identical across engines and partitionings —
     * an ITERATIVE fixpoint computation under a full cross-engine
-    * oracle. */
-  def qDomainRank(s: SparkSession, d: String): DataFrame = {
+    * oracle.
+    *
+    * Each round's rank vector is lineage-truncated
+    * ([[Dedup.truncate]] — the connectedComponents pattern): without
+    * it the 5 chained join+agg rounds plan as ONE deep tree, and the
+    * planner blows up once iterations or graph size grow
+    * (`DomainRankSpec` pins constant plan depth as iterations
+    * double; the checkpoint materializes an 18-row frame per round,
+    * so the cost is a no-op). */
+  def qDomainRank(s: SparkSession, d: String): DataFrame =
+    domainRank(docs(s, d), iterations = 5)
+      .orderBy(col("pagerank").desc, col("node"))
+
+  /** [[qDomainRank]]'s loop with the iteration count exposed (plan-
+    * depth tests double it). */
+  private[graft] def domainRank(docFrame: DataFrame,
+      iterations: Int): DataFrame = {
     val did = col("doc_id")
     val site = concat(lit("site"), (did % 7).cast("string"), lit(".example"))
     val cdn = concat(lit("cdn"), (did % 11).cast("string"),
       lit(".assets.test"))
     val site2 = concat(lit("site"), ((did * 3) % 7).cast("string"),
       lit(".example"))
-    val base = docs(s, d).select(did)
+    val base = docFrame.select(did)
     val rawEdges = base.select(site.as("src"), cdn.as("dst"))
       .unionAll(base.select(cdn.as("src"), site2.as("dst")))
     val edges = rawEdges.groupBy("src", "dst").agg(count(lit(1)).as("w"))
@@ -387,7 +402,7 @@ object Wave6Queries {
     val nFrame = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to iterations) {
       val contrib = weighted
         .join(broadcast(pr), col("src") === col("node"))
         .select(col("dst"), col("src"),
@@ -397,14 +412,13 @@ object Wave6Queries {
           .as("cs"))
         .select(col("dst").as("node"),
           expr("aggregate(cs, 0d, (a, x) -> a + x.c)").as("insum"))
-      pr = nodes.join(summed, Seq("node"), "left")
+      pr = Dedup.truncate(nodes.join(summed, Seq("node"), "left")
         .crossJoin(broadcast(nFrame))
         .select(col("node"),
           (lit(0.15) / col("n")
-            + lit(0.85) * coalesce(col("insum"), lit(0.0))).as("pr"))
+            + lit(0.85) * coalesce(col("insum"), lit(0.0))).as("pr")))
     }
     pr.select(col("node"), round(col("pr"), 6).as("pagerank"))
-      .orderBy(col("pagerank").desc, col("node"))
   }
 
   /** Cluster-aware train/val/test split with a leakage audit. Naive

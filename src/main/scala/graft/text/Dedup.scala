@@ -478,7 +478,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame): DataFrame =
     connectedComponentsWithRounds(pairs)._1
 
-  private def truncate(df: DataFrame): DataFrame =
+  /** Per-round lineage truncation for driver-side fixpoint loops
+    * (connected components, PageRank): reliable `checkpoint()` when
+    * the session has a checkpoint dir (survives executor loss on a
+    * real cluster), `localCheckpoint()` otherwise. Without it every
+    * round re-plans the whole chain so far — planner blow-up once
+    * iterations or graph size grow. */
+  private[graft] def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
     else df.localCheckpoint()

@@ -315,6 +315,19 @@ class Wave6Spec extends SparkSuite {
     assert(rows.head.getString(0).startsWith("site"))
   }
 
+  test("domainRank plan depth stays constant as iterations double") {
+    val d = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
+    def depth(it: Int) = Wave6Queries.domainRank(d, it)
+      .queryExecution.optimizedPlan.treeString.linesIterator.size
+    val (d4, d8) = (depth(4), depth(8))
+    assert(d8 == d4,
+      s"per-round lineage truncation must keep the plan flat: $d4 -> $d8")
+    // and deeper fixpoints stay well-formed (mass conserved)
+    val mass = Wave6Queries.domainRank(d, 8)
+      .agg(sum(col("pagerank"))).first().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-4)
+  }
+
   test("q_split_leakage: cluster-aware split leaks zero near-dup pairs " +
       "and covers every document") {
     val r = Wave6Queries.qSplitLeakage(spark, sf("sf0.001")).collect().head
