@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.FinanceQueries.queries ++
     graft.queries.EventAnalytics.queries ++
     graft.queries.Wave5Queries.queries ++
-    graft.queries.Wave6Queries.queries
+    graft.queries.Wave6Queries.queries ++
+    graft.queries.Wave7Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
     graft.queries.FinanceQueries.oracles ++
     graft.queries.EventAnalytics.oracles ++
     graft.queries.Wave5Queries.oracles ++
-    graft.queries.Wave6Queries.oracles
+    graft.queries.Wave6Queries.oracles ++
+    graft.queries.Wave7Queries.oracles
 }

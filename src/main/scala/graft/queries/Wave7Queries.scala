@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.text.TextStats
+
+/** Round-6 wave 7 — the front and back of the corpus funnel the
+  * earlier waves assumed away:
+  *
+  *  - `q_html_extract`: HTML → visible-text extraction
+  *    ([[TextStats.extractHtml]]) — every real web corpus starts as
+  *    HTML, and every text operator downstream (quality, LM,
+  *    boilerplate) assumes extracted text. Deterministic synthetic
+  *    HTML (title/style/script/comment/entities wrapped around each
+  *    document) is built in-plan so both engines extract the same
+  *    payload and the oracle replays the full strip/decode cascade.
+  */
+object Wave7Queries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** The deterministic HTML wrapper both engines synthesize: exercises
+    * comment strip, script strip (with raw `>`/`&&` inside the block),
+    * style strip, attribute-bearing tags, and every entity in
+    * [[TextStats.htmlEntities]] — including the `&amp;lt;` decode-order
+    * trap (must surface as the literal `&lt;`, not `<`). */
+  private val htmlPieces: Seq[Either[String, String]] = Seq(
+    Left("<html><head><title>Doc "), Right("doc_id"),
+    Left("</title><style type=\"text/css\"> p { margin: 0; } </style>" +
+      "<script>var id = "), Right("doc_id"),
+    Left("; if (id > 0 && id < 99) { run(); }</script></head>" +
+      "<body><!-- build "), Right("doc_id"),
+    Left(" --><h1 class=\"t\">Title &amp; Section "), Right("doc_id % 5"),
+    Left("</h1><p>"), Right("coalesce(text, '')"),
+    Left("</p><div data-x=\"1\">tail &lt;b&gt;bold&lt;/b&gt; &quot;q&quot;" +
+      " &#39;s&nbsp;end &amp;lt;raw</div></body></html>"))
+
+  def qHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val html = concat(htmlPieces.map {
+      case Left(l)  => lit(l)
+      case Right(e) => expr(e).cast("string")
+    }: _*)
+    docs(s, d)
+      .select(col("doc_id"), TextStats.extractHtml(html).as("text_clean"))
+      .withColumn("n_tokens", TextStats.tokenCount(col("text_clean")))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_extract" -> qHtmlExtract)
+
+  val oracles: Map[String, String] = Map(
+    "q_html_extract" -> {
+      val html = htmlPieces.map {
+        case Left(l)  => "'" + l.replace("'", "''") + "'"
+        case Right(e) => s"CAST($e AS VARCHAR)"
+      }.mkString(" || ")
+      s"""WITH h AS (SELECT doc_id, $html AS html FROM documents),
+         |e AS (SELECT doc_id, ${TextStats.EXTRACT_HTML("html")} AS text_clean
+         |      FROM h)
+         |SELECT doc_id, text_clean,
+         |  CAST(len(${TextStats.TOKENS("text_clean")}) AS INTEGER) AS n_tokens
+         |FROM e ORDER BY doc_id""".stripMargin
+    })
+}

@@ -101,6 +101,64 @@ object TextStats {
   def FINGERPRINT(e: String): String =
     s"md5(trim(regexp_replace(lower($e), '\\s+', ' ', 'g')))"
 
+  // ---- HTML -> text extraction ----
+
+  /** Literal entity decodes, applied AFTER tag stripping (so a decoded
+    * `&lt;b&gt;` stays visible text instead of being re-stripped) and
+    * with `&amp;` LAST (so `&amp;lt;` decodes to the literal `&lt;`,
+    * not to `<`). Shared by both engines. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** (pattern, flags-prefix) regex strip cascade — comments, script
+    * blocks, style blocks, then every remaining tag to whitespace.
+    * RE2-compatible (non-greedy dotall, no backrefs) so the DuckDB
+    * twin runs the identical patterns. Declared semantics, mirrored
+    * exactly by [[EXTRACT_HTML]]:
+    *  - an UNCLOSED `<script>`/`<style>` block falls through to the
+    *    tag stripper (its body surfaces as text — deterministic, and
+    *    honest about the input being broken);
+    *  - a literal `>` inside a quoted attribute value ends the tag at
+    *    that `>` (regex tag model, not a parser). */
+  val htmlStripPatterns: Seq[String] = Seq(
+    "(?s)<!--.*?-->",
+    "(?is)<script\\b[^>]*>.*?</script\\s*>",
+    "(?is)<style\\b[^>]*>.*?</style\\s*>",
+    "(?s)<[^>]*>")
+
+  /** HTML → visible text: strip comments/script/style, tags to
+    * whitespace, decode the common entities, collapse whitespace, trim
+    * — the front of the web-corpus funnel (every text operator
+    * downstream assumes extracted text). A pure row-local chain of
+    * codegen'd built-ins: no shuffle, pipelines inside the scan at any
+    * scale. */
+  def extractHtml(html: Column): Column = {
+    val stripped = htmlStripPatterns.foldLeft(html) { (c, pat) =>
+      regexp_replace(c, pat, " ")
+    }
+    val decoded = htmlEntities.foldLeft(stripped) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** DuckDB twin of [[extractHtml]] — the same cascade, generated from
+    * the same pattern/entity lists. */
+  def EXTRACT_HTML(e: String): String = {
+    // DuckDB single-quoted literals keep backslashes literal, so the
+    // Scala pattern strings interpolate verbatim; dotall/case flags are
+    // inline (?s)/(?is), identical for java.util.regex and RE2
+    val stripped = htmlStripPatterns.foldLeft(e) { (acc, pat) =>
+      s"regexp_replace($acc, '$pat', ' ', 'g')"
+    }
+    val decoded = htmlEntities.foldLeft(stripped) { case (acc, (ent, r)) =>
+      val rr = if (r == "'") "''" else r
+      s"replace($acc, '$ent', '$rr')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   // ---- PII scrubbing ----
 
   /** Conservative PII patterns (kept RE2-compatible so the same text
