@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.text.TextStats
+import graft.text.{Bpe, TextStats}
 
 /** Round-6 wave 7 — the front and back of the corpus funnel the
   * earlier waves assumed away:
@@ -48,8 +48,35 @@ object Wave7Queries {
       .orderBy("doc_id")
   }
 
+  /** Subword (BPE) token accounting per document — the count a
+    * trainer's tokenizer actually sees, next to the whitespace and
+    * regex counts the earlier waves used for packing/mixing budgets.
+    * Applies the SHIPPED merge table ([[Bpe.shipped]] — fitted once
+    * from the compile-time seed text, the way production tokenizers
+    * ship as fixed artifacts), so the DuckDB oracle can replay the
+    * identical precomputed merge chain; corpus-sample fitting is the
+    * library path ([[Bpe.fitOnCorpus]], spec-proven). `compression` =
+    * BPE tokens per code point — the delta a packing budget moves by
+    * when it switches from whitespace counts to subword counts. */
+  def qBpeTokens(s: SparkSession, d: String): DataFrame = {
+    val m = Bpe.shipped
+    val nChars = coalesce(aggregate(
+      transform(TextStats.tokens(col("text")),
+        w => size(regexp_extract_all(w, lit("(?s)."), lit(0))).cast("long")),
+      lit(0L), (acc, x) => acc + x), lit(0L))
+    docs(s, d).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_ws_tokens"),
+        TextStats.regexTokenCount(col("text")).as("n_regex_tokens"),
+        nChars.as("n_chars"),
+        Bpe.tokenCount(col("text"), m).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_bpe_tokens") / greatest(col("n_chars"), lit(1L)), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_html_extract" -> qHtmlExtract)
+    "q_html_extract" -> qHtmlExtract,
+    "q_bpe_tokens" -> qBpeTokens)
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> {
@@ -63,5 +90,22 @@ object Wave7Queries {
          |SELECT doc_id, text_clean,
          |  CAST(len(${TextStats.TOKENS("text_clean")}) AS INTEGER) AS n_tokens
          |FROM e ORDER BY doc_id""".stripMargin
+    },
+    "q_bpe_tokens" -> {
+      val m = Bpe.shipped
+      val T = TextStats.TOKENS("text")
+      s"""SELECT doc_id,
+         |  CAST(len($T) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         |    AS INTEGER) AS n_regex_tokens,
+         |  CAST(coalesce(list_sum(list_transform($T,
+         |    w -> CAST(len(regexp_extract_all(w, '(?s).')) AS BIGINT))), 0)
+         |    AS BIGINT) AS n_chars,
+         |  ${Bpe.TOKEN_COUNT("text", m)} AS n_bpe_tokens,
+         |  round(CAST(${Bpe.TOKEN_COUNT("text", m)} AS DOUBLE)
+         |    / greatest(CAST(coalesce(list_sum(list_transform($T,
+         |        w -> CAST(len(regexp_extract_all(w, '(?s).')) AS BIGINT))), 0)
+         |        AS BIGINT), 1), 6) AS compression
+         |FROM documents ORDER BY doc_id""".stripMargin
     })
 }
