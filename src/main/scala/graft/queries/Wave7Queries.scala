@@ -74,9 +74,24 @@ object Wave7Queries {
       .orderBy("doc_id")
   }
 
+  /** Size-targeted export-shard assignment ([[graft.io.Export]]):
+    * per (source, shard) doc counts and payload bytes at an 8 KiB
+    * target — small enough that every SF yields multi-shard sources,
+    * so the window arithmetic (prefix payload bytes div target, the
+    * chunkByBudget shape) is exercised, not just the trivial single
+    * bucket. The writer itself (gzip jsonl, one file per shard) is
+    * round-trip-proven in ExportSpec against q_corpus_manifest's
+    * fingerprint. */
+  def qShardPlan(s: SparkSession, d: String): DataFrame =
+    graft.io.Export.shardPlan(docs(s, d), targetBytes = 8192L)
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("n_bytes"))
+      .orderBy("source", "shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> qHtmlExtract,
-    "q_bpe_tokens" -> qBpeTokens)
+    "q_bpe_tokens" -> qBpeTokens,
+    "q_shard_plan" -> qShardPlan)
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> {
@@ -107,5 +122,17 @@ object Wave7Queries {
          |        w -> CAST(len(regexp_extract_all(w, '(?s).')) AS BIGINT))), 0)
          |        AS BIGINT), 1), 6) AS compression
          |FROM documents ORDER BY doc_id""".stripMargin
-    })
+    },
+    "q_shard_plan" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(strlen(coalesce(text, '')) AS BIGINT) AS nb
+        |  FROM documents),
+        |c AS (SELECT *, coalesce(sum(nb) OVER (PARTITION BY source
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM s)
+        |SELECT source, cum // 8192 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_bytes
+        |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin)
 }
