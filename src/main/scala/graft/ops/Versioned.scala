@@ -1,0 +1,232 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated MERGE over immutable parquet files — the
+  * poor-man's lakehouse the incremental-ingest gate's output needs,
+  * built from the two primitives a plain filesystem gives you:
+  * immutable data files and an atomic rename.
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/b<version>/…            immutable parquet batches
+  *   <table>/_versions/v<version>.manifest  one data-file path per line
+  * }}}
+  *
+  *  - '''Commit = manifest rename.''' A writer stages its new data
+  *    files, writes the next manifest to a temp name, and renames it
+  *    into place. Readers resolve "current" as the highest committed
+  *    manifest and read exactly the files it lists — so a reader that
+  *    resolved version N keeps a consistent snapshot forever (its
+  *    files are never mutated or deleted until [[vacuum]]), and a
+  *    half-crashed writer leaves only unreferenced stage files, never
+  *    a torn table.
+  *  - '''Optimistic concurrency.''' The rename target embeds the
+  *    version number; HDFS/posix `rename` fails if the destination
+  *    exists, so two writers racing to commit version N+1 produce
+  *    exactly one winner — the loser re-reads the new current and
+  *    retries its merge (bounded retries, then error).
+  *  - '''Partition-scoped rewrite.''' MERGE with `partitionCol`
+  *    rewrites only the partitions present in the source batch:
+  *    untouched partitions' files carry over into the new manifest BY
+  *    REFERENCE (never copied — at 100 TB the daily delta touches
+  *    days, not the table). Within touched partitions the surviving
+  *    target rows and the source rows are one anti-join + union,
+  *    shuffling only those partitions' data.
+  *
+  * MERGE semantics (whole-row, the standard upsert):
+  * source row matches target on `keys` → source version wins
+  * (UPDATE); no match → INSERT; source rows flagged by `deleteCol`
+  * → DELETE (matched target rows disappear, the flagged source rows
+  * are not inserted).
+  */
+object Versioned {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = new Path(path, "_versions")
+
+  private def manifestPath(path: String, v: Long) =
+    new Path(manifestDir(path), s"v$v.manifest")
+
+  /** Highest committed version, or None for an uninitialized table. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) None
+    else {
+      val vs = f.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  private def readManifest(spark: SparkSession, path: String,
+      v: Long): Seq[String] = {
+    val in = fs(spark, path).open(manifestPath(path, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The files of version `v` (default: current). */
+  def files(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, path))
+      .getOrElse(sys.error(s"uninitialized versioned table: $path"))
+    readManifest(spark, path, v)
+  }
+
+  /** Batch-level directory name, partition-style (`gbatch=<v>`) so a
+    * manifest mixing files from several batches still presents ONE
+    * consistent directory structure to partition discovery; the
+    * column is dropped on read. */
+  private val batchCol = "gbatch"
+
+  private def readFiles(spark: SparkSession, path: String,
+      fileList: Seq[String]): DataFrame =
+    spark.read.option("basePath", new Path(path, "data").toString)
+      .parquet(fileList: _*).drop(batchCol)
+
+  /** Read a snapshot (default: current). `basePath` keeps partition
+    * columns recoverable from the directory layout. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame =
+    readFiles(spark, path, files(spark, path, version))
+
+  /** Stage a batch's rows as immutable files under `data/b<v>/` and
+    * return their paths. */
+  private def stage(df: DataFrame, path: String, v: Long,
+      partitionCol: Option[String]): Seq[String] = {
+    val dir = new Path(new Path(path, "data"), s"$batchCol=$v").toString
+    val w = df.write.mode("overwrite")
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dir)
+    val f = fs(df.sparkSession, path)
+    val it = f.listFiles(new Path(dir), true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        out += s.getPath.toString
+    }
+    out.result()
+  }
+
+  /** Atomically commit `fileList` as version `v`. True iff this writer
+    * won the race for `v`. */
+  private def commit(spark: SparkSession, path: String, v: Long,
+      fileList: Seq[String]): Boolean = {
+    val f = fs(spark, path)
+    f.mkdirs(manifestDir(path))
+    val tmp = new Path(manifestDir(path),
+      s".v$v.manifest.tmp.${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write((fileList.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // HDFS rename refuses an existing destination (the real atomic
+    // lock); local filesystems may overwrite, so the exists() probe in
+    // front keeps the conflict detection honest in tests too
+    val target = manifestPath(path, v)
+    val won = !f.exists(target) && f.rename(tmp, target)
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
+  /** Initialize the table with `df` as version 1. */
+  def init(df: DataFrame, path: String,
+      partitionCol: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    require(currentVersion(spark, path).isEmpty,
+      s"table already initialized: $path")
+    val staged = stage(df, path, 1L, partitionCol)
+    require(commit(spark, path, 1L, staged), s"init lost a commit race: $path")
+    1L
+  }
+
+  /** MERGE `source` into the table (semantics in the object doc).
+    * Returns the committed version. */
+  def merge(source: DataFrame, path: String, keys: Seq[String],
+      partitionCol: Option[String] = None,
+      deleteCol: Option[String] = None, maxRetries: Int = 5): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val spark = source.sparkSession
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = currentVersion(spark, path)
+        .getOrElse(sys.error(s"uninitialized versioned table: $path"))
+      val next = cur + 1
+      val curFiles = readManifest(spark, path, cur)
+
+      val (carried, rewriteDf) = partitionCol match {
+        case Some(pc) =>
+          // untouched partitions carry over BY REFERENCE
+          val touched = source.select(col(pc)).distinct()
+            .collect().map(r => s"$pc=${r.get(0)}").toSet
+          val (hit, keep) = curFiles.partition(f =>
+            touched.exists(t => f.contains(s"/$t/")))
+          val hitDf =
+            if (hit.isEmpty) spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              read(spark, path, Some(cur)).schema)
+            else readFiles(spark, path, hit)
+          (keep, hitDf)
+        case None => (Seq.empty[String], read(spark, path, Some(cur)))
+      }
+
+      val srcCols = rewriteDf.columns.toSeq
+      val inserts = deleteCol.fold(source)(d =>
+        source.filter(!coalesce(col(d), lit(false))))
+        .select(srcCols.map(col): _*)
+      val survivors = rewriteDf.join(
+        source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      val merged = survivors.unionByName(inserts)
+
+      val staged = stage(merged, path, next, partitionCol)
+      if (commit(spark, path, next, carried ++ staged)) return next
+      // lost the race: another writer committed `next` — re-merge
+      // against the new current (our staged b<next> files were named
+      // by the version we failed to take; clean them up)
+      fs(spark, path).delete(
+        new Path(new Path(path, "data"), s"$batchCol=$next"), true)
+      attempt += 1
+    }
+    sys.error(s"merge lost $maxRetries commit races: $path")
+  }
+
+  /** Delete data files referenced by NO surviving manifest and drop
+    * all but the last `keepLast` manifests. Returns deleted file
+    * count. Readers of retained versions are unaffected. */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return 0
+    val versions = f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }.sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepLast))
+    val live = keep.flatMap(v => readManifest(spark, path, v)).toSet
+    val dataDir = new Path(path, "data")
+    var deleted = 0
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, true)
+      val dead = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")
+            && !live.contains(s.getPath.toString))
+          dead += s.getPath
+      }
+      dead.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
+    }
+    drop.foreach(v => f.delete(manifestPath(path, v), false))
+    deleted
+  }
+}
