@@ -404,17 +404,16 @@ object Dedup {
     * proves output equality with the uncapped join on a synthetic
     * common-opening corpus that forces all three branches. */
   def prefixPairs(tokenized: DataFrame, hotPrefixDf: Long = 256): DataFrame = {
+    // cached: the keyed frame feeds the df count plus both sides of
+    // all three branch joins (the jaccardPairs shingle-rows pattern —
+    // uncached, tokenization + md5 re-run per subtree, measured ~4×
+    // slower at sf0.1)
     val wn = tokenized
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
       .filter(col("n") >= 8)
       .withColumn("pk", md5(array_join(expr("slice(toks, 1, 8)"), " ")
         .cast("binary")))
-    val dfc = wn.groupBy("pk").agg(count(lit(1)).as("df"))
-    val flagged = wn.join(dfc, "pk")
-    val cold = flagged.filter(col("df") <= lit(hotPrefixDf))
-      .select("pk", "doc_id", "toks", "n")
-    val hot = flagged.filter(col("df") > lit(hotPrefixDf))
-      .select("doc_id", "toks", "n")
+      .cache()
 
     def verified(a: DataFrame, b: DataFrame, key: String) =
       a.as("a").join(b.as("b"),
@@ -422,6 +421,22 @@ object Dedup {
             expr("slice(b.toks, 1, a.n)") === col("a.toks"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n").as("n_a"), col("b.n").as("n_b"))
+
+    val dfc = wn.groupBy("pk").agg(count(lit(1)).as("df"))
+    // no hot prefixes (the common case on curated corpora): the cold
+    // join IS the uncapped join — skip the flag join and both hot
+    // branches (the jaccardPairs existence-probe pattern; the probe is
+    // one aggregate over the cached keyed frame)
+    if (dfc.filter(col("df") > lit(hotPrefixDf)).isEmpty)
+      return verified(wn, wn, "pk")
+
+    // dfc is ~one row per distinct prefix — NOT broadcast-hinted (it
+    // scales with the corpus; AQE promotes it when it happens to fit)
+    val flagged = wn.join(dfc, "pk")
+    val cold = flagged.filter(col("df") <= lit(hotPrefixDf))
+      .select("pk", "doc_id", "toks", "n")
+    val hot = flagged.filter(col("df") > lit(hotPrefixDf))
+      .select("doc_id", "toks", "n")
 
     val coldPairs = verified(cold, cold, "pk")
 
