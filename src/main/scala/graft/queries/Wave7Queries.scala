@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.ops.Versioned
 import graft.text.{Bpe, TextStats}
 
 /** Round-6 wave 7 — the front and back of the corpus funnel the
@@ -88,10 +89,60 @@ object Wave7Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("n_bytes"))
       .orderBy("source", "shard")
 
+  /** Snapshot-isolated MERGE round trip ([[graft.ops.Versioned]]):
+    * init a versioned table from `orders` partitioned by status, merge
+    * one deterministic batch — price bumps (key%7=3), deletes (key%13=0,
+    * minus the update keys so no key appears twice in the source),
+    * inserts (key%101=0 re-keyed +1e8) — all confined to status 'F' so
+    * the 'O'/'P' partitions carry into version 2 BY FILE REFERENCE
+    * (the 100 TB property: a daily delta rewrites days, not the
+    * table). Returns the per-status count + decimal-exact price total
+    * of the final snapshot; the oracle replays the MERGE semantics
+    * (target anti-join source keys, union non-deleted source rows) in
+    * pure SQL, so update-wins, delete-disappears, and insert-lands are
+    * each hash-checked cross-engine. The snapshot aggregate is
+    * collected (≤ 3 rows — scalar extraction, the A3 pattern) so the
+    * scratch table can be deleted before returning; isolation/
+    * concurrency/vacuum are `VersionedSpec`'s domain. */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_q").toString
+    try {
+      Versioned.init(orders, dir, partitionCol = Some("o_orderstatus"))
+      val f = orders.filter(col("o_orderstatus") === "F")
+      val batch =
+        f.filter(col("o_orderkey") % 7 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+          .withColumn("is_delete", lit(false))
+        .unionByName(f.filter(col("o_orderkey") % 13 === 0 &&
+            col("o_orderkey") % 7 =!= 3)
+          .withColumn("is_delete", lit(true)))
+        .unionByName(f.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+          .withColumn("is_delete", lit(false)))
+      val v = Versioned.merge(batch, dir, Seq("o_orderkey"),
+        partitionCol = Some("o_orderstatus"), deleteCol = Some("is_delete"))
+      Versioned.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Q.dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), v))
+        .toDF("o_orderstatus", "n_orders", "total", "version")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_bpe_tokens" -> qBpeTokens,
-    "q_shard_plan" -> qShardPlan)
+    "q_shard_plan" -> qShardPlan,
+    "q_merge_upsert" -> qMergeUpsert)
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> {
@@ -134,5 +185,29 @@ object Wave7Queries {
         |SELECT source, cum // 8192 AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(nb) AS BIGINT) AS n_bytes
-        |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin)
+        |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+    "q_merge_upsert" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |f AS (SELECT * FROM base WHERE o_orderstatus = 'F'),
+         |src AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    o_totalprice + 100.0 AS o_totalprice, FALSE AS is_delete
+         |  FROM f WHERE o_orderkey % 7 = 3
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE
+         |  FROM f WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 3
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice, FALSE
+         |  FROM f WHERE o_orderkey % 101 = 0),
+         |final AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+         |  WHERE NOT is_delete)
+         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |  ${Q.DSUM("o_totalprice")} AS total,
+         |  CAST(2 AS BIGINT) AS version
+         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
 }
