@@ -138,11 +138,33 @@ object Wave7Queries {
     }
   }
 
+  /** Bloom-prefiltered ingest gate ([[graft.functions.Bloom]]): the
+    * even-id half of `documents` is the lake, the odd-id half the
+    * batch; the lake's fingerprint set is summarized once into a
+    * bounded bitset (Spark's own `BloomFilterAggregate`), the batch
+    * probes it map-side, and only probable-duplicate rows pay the
+    * exact verify join. Output is the exact per-doc `is_new` verdict —
+    * the oracle replays it as a plain NOT IN, so the hash check proves
+    * the sketch path loses nothing (no false negatives, false
+    * positives rescued by the verify join). Fingerprints over
+    * `coalesce(text, '')` on both engines so a NULL document can never
+    * diverge the NOT-IN semantics. */
+  def qBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("doc_id"),
+      TextStats.fingerprint(coalesce(col("text"), lit(""))).as("fp"))
+    graft.functions.Bloom.newFlags(
+      dd.filter(col("doc_id") % 2 === 1),
+      dd.filter(col("doc_id") % 2 === 0), "fp")
+      .select("doc_id", "is_new")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_bpe_tokens" -> qBpeTokens,
     "q_shard_plan" -> qShardPlan,
-    "q_merge_upsert" -> qMergeUpsert)
+    "q_merge_upsert" -> qMergeUpsert,
+    "q_bloom_prefilter" -> qBloomPrefilter)
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> {
@@ -209,5 +231,12 @@ object Wave7Queries {
          |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
          |  ${Q.DSUM("o_totalprice")} AS total,
          |  CAST(2 AS BIGINT) AS version
-         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_prefilter" ->
+      s"""WITH fps AS (SELECT doc_id,
+         |    ${TextStats.FINGERPRINT("coalesce(text, '')")} AS fp
+         |  FROM documents)
+         |SELECT doc_id,
+         |  fp NOT IN (SELECT fp FROM fps WHERE doc_id % 2 = 0) AS is_new
+         |FROM fps WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)
 }
