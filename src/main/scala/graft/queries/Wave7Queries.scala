@@ -159,12 +159,70 @@ object Wave7Queries {
       .orderBy("doc_id")
   }
 
+  /** Format-matrix round trip: `documents` written to and read back
+    * from every non-parquet batch format the engine ships (ORC, JSON
+    * lines, CSV), each pass summarized by doc count + the manifest's
+    * order-independent 60-bit XOR fingerprint over
+    * (doc_id, source, text). The oracle computes ONE expected
+    * (n_docs, content_xor) from the parquet truth and cross-joins it
+    * against the format list — so all four rows hash-match iff every
+    * format preserved every row bit-for-bit. CSV is the trap case and
+    * runs with its loss-free dial pinned (RFC escape=`"` both ways,
+    * multiLine read for embedded newlines, explicit schema — read
+    * inference would widen/narrow types); `FormatRoundtripSpec` proves
+    * the same pins on a hostile frame (embedded newlines, quotes,
+    * separators, unicode, NULL vs empty text). The fingerprint
+    * separates NULL from '' via a NUL sentinel so a format that
+    * conflates them cannot hash clean. */
+  def qFormatRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    try {
+      def summarize(fmt: String, df: DataFrame): (String, Long, Long) = {
+        val r = df.select(shiftrightunsigned(graft.text.Dedup.md5Hash64(
+            concat_ws("\u0001", col("doc_id").cast("string"),
+              coalesce(col("source"), lit("")),
+              when(col("text").isNull, lit("N")).otherwise(lit("V")),
+              coalesce(col("text"), lit("")))), 4).as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
+        (fmt, r.getLong(0), r.getLong(1))
+      }
+      // the loss-free CSV dial (FormatRoundtripSpec): RFC escape, no
+      // write-side whitespace trimming, quoted '' so NULL ≠ empty
+      val csvW = Map("header" -> "true", "escape" -> "\"",
+        "ignoreLeadingWhiteSpace" -> "false",
+        "ignoreTrailingWhiteSpace" -> "false", "emptyValue" -> "\"\"")
+      val csvR = Map("header" -> "true", "escape" -> "\"",
+        "multiLine" -> "true", "nullValue" -> "\u0000")
+      val out = Seq(
+        summarize("csv", {
+          base.write.options(csvW).csv(s"$dir/csv")
+          s.read.options(csvR).schema(base.schema).csv(s"$dir/csv")
+        }),
+        summarize("json", {
+          base.write.json(s"$dir/json")
+          s.read.schema(base.schema).json(s"$dir/json")
+        }),
+        summarize("orc", {
+          base.write.orc(s"$dir/orc")
+          s.read.orc(s"$dir/orc")
+        }),
+        summarize("parquet", base))
+      out.toDF("format", "n_docs", "content_xor").orderBy("format")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_bpe_tokens" -> qBpeTokens,
     "q_shard_plan" -> qShardPlan,
     "q_merge_upsert" -> qMergeUpsert,
-    "q_bloom_prefilter" -> qBloomPrefilter)
+    "q_bloom_prefilter" -> qBloomPrefilter,
+    "q_format_roundtrip" -> qFormatRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> {
@@ -238,5 +296,20 @@ object Wave7Queries {
          |  FROM documents)
          |SELECT doc_id,
          |  fp NOT IN (SELECT fp FROM fps WHERE doc_id % 2 = 0) AS is_new
-         |FROM fps WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)
+         |FROM fps WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
+    "q_format_roundtrip" -> {
+      val rowKey = "CAST(doc_id AS VARCHAR) || chr(1) || " +
+        "coalesce(source, '') || chr(1) || " +
+        "(CASE WHEN text IS NULL THEN 'N' ELSE 'V' END) || chr(1) || " +
+        "coalesce(text, '')"
+      s"""WITH h AS (
+         |  SELECT ${graft.text.Dedup.MD5_HASH64(rowKey)} >> 4 AS h
+         |  FROM documents),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(bit_xor(h) AS BIGINT) AS content_xor
+         |      FROM h)
+         |SELECT f.format, a.n_docs, a.content_xor
+         |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS f(format), a
+         |ORDER BY format""".stripMargin
+    })
 }
