@@ -75,9 +75,18 @@ object StreamingQueries {
   def qStreamIngest(s: SparkSession, d: String): DataFrame =
     Events.streamingIngestGate(s, d)
 
+  /** [[Events.streamingBloomGate]]: the same admitted set computed via
+    * the bounded-sketch prefilter (misses admitted map-side without a
+    * join; hits exact-verified) — the gate shape that survives a lake
+    * too big to broadcast. Same NOT EXISTS oracle as q_stream_ingest:
+    * identical output through a different physical path IS the claim. */
+  def qStreamBloom(s: SparkSession, d: String): DataFrame =
+    Events.streamingBloomGate(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_enrich"    -> qStreamEnrich,
     "q_stream_ingest"    -> qStreamIngest,
+    "q_stream_bloom"     -> qStreamBloom,
     "q_stream_join"      -> qStreamJoin,
     "q_stream_sessions"  -> qStreamSessions,
     "q_fmgws_sessions"   -> qFmgwsSessions,
@@ -87,16 +96,19 @@ object StreamingQueries {
     "q_session_windows"  -> qSessionWindows,
     "q_stateful_totals"  -> qStatefulTotals)
 
+  private val INGEST_SQL =
+    s"""SELECT b.doc_id, b.source
+       |FROM documents b
+       |WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+       |  SELECT 1 FROM documents c
+       |  WHERE c.doc_id % 2 = 0
+       |    AND ${graft.text.TextStats.FINGERPRINT("c.text")}
+       |      = ${graft.text.TextStats.FINGERPRINT("b.text")})
+       |ORDER BY b.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_stream_ingest" ->
-      s"""SELECT b.doc_id, b.source
-         |FROM documents b
-         |WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
-         |  SELECT 1 FROM documents c
-         |  WHERE c.doc_id % 2 = 0
-         |    AND ${graft.text.TextStats.FINGERPRINT("c.text")}
-         |      = ${graft.text.TextStats.FINGERPRINT("b.text")})
-         |ORDER BY b.doc_id""".stripMargin,
+    "q_stream_ingest" -> INGEST_SQL,
+    "q_stream_bloom"  -> INGEST_SQL,
     "q_stream_enrich" ->
       s"""SELECT c_mktsegment, count(*) AS n_events,
          |  ${Q.DSUM("value")} AS total_value

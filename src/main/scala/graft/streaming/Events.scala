@@ -376,4 +376,42 @@ object Events {
     runToCompletion(spark, admitted, mode = "append")
       .orderBy("doc_id")
   }
+
+  /** [[streamingIngestGate]] with the lake summarized as a Bloom
+    * sketch ([[graft.functions.Bloom]]) instead of a broadcast
+    * fingerprint index — the shape that survives a lake too big to
+    * broadcast: the sketch is built ONCE before the stream starts
+    * (fixed `numBits` budget regardless of lake rows) and probed
+    * map-side per micro-batch, so Bloom-miss documents are admitted
+    * WITHOUT any join (no false negatives ⇒ provably new), and only
+    * the hit sliver pays the exact anti-join that clears false
+    * positives. Here the verify side is the same fingerprint index
+    * (small at test SFs — AQE broadcasts it); at 100 TB the index is
+    * pre-bucketed on fp so the per-batch verify join shuffles only
+    * the hit sliver. Admitted set is EXACTLY [[streamingIngestGate]]'s
+    * (spec-pinned with an undersized sketch forcing false positives;
+    * oracle replays NOT EXISTS cross-engine). */
+  def streamingBloomGate(spark: SparkSession, sfDir: String,
+      numBits: Long = 1L << 21): DataFrame = {
+    import graft.text.TextStats
+    import graft.functions.Bloom
+    val lakeFps = graft.io.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+    val bf = Bloom.build(lakeFps, col("fp"), 1L << 18, numBits)
+    val batch = spark.readStream.schema(graft.io.Tables.schemas("documents"))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .withColumn("hit", Bloom.mightContain(bf, col("fp")))
+    val misses = batch.filter(!col("hit"))
+      .select(col("doc_id"), col("source"))
+    val verified = batch.filter(col("hit"))
+      .join(lakeFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"))
+    runToCompletion(spark, misses.unionByName(verified), mode = "append")
+      .orderBy("doc_id")
+  }
 }

@@ -54,4 +54,17 @@ class BloomSpec extends SparkSuite {
       .filter(col("is_new")).select("id").collect().map(_.getLong(0)).toSet
     assert(got == exactNew)
   }
+
+  test("streaming bloom gate with an undersized sketch equals the exact stream gate") {
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val exact = rows(graft.streaming.Events.streamingIngestGate(spark, d))
+    // 64 bits: nearly every probe is a false positive — the verify
+    // branch must clear them all; misses (if any) ride the no-join path
+    val viaBloom = rows(
+      graft.streaming.Events.streamingBloomGate(spark, d, numBits = 64L))
+    assert(exact.nonEmpty && viaBloom == exact,
+      "the sketch path must admit exactly the exact gate's documents")
+  }
 }
