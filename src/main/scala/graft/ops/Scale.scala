@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale infrastructure: the techniques that keep plans healthy at
@@ -54,4 +54,44 @@ object Scale {
     "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
     "spark.sql.adaptive.skewJoin.enabled" ->
       spark.conf.get("spark.sql.adaptive.skewJoin.enabled"))
+
+  /** Two-dimensional Z-order (Morton) value: interleave the low `bits`
+    * bits of `x` (even positions) and `y` (odd positions). Sorting a
+    * table by z clusters BOTH dimensions at once, so a box predicate
+    * (x-range AND y-range) touches O(perimeter) files instead of all
+    * of them — the layout technique for multi-column pruning when
+    * partitioning can spend only one column. Pure shift/and/or
+    * built-ins — codegen'd, row-local, no UDF; inputs must already be
+    * quantized to [0, 2^bits) (callers bucket or rank first).
+    * `Z_VALUE2` is the DuckDB twin generated from the same loop. */
+  def zValue2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    val xl = x.cast("long"); val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(
+          shiftrightunsigned(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** DuckDB twin of [[zValue2]]. */
+  def Z_VALUE2(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((((($x) >> $i) & 1) << ${2 * i}) | " +
+        s"(((($y) >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " | ", ")")
+
+  /** Write `df` clustered by the z-value of two quantized dimensions:
+    * range-partition on z (each output file owns one contiguous
+    * z-range), sort within files so row-group min/max stats stay
+    * tight. `LayoutSpec` measures the effect directly: a box filter
+    * touches a fraction of the z-clustered files but nearly all of a
+    * single-column-sorted layout's files. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+      bits: Int, files: Int): Unit =
+    df.withColumn("_z", zValue2(x, y, bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -216,13 +216,36 @@ object Wave7Queries {
     }
   }
 
+  /** Z-order (Morton) clustering values ([[graft.ops.Scale.zValue2]]):
+    * orders quantized on (o_custkey mod 256, o_orderkey mod 256) and
+    * interleaved to a 16-bit z-value, aggregated per high-byte bucket
+    * — the layout key that clusters TWO dimensions into one sort so a
+    * box predicate touches O(perimeter) files ([[graft.ops.Scale
+    * .writeZOrdered]]; the file-count effect is measured directly in
+    * `LayoutSpec`). The oracle replays the interleave loop bit-for-bit
+    * (generated from the same Scala loop), so every bucket's count and
+    * key envelope hash-checks the bit arithmetic cross-engine. */
+  def qZorder(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Scale
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"),
+        Scale.zValue2(col("o_custkey") % 256, col("o_orderkey") % 256, 8)
+          .as("z"))
+      .groupBy(shiftrightunsigned(col("z"), 8).as("z_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("z_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_bpe_tokens" -> qBpeTokens,
     "q_shard_plan" -> qShardPlan,
     "q_merge_upsert" -> qMergeUpsert,
     "q_bloom_prefilter" -> qBloomPrefilter,
-    "q_format_roundtrip" -> qFormatRoundtrip)
+    "q_format_roundtrip" -> qFormatRoundtrip,
+    "q_zorder" -> qZorder)
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> {
@@ -311,5 +334,13 @@ object Wave7Queries {
          |SELECT f.format, a.n_docs, a.content_xor
          |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS f(format), a
          |ORDER BY format""".stripMargin
-    })
+    },
+    "q_zorder" ->
+      s"""WITH z AS (
+         |  SELECT o_orderkey,
+         |    ${graft.ops.Scale.Z_VALUE2("o_custkey % 256", "o_orderkey % 256", 8)} AS z
+         |  FROM orders)
+         |SELECT z >> 8 AS z_bucket, CAST(count(*) AS BIGINT) AS n_orders,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
 }
