@@ -238,6 +238,46 @@ object Wave7Queries {
       .orderBy("z_bucket")
   }
 
+  /** Mergeable-sketch distinct rollup (DataSketches HLL, Spark's
+    * `hll_sketch_agg`/`hll_union_agg`): per-source fingerprint sketches
+    * next to exact distinct counts, and a TOTAL row whose estimate
+    * comes from UNIONING the per-source sketches — the pre-aggregated
+    * sketch-table pattern that answers "distinct across 100 TB" from
+    * per-partition summaries without rescanning. Like the
+    * heavy-hitters audit, the sketch estimates surface as FLAGS the
+    * oracle replays as literals: `est_ok` (estimate within 5%+1 of
+    * exact — lgK=12's ~1.6% rel err with generous margin) and
+    * `merge_ok` on TOTAL (union-of-partials estimate within 2%+1 of
+    * the direct whole-corpus sketch estimate — NOT exact equality:
+    * the union promotes sparse/coupon-mode partials to dense HLL
+    * registers, so its estimator can differ from a still-sparse
+    * direct sketch by small HLL error even over identical items; the
+    * band is the honest mergeability claim). A broken sketch path
+    * flips a flag and fails the hash. */
+  def qHllRollup(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("source"),
+      TextStats.fingerprint(coalesce(col("text"), lit(""))).as("fp"))
+    val per = dd.groupBy("source").agg(
+      hll_sketch_agg(col("fp")).as("sk"),
+      countDistinct(col("fp")).as("n_exact"))
+    val perOut = per.select(col("source"), col("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+        col("n_exact") * 0.05 + lit(1.0)).as("est_ok"),
+      lit(true).as("merge_ok"))
+    val direct = dd.agg(
+      countDistinct(col("fp")).as("n_exact"),
+      hll_sketch_estimate(hll_sketch_agg(col("fp"))).as("est_direct"))
+    val merged = per.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+    val total = direct.crossJoin(merged).select(
+      lit("TOTAL").as("source"), col("n_exact"),
+      (abs(col("est_union") - col("n_exact")) <=
+        col("n_exact") * 0.05 + lit(1.0)).as("est_ok"),
+      (abs(col("est_union") - col("est_direct")) <=
+        col("est_direct") * 0.02 + lit(1.0)).as("merge_ok"))
+    perOut.unionByName(total).orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_bpe_tokens" -> qBpeTokens,
@@ -245,7 +285,8 @@ object Wave7Queries {
     "q_merge_upsert" -> qMergeUpsert,
     "q_bloom_prefilter" -> qBloomPrefilter,
     "q_format_roundtrip" -> qFormatRoundtrip,
-    "q_zorder" -> qZorder)
+    "q_zorder" -> qZorder,
+    "q_hll_rollup" -> qHllRollup)
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> {
@@ -342,5 +383,16 @@ object Wave7Queries {
          |  FROM orders)
          |SELECT z >> 8 AS z_bucket, CAST(count(*) AS BIGINT) AS n_orders,
          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hll_rollup" ->
+      s"""WITH fps AS (SELECT source,
+         |    ${TextStats.FINGERPRINT("coalesce(text, '')")} AS fp
+         |  FROM documents)
+         |SELECT source, CAST(count(DISTINCT fp) AS BIGINT) AS n_exact,
+         |  TRUE AS est_ok, TRUE AS merge_ok
+         |FROM fps GROUP BY source
+         |UNION ALL
+         |SELECT 'TOTAL', CAST(count(DISTINCT fp) AS BIGINT), TRUE, TRUE
+         |FROM fps
+         |ORDER BY source""".stripMargin)
 }

@@ -28,12 +28,14 @@ class PlanAuditSpec extends SparkSuite {
   // straddle counts) into the single output row.
   // q_mixture_weights crosses the 1-row total and 1-row denominator
   // frames into the 20-row source table.
+  // q_hll_rollup crosses its two 1-row global frames (exact+direct
+  // estimate × union estimate) into the single TOTAL row.
   private val intendedNestedLoop = Set(
     "q_ann_brute", "q_cosine_pairs", "q_cosine_pairs_lsh", "q_ann_ivf",
     "q_ann_lsh", "q_band_join",
     "q_anomaly_days", "q_tfidf_terms", "q_pmi_bigrams", "q_key_skew",
     "q_heavy_hitters", "q_domain_rank", "q_split_leakage",
-    "q_mixture_weights")
+    "q_mixture_weights", "q_hll_rollup")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
