@@ -514,4 +514,107 @@ object Codecs {
     }
     bos.toByteArray
   }
+
+  // ---- ISO-BMFF (MP4/MOV) container ----
+
+  final case class VideoMeta(format: String, brand: String,
+      timescale: Int, durationMs: Double, nTracks: Int,
+      nVideoTracks: Int, width: Int, height: Int)
+
+  /** ISO-BMFF box walk — the video-container analog of the MP3/Ogg
+    * parsers (sample DECODE stays out: no JDK codec; the container
+    * structure is plain big-endian bytes and parses for real).
+    *
+    * Walks top-level boxes for `ftyp` (major brand) and `moov`;
+    * inside `moov`, `mvhd` v0/v1 (32- vs 64-bit creation/duration
+    * fields shift the timescale offset) gives the presentation clock,
+    * and each `trak` contributes its `mdia/hdlr` handler (vide/soun/…)
+    * plus, for the FIRST video track, `tkhd`'s 16.16 fixed-point
+    * width/height. Box sizes are unsigned; `size == 1` means a 64-bit
+    * `largesize` follows (mdat commonly uses it) and `size == 0` means
+    * to-end-of-file — both handled, both bounds-checked, and a
+    * non-advancing box aborts the walk instead of spinning (the
+    * negative-RIFF lesson). Returns Some only when both `ftyp` and a
+    * sane `mvhd` were found. */
+  def mp4Meta(bytes: Array[Byte]): Option[VideoMeta] = {
+    val n = bytes.length
+    def be32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+    def typ(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+    // (type, payloadStart, payloadEnd) for each box in [start, end)
+    def boxes(start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var off = start
+      var guard = 0
+      while (off + 8 <= end && guard < 4096) {
+        guard += 1
+        val size32 = be32(off)
+        val t = typ(off + 4)
+        val (payload, boxEnd) =
+          if (size32 == 1L) {
+            if (off + 16 > end) return out.result()
+            val ls = be64(off + 8)
+            if (ls < 16 || ls > (end - off).toLong) return out.result()
+            (off + 16, off + ls.toInt)
+          } else if (size32 == 0L) (off + 8, end) // to end of enclosing
+          else {
+            if (size32 < 8 || size32 > (end - off).toLong) return out.result()
+            (off + 8, off + size32.toInt)
+          }
+        out += ((t, payload, boxEnd))
+        if (boxEnd <= off) return out.result() // no forward progress
+        off = boxEnd
+      }
+      out.result()
+    }
+    if (n < 16) return None
+    val top = boxes(0, n)
+    val brand = top.collectFirst { case ("ftyp", s, e) if s + 4 <= e =>
+      typ(s) }
+    val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
+    (brand, moov) match {
+      case (Some(b), Some((ms, me))) =>
+        val inMoov = boxes(ms, me)
+        val mvhd = inMoov.collectFirst { case ("mvhd", s, e) =>
+          val v = bytes(s) & 0xFF
+          // v0: ver/flags(4) ctime(4) mtime(4) ts(4) dur(4)
+          // v1: ver/flags(4) ctime(8) mtime(8) ts(4) dur(8)
+          if (v == 1 && s + 32 <= e)
+            Some((be32(s + 20).toInt, be64(s + 24)))
+          else if (v == 0 && s + 20 <= e)
+            Some((be32(s + 12).toInt, be32(s + 16)))
+          else None
+        }.flatten
+        mvhd match {
+          case Some((ts, dur)) if ts > 0 =>
+            val traks = inMoov.collect { case ("trak", s, e) => (s, e) }
+            var nVideo = 0; var w = 0; var h = 0
+            traks.foreach { case (tks, tke) =>
+              val inTrak = boxes(tks, tke)
+              val handler = inTrak.collectFirst { case ("mdia", s, e) =>
+                boxes(s, e).collectFirst { case ("hdlr", hs, he)
+                    if hs + 12 <= he => typ(hs + 8) }
+              }.flatten
+              if (handler.contains("vide")) {
+                nVideo += 1
+                if (w == 0) inTrak.collectFirst { case ("tkhd", s, e) =>
+                  val v = bytes(s) & 0xFF
+                  // width/height are the LAST 8 payload bytes (16.16)
+                  if (((v == 0 && e - s >= 84) || (v == 1 && e - s >= 96))
+                      && e - 8 >= s) {
+                    w = (be32(e - 8) >> 16).toInt
+                    h = (be32(e - 4) >> 16).toInt
+                  }
+                }
+              }
+            }
+            Some(VideoMeta("mp4", b, ts, dur * 1000.0 / ts,
+              traks.length, nVideo, w, h))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }

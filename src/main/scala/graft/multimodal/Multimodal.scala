@@ -561,6 +561,116 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- video containers (ISO-BMFF) ----
+
+  private def be64(v: Long): Array[Byte] =
+    Array.tabulate(8)(i => ((v >> (8 * (7 - i))) & 0xFF).toByte)
+
+  private def mp4Box(t: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8) ++ t.getBytes("ISO-8859-1") ++ payload
+
+  /** `size == 1` + 64-bit largesize form (how real muxers write big
+    * mdat boxes) — synthesized so the parser's largesize path stays
+    * exercised by the oracle, not just by fuzz. */
+  private def mp4LargeBox(t: String, payload: Array[Byte]): Array[Byte] =
+    be32(1) ++ t.getBytes("ISO-8859-1") ++ be64(payload.length + 16L) ++
+      payload
+
+  /** Deterministic minimal MP4: every mvhd/tkhd/hdlr field an integer
+    * formula of `id`, both mvhd/tkhd versions exercised (v1's 64-bit
+    * times shift every offset — id parity selects), a `skip` box
+    * before moov and an mdat AFTER it (largesize form on id%3==0) so
+    * the walk must actually skip unknown/opaque boxes. Track 0 is the
+    * video track (tkhd carries 16.16 width/height); ids with
+    * nTracks ≥ 2 add a sound track, ≥ 3 a timed-metadata track. */
+  def synthMp4(id: Long): Array[Byte] = {
+    val v = (id % 2).toInt
+    val brand = if (v == 0) "isom" else "mp42"
+    val timescale = (600 + (id % 5) * 100).toInt
+    val durUnits = 1000 + (id % 9000)
+    val nTracks = (1 + id % 3).toInt
+    val w = (160 + 16 * (id % 20)).toInt
+    val h = (120 + 8 * (id % 15)).toInt
+    val ftyp = mp4Box("ftyp",
+      brand.getBytes("ISO-8859-1") ++ be32(0) ++
+        brand.getBytes("ISO-8859-1"))
+    val mvhd = mp4Box("mvhd",
+      (if (v == 1)
+        Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+          be32(timescale) ++ be64(durUnits)
+      else
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(timescale) ++ be32(durUnits.toInt)) ++
+        be32(0x00010000) ++ Array[Byte](1, 0) ++ new Array[Byte](10) ++
+        new Array[Byte](36) ++ new Array[Byte](24) ++ be32(nTracks + 1))
+    def trak(idx: Int, handler: String, tw: Int, th: Int) = {
+      val tkhd = mp4Box("tkhd",
+        (if (v == 1)
+          Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++
+            be32(idx + 1) ++ be32(0) ++ be64(durUnits)
+        else
+          Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+            be32(idx + 1) ++ be32(0) ++ be32(durUnits.toInt)) ++
+          new Array[Byte](8) ++ new Array[Byte](8) ++
+          new Array[Byte](36) ++ be32(tw << 16) ++ be32(th << 16))
+      val hdlr = mp4Box("hdlr",
+        be32(0) ++ be32(0) ++ handler.getBytes("ISO-8859-1") ++
+          new Array[Byte](12) ++ Array[Byte]('g', 0))
+      mp4Box("trak", tkhd ++ mp4Box("mdia", hdlr))
+    }
+    val handlers = Seq("vide", "soun", "meta").take(nTracks)
+    val traks = handlers.zipWithIndex.map { case (hd, i) =>
+      trak(i, hd, if (hd == "vide") w else 0, if (hd == "vide") h else 0)
+    }.reduce(_ ++ _)
+    val moov = mp4Box("moov", mvhd ++ traks)
+    val junk = Array.tabulate((id % 17).toInt + 1)(i =>
+      ((id + i) % 251).toByte)
+    val mdat = if (id % 3 == 0) mp4LargeBox("mdat", junk)
+      else mp4Box("mdat", junk)
+    ftyp ++ mp4Box("skip", junk) ++ moov ++ mdat
+  }
+
+  /** One synthetic MP4 per document (media_id = doc_id) — row-local,
+    * embarrassingly parallel. */
+  def syntheticVideos(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, synthMp4(id))
+        }
+      }(enc)
+  }
+
+  private val videoMetaSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("brand", StringType),
+    StructField("timescale", IntegerType),
+    StructField("duration_ms", DoubleType),
+    StructField("n_tracks", IntegerType),
+    StructField("n_video", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Container-level video metadata ([[Codecs.mp4Meta]]) — undecodable
+    * payloads dropped, like [[audioMetadata]]. */
+  def videoMetadata(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(videoMetaSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.mp4Meta(r.getAs[Array[Byte]](1)).map { m =>
+            Row(r.getLong(0), m.format, m.brand, m.timescale,
+              m.durationMs, m.nTracks, m.nVideoTracks, m.width, m.height)
+          }
+        }
+      }(enc)
+  }
+
   private val imageSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),

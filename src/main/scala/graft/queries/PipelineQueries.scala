@@ -476,6 +476,22 @@ object PipelineQueries {
               col("title"), col("artist"))
       .orderBy("media_id")
 
+  /** Video-container parsing, cross-engine verified: one deterministic
+    * minimal MP4 per document ([[Multimodal.synthMp4]] — every
+    * mvhd/tkhd/hdlr field an integer formula of the id, both box
+    * versions and the 64-bit largesize form exercised), pushed through
+    * the REAL ISO-BMFF box walk ([[graft.multimodal.Codecs.mp4Meta]]);
+    * the oracle recomputes brand, timescale, the mvhd duration clock,
+    * track/handler counts, and the 16.16 tkhd geometry analytically.
+    * Any walk defect (v1 offsets, largesize, unsigned sizes, handler
+    * dispatch) breaks the hash. */
+  def qVideoContainer(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoMetadata(Multimodal.syntheticVideos(docs(s, d)))
+      .select(col("media_id"), col("format"), col("brand"),
+              col("timescale"), round(col("duration_ms"), 6).as("duration_ms"),
+              col("n_tracks"), col("n_video"), col("width"), col("height"))
+      .orderBy("media_id")
+
   /** REAL multi-frame (video-analog) codec path, cross-engine
     * verified: one deterministic animated GIF per document (2–5
     * grayscale frames, [[Multimodal.synthGifFrame]] — pixels are pure
@@ -506,6 +522,7 @@ object PipelineQueries {
     "q_dup_matrix"          -> qDupMatrix,      // cross-source near-dup matrix
     "q_audio_meta"          -> qAudioMeta,
     "q_audio_container"     -> qAudioContainer,
+    "q_video_container"     -> qVideoContainer,
     "q_text_stats"          -> qTextStats,
     "q_lang_id"             -> qLangId,
     "q_fingerprint"         -> qFingerprint,
@@ -995,6 +1012,17 @@ object PipelineQueries {
     // out of the real MP3/Ogg bytes; u = id/3 is each format branch's
     // variety key and the duration formulas mirror the parsers' CBR /
     // granule clocks op-for-op (double mult then divide)
+    "q_video_container" ->
+      """SELECT doc_id AS media_id, 'mp4' AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(600 + (doc_id % 5) * 100 AS INTEGER) AS timescale,
+        |  round((1000 + doc_id % 9000) * 1000.0
+        |        / (600 + (doc_id % 5) * 100), 6) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+        |  CAST(1 AS INTEGER) AS n_video,
+        |  CAST(160 + 16 * (doc_id % 20) AS INTEGER) AS width,
+        |  CAST(120 + 8 * (doc_id % 15) AS INTEGER) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_audio_container" ->
       """WITH p AS (SELECT doc_id, doc_id % 3 AS m, doc_id // 3 AS u FROM documents),
         |f AS (SELECT doc_id, m, u,

@@ -27,6 +27,7 @@ class CodecFuzzSpec extends SparkSuite {
     Codecs.decodeImage(bytes)
     Codecs.decodeFrames(bytes)
     Codecs.audioMeta(bytes)
+    Codecs.mp4Meta(bytes)
     Codecs.resizeImageNearest(bytes, 4, 4)
     Codecs.dhash64(bytes)
   }
@@ -57,7 +58,8 @@ class CodecFuzzSpec extends SparkSuite {
       Multimodal.synthOggOpus(5L),
       Codecs.encodeWavPcm16(8000, Multimodal.synthSamples(3L)),
       Codecs.encodePng(Multimodal.synthWidth(2L), Multimodal.synthHeight(2L),
-        Multimodal.synthPixels(2L)))
+        Multimodal.synthPixels(2L)),
+      Multimodal.synthMp4(6L), Multimodal.synthMp4(7L))
     val g = for {
       v <- Gen.oneOf(valids)
       pos <- Gen.chooseNum(0, v.length - 1)
@@ -72,7 +74,8 @@ class CodecFuzzSpec extends SparkSuite {
       Multimodal.synthOggVorbis(13L),
       Codecs.encodeWavPcm16(8000, Multimodal.synthSamples(9L)),
       Codecs.encodeGif(Multimodal.synthGifWidth(1L),
-        Multimodal.synthGifHeight(1L), Seq(Multimodal.synthGifFrame(1L, 0))))
+        Multimodal.synthGifHeight(1L), Seq(Multimodal.synthGifFrame(1L, 0))),
+      Multimodal.synthMp4(12L), Multimodal.synthMp4(13L))
     valids.foreach { v =>
       (0 to v.length by math.max(1, v.length / 23)).foreach { n =>
         allParsers(v.take(n))
