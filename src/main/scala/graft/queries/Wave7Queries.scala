@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -278,7 +278,52 @@ object Wave7Queries {
     perOut.unionByName(total).orderBy("source")
   }
 
+  /** SRT subtitle extraction — the caption-to-text step of a
+    * video-text pipeline (captions ARE the training text for video).
+    * Each document synthesizes a deterministic SRT payload in-plan
+    * (1 + id%4 cues, fixed-width `HH:MM:SS,mmm --> HH:MM:SS,mmm`
+    * timing lines — both engines build the identical string), then
+    * both engines PARSE it: timing matches via one regex, the ms
+    * clock decoded at fixed offsets inside each 29-char match, cue
+    * text as the line after each timing line. n_cues, summed caption
+    * milliseconds, and the joined transcript are all hash-checked —
+    * a parse defect (offset slip, ms padding, greedy text grab)
+    * breaks the hash. */
+  def qSrtExtract(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    def pad(c: Column, n: Int) = lpad(c.cast("string"), n, "0")
+    def ts(v: Column) = concat(lit("00:00:"),
+      pad((v / 1000).cast("long"), 2), lit(","), pad(v % 1000, 3))
+    val srt = concat((0 until 4).map { i =>
+      val start = lit(1000L * i) + (id % 7) * 100
+      val end = start + lit(500L) + (id % 9) * 100
+      when(lit(i) <= id % 4, concat(lit(s"${i + 1}\n"),
+        ts(start), lit(" --> "), ts(end),
+        lit(s"\ncaption ${i + 1} for doc "), id.cast("string"),
+        lit("\n\n"))).otherwise(lit(""))
+    }: _*)
+    val timing = "\\d{2}:\\d{2}:\\d{2},\\d{3}"
+    def ms(x: Column) =
+      substring(x, 1, 2).cast("long") * 3600000L +
+        substring(x, 4, 2).cast("long") * 60000L +
+        substring(x, 7, 2).cast("long") * 1000L +
+        substring(x, 10, 3).cast("long")
+    docs(s, d).select(id, srt.as("srt"))
+      .select(id,
+        regexp_extract_all(col("srt"),
+          lit(s"$timing --> $timing"), lit(0)).as("m"),
+        regexp_extract_all(col("srt"),
+          lit(s"--> $timing\\n([^\\n]+)"), lit(1)).as("texts"))
+      .select(id, size(col("m")).as("n_cues"),
+        coalesce(aggregate(transform(col("m"),
+          s => ms(substring(s, 18, 12)) - ms(substring(s, 1, 12))),
+          lit(0L), (a, x) => a + x), lit(0L)).as("caption_ms"),
+        array_join(col("texts"), " ").as("transcript"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_srt_extract" -> qSrtExtract,
     "q_html_extract" -> qHtmlExtract,
     "q_bpe_tokens" -> qBpeTokens,
     "q_shard_plan" -> qShardPlan,
@@ -289,6 +334,36 @@ object Wave7Queries {
     "q_hll_rollup" -> qHllRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_srt_extract" -> {
+      def TS(v: String) =
+        s"'00:00:' || lpad(CAST(($v) // 1000 AS VARCHAR), 2, '0') || " +
+          s"',' || lpad(CAST(($v) % 1000 AS VARCHAR), 3, '0')"
+      val blocks = (0 until 4).map { i =>
+        val start = s"${1000 * i} + (doc_id % 7) * 100"
+        val end = s"$start + 500 + (doc_id % 9) * 100"
+        s"(CASE WHEN $i <= doc_id % 4 THEN '${i + 1}' || chr(10) || " +
+          s"${TS(start)} || ' --> ' || ${TS(end)} || chr(10) || " +
+          s"'caption ${i + 1} for doc ' || CAST(doc_id AS VARCHAR) || " +
+          s"chr(10) || chr(10) ELSE '' END)"
+      }.mkString(" || ")
+      val timing = "\\d{2}:\\d{2}:\\d{2},\\d{3}"
+      def MS(x: String) =
+        s"(CAST(substr($x, 1, 2) AS BIGINT) * 3600000 + " +
+          s"CAST(substr($x, 4, 2) AS BIGINT) * 60000 + " +
+          s"CAST(substr($x, 7, 2) AS BIGINT) * 1000 + " +
+          s"CAST(substr($x, 10, 3) AS BIGINT))"
+      s"""WITH s AS (SELECT doc_id, $blocks AS srt FROM documents),
+         |p AS (SELECT doc_id,
+         |  regexp_extract_all(srt, '$timing --> $timing') AS m,
+         |  regexp_extract_all(srt, '--> $timing\\n([^\\n]+)', 1) AS texts
+         |FROM s)
+         |SELECT doc_id, CAST(len(m) AS INTEGER) AS n_cues,
+         |  CAST(coalesce(list_sum(list_transform(m, x ->
+         |    ${MS("substr(x, 18, 12)")} - ${MS("substr(x, 1, 12)")})), 0)
+         |    AS BIGINT) AS caption_ms,
+         |  array_to_string(texts, ' ') AS transcript
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "q_html_extract" -> {
       val html = htmlPieces.map {
         case Left(l)  => "'" + l.replace("'", "''") + "'"
