@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines, each designed
@@ -637,5 +638,105 @@ object Dedup {
         col("exact_new").cast("int").as("exact_new"),
         col("nd_hit").isNull.cast("int").as("neardup_new"),
         (col("exact_new") && col("nd_hit").isNull).cast("int").as("accepted"))
+  }
+
+  /** Exact duplicated-SUBSTRING coverage (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" signal, k-gram form):
+    * a token position is duplicated iff it sits inside some k-token
+    * window whose exact text occurs MORE THAN ONCE in the corpus
+    * (any document, any position — intra-doc repeats count). Finding
+    * every duplicated window of length >= k needs only stride-1
+    * k-grams: any longer repeat contains a repeated k-gram, so the
+    * merged k-gram spans are exactly the positions inside some
+    * duplicated substring of length >= k. Per doc the output is the
+    * MERGED span length — the fraction of the doc a substring-level
+    * deduper would cut, which is the decision signal exact/Jaccard
+    * doc-level dedup cannot see (a half-copied doc is "new" to them).
+    *
+    * Shape at 100 TB: the k-gram explode is linear (one row per token
+    * position); occurrence counts are one groupBy on the UNIFORM
+    * 64-bit md5 gram key (no hot keys — the key carries the whole
+    * k-token window, so even boilerplate openings split across their
+    * following context... identical windows are exactly what we are
+    * counting, and their count rows collapse in the partial agg);
+    * marking rides the same key back as one equi-join; the interval
+    * merge is a per-doc window (parallel by doc). A suffix array gives
+    * the same answer with better constants on one machine — the
+    * k-gram/groupBy form is the one that distributes.
+    *
+    * 64-bit gram keys collide at birthday scale (~2^32 grams); a
+    * collision can only OVERCOUNT coverage (two different grams
+    * sharing a key look duplicated). At the corpus sizes where that
+    * bites, production raises the key to 128 bits (md5 uncut); the
+    * oracle path keeps 64 so both engines hash identically. */
+  def spanCoverage(docsDf: DataFrame, k: Int = 8): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val base = docsDf
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val grams = base
+      .select(col("doc_id"), posexplode(shortDocGuard(col("toks"), k,
+        transform(sequence(lit(0), col("n_tokens") - lit(k)),
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(k)))))))
+      .select(col("doc_id"), col("pos").as("i"),
+        md5Hash64(col("col")).as("h"))
+    val dupKeys = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    // window: prior-row running max of span ends; each row adds only
+    // its uncovered tail, so the sum is the merged interval length
+    // (span ends are i+k-1 with i strictly increasing, so the previous
+    // max never reaches past the current end)
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = grams.join(dupKeys, "h")
+      .withColumn("pme", coalesce(max(col("i") + lit(k - 1)).over(w),
+        lit(-1)))
+      .withColumn("add",
+        col("i") + lit(k - 1) - greatest(col("pme"), col("i") - lit(1)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(col("add")).cast("long").as("covered_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("covered_tokens"), lit(0L)) /
+            col("n_tokens"), 6)).otherwise(lit(0.0)).as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[spanCoverage]] on the documents table. */
+  def SPAN_COVERAGE(k: Int = 8): String = {
+    val T = TextStats.TOKENS("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $T AS toks, len($T) AS n_tokens FROM documents),
+       |g AS (
+       |  SELECT doc_id, n_tokens, CAST(u.i AS INTEGER) AS i,
+       |         md5_number_upper(array_to_string(toks[u.i+1:u.i+$k], ' ')) AS h
+       |  FROM t, unnest(range(greatest(n_tokens - ${k - 1}, 0))) AS u(i)),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+       |d AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (h)),
+       |m AS (
+       |  SELECT doc_id, i,
+       |         coalesce(max(i + ${k - 1}) OVER (
+       |           PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           -1) AS pme
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, count(*) AS n_dup_grams,
+       |         CAST(sum(i + ${k - 1} - greatest(pme, i - 1)) AS BIGINT)
+       |           AS covered_tokens
+       |  FROM m GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(t.n_tokens AS INTEGER) AS n_tokens,
+       |       CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       |       coalesce(c.covered_tokens, 0) AS covered_tokens,
+       |       CASE WHEN t.n_tokens > 0
+       |            THEN round(coalesce(c.covered_tokens, 0) /
+       |                       t.n_tokens, 6)
+       |            ELSE 0.0 END AS coverage
+       |FROM t LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 }

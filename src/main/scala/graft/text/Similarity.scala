@@ -365,4 +365,147 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"),
               round(col("cos"), 6).as("cos"))
   }
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): the embedding is split into `nSub`
+    * sub-vectors, each quantized to one of `nCodes` per-subspace
+    * centroids, so a 64-dim float vector (256 bytes) becomes `nSub`
+    * small codes (8 bytes of codes + a stored norm here — a 16–32×
+    * compression). Search is asymmetric distance computation (ADC):
+    * the QUERY stays exact; per (query, subspace, code) the partial
+    * dot product against the centroid is a lookup table, and a
+    * corpus vector's approximate dot is the sum of its codes' table
+    * entries. Approximate-cosine ranks candidates; top-k out.
+    *
+    * Why this is THE 100 TB embedding shape: at scale the fp32
+    * embedding table is itself 100 TB-class, and every ANN structure
+    * that stores raw vectors (brute force, IVF lists with full
+    * vectors) pays that storage and scan cost. PQ codes cut the
+    * scanned bytes 16–32× with a map-side-only scoring pass:
+    *  - the FIT is k-means per subspace on a capped deterministic
+    *    hash sample (the [[ivfTopK]] discipline — the full corpus
+    *    never feeds an iterative driver-coordinated fit);
+    *  - ENCODING is linear and shuffle-free in data terms: corpus ×
+    *    nSub rows equi-join the BROADCAST codebook (nSub·nCodes
+    *    rows), argmin per (vec, subspace) via a window partitioned
+    *    by uniform keys;
+    *  - SCORING joins the code table against the BROADCAST lookup
+    *    table (queries · nSub · nCodes rows) — no corpus shuffle at
+    *    all until the per-(query,vec) partial-sum groupBy, whose
+    *    volume is corpus × nSub rows of (id, double), 32× smaller
+    *    than shuffling embeddings.
+    * In production PQ composes with IVF (probe lists first, ADC
+    * within); here they are separate operators, each audited.
+    *
+    * `shortlist > 0` adds the standard second stage: ADC ranks a
+    * shortlist of that many candidates per query, and only those
+    * fetch their EXACT vectors for a re-rank (per query: `shortlist`
+    * full-vector reads instead of a corpus scan). On unstructured
+    * (near-uniform) embeddings pure ADC ordering is noisy — the
+    * compressed scan's job is to not LOSE the true neighbors from a
+    * generous shortlist, and the re-rank restores exact order. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             dim: Int = 64, nSub: Int = 8, nCodes: Int = 16,
+             shortlist: Int = 0, maxFitRows: Long = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % nSub == 0, "dim must divide into nSub subspaces")
+    val subDim = dim / nSub
+    val spark = corpus.sparkSession
+
+    val n = corpus.count()
+    val fitBase =
+      if (n <= maxFitRows) corpus
+      else {
+        val permille = math.max(1L, maxFitRows * 1000L / n)
+        corpus.where(
+          graft.ops.Sampling.hashBucket(col("vec_id"), 1000) < lit(permille))
+      }
+    // one k-means per subspace, each on the SAMPLE's sub-vectors; the
+    // fits are tiny (sample × subDim floats) and run sequentially on
+    // the driver like any MLlib fit — corpus-size-independent
+    val cached = fitBase.select(col("embedding")).cache()
+    val codebook: Seq[(Int, Int, Seq[Float])] = (0 until nSub).flatMap { m =>
+      val sub = cached.select(array_to_vector(
+        slice(col("embedding"), m * subDim + 1, subDim)).as("features"))
+      val model = new KMeans().setK(nCodes).setSeed(42L + m)
+        .setFeaturesCol("features").setPredictionCol("code").fit(sub)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (m, i, c.toArray.map(_.toFloat).toSeq)
+      }
+    }
+    cached.unpersist()
+    val cb = spark.createDataFrame(codebook.toIndexedSeq)
+      .toDF("m", "code", "centroid")
+
+    // encode: argmin_L2 centroid per (vec, subspace); nSub·nCodes
+    // candidate rows per vector against the broadcast codebook
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2"), col("code"))
+    val subs = corpus.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+          m => slice(col("embedding"), m * lit(subDim) + lit(1),
+            lit(subDim)))))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sub"))
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", aggregate(
+        zip_with(col("sub"), col("centroid"),
+          (a, b) => (a - b).cast("double") * (a - b).cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+    // stored per-vector norm (PQ indexes for cosine/IP keep it: one
+    // float next to the codes, still ~30× smaller than the vector)
+    val norms = corpus.select(col("vec_id"), norm(col("embedding")).as("vnorm"))
+
+    // ADC lookup table: queries × codebook partial dot products
+    val lut = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("m", explode(sequence(lit(0), lit(nSub - 1))))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("pdot", dot(
+        slice(col("q_emb"), col("m") * lit(subDim) + lit(1), lit(subDim)),
+        col("centroid")))
+      .select(col("query_id"), col("m"), col("code"), col("pdot"))
+    val qnorms = queries.select(col("vec_id").as("query_id"),
+      norm(col("embedding")).as("qnorm"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"))
+      .join(norms, "vec_id")
+      .join(broadcast(qnorms), "query_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("acos", col("adot") / (col("vnorm") * col("qnorm")))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("rk", row_number().over(w))
+
+    if (shortlist <= 0)
+      adc.filter(col("rk") <= lit(k))
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+                round(col("acos"), 6).as("cos"))
+    else {
+      // stage 2: exact re-rank of the ADC shortlist — the candidate
+      // set (queries × shortlist ids) broadcasts against the corpus,
+      // so only shortlist full vectors per query are ever read
+      val cand = adc.filter(col("rk") <= lit(shortlist))
+        .select(col("query_id"), col("neighbor_id"))
+      val qe = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      val ce = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(cand).join(ce, "neighbor_id")
+        .join(broadcast(qe), "query_id")
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= lit(k))
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+                round(col("cos"), 6).as("cos"))
+    }
+  }
 }

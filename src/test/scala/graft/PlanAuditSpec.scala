@@ -35,7 +35,13 @@ class PlanAuditSpec extends SparkSuite {
     "q_ann_lsh", "q_band_join",
     "q_anomaly_days", "q_tfidf_terms", "q_pmi_bigrams", "q_key_skew",
     "q_heavy_hitters", "q_domain_rank", "q_split_leakage",
-    "q_mixture_weights", "q_hll_rollup")
+    "q_mixture_weights", "q_hll_rollup",
+    // q_bm25_search crossJoins the 1-row corpus-stats frame (N, avgdl)
+    // — the scalar-stats single-row broadcast again. q_ann_pq's PQ side
+    // is all equi-joins; the nested loop is its recall AUDIT's exact
+    // brute-force truth side plus the 1-row audit crosses (the
+    // q_ann_ivf shape).
+    "q_bm25_search", "q_ann_pq")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")

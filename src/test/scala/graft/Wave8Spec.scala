@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, Search, Similarity}
+
+/** Wave-8 operators: duplicated-substring coverage, BM25 retrieval,
+  * PQ ANN, epoch shuffle, incremental aggregate-state maintenance. */
+class Wave8Spec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- spanCoverage ----
+
+  private def cov(rows: Seq[(Long, String)]) =
+    Dedup.spanCoverage(rows.toDF("doc_id", "text"), k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+  test("spanCoverage: a shared 6-token run covers 6 tokens via merged 4-grams") {
+    // docs 0 and 1 share tokens "a b c d e f" (6 tokens ⇒ three
+    // overlapping 4-grams ⇒ merged span = 6); doc 2 is all-unique
+    val m = cov(Seq(
+      (0L, "a b c d e f x0 y0 z0"),
+      (1L, "p1 q1 a b c d e f"),
+      (2L, "u v w t s r")))
+    assert(m(0L) === ((9, 3L, 6L, 0.666667)))
+    assert(m(1L) === ((8, 3L, 6L, 0.75)))
+    assert(m(2L) === ((6, 0L, 0L, 0.0)))
+  }
+
+  test("spanCoverage: intra-doc repeats count; short and empty docs are safe") {
+    val m = cov(Seq(
+      (0L, "m n o p zz m n o p"),   // the 4-gram "m n o p" twice in ONE doc
+      (1L, "a b c"),                // shorter than k — no grams
+      (2L, "")))
+    assert(m(0L)._2 === 2L)         // both occurrences are dup grams
+    assert(m(0L)._3 === 8L)         // spans [0..3] and [5..8]
+    assert(m(1L) === ((3, 0L, 0L, 0.0)))
+    assert(m(2L) === ((0, 0L, 0L, 0.0)))
+  }
+
+  test("spanCoverage is layout-independent") {
+    val docs = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
+    val a = Dedup.spanCoverage(docs.repartition(1), 8).collect().toSeq
+    val b = Dedup.spanCoverage(docs.repartition(13), 8).collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- BM25 ----
+
+  test("bm25TopK: rarer terms dominate; doc with both terms outranks either alone") {
+    val docs = Seq(
+      (0L, "rare common filler filler"),
+      (1L, "rare filler filler filler"),
+      (2L, "common filler filler filler"),
+      (3L, "filler filler filler filler"),
+      (4L, "common filler common filler")).toDF("doc_id", "text")
+    val q = Seq((0, "rare"), (0, "common")).toDF("query_id", "term")
+    val top = Search.bm25TopK(docs, q, k = 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(top(1) === 0L)   // both terms
+    // doc 1 (rare only, df=2) must beat docs with only 'common' (df=3)
+    assert(top(2) === 1L)
+    assert(!top.values.toSet.contains(3L)) // no query term — never retrieved
+  }
+
+  test("bm25TopK scores match the hand-computed Okapi formula") {
+    // one doc, one term, trivially checkable: tf=2, dl=4, N=2, df=1,
+    // avgdl=3 → idf=ln(1+(2-1+0.5)/1.5)=ln 2; denom=2+1.2*(0.25+0.75*4/3)
+    val docs = Seq((0L, "t x t y"), (1L, "z z")).toDF("doc_id", "text")
+    val q = Seq((0, "t")).toDF("query_id", "term")
+    val got = Search.bm25TopK(docs, q, k = 1).collect()(0).getDouble(4)
+    val idf = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
+    val exp = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 4.0 / 3.0))
+    assert(math.abs(got - exp) < 1e-6)
+  }
+
+  // ---- PQ ANN ----
+
+  test("pqTopK with exact re-rank recovers brute-force top-k on clustered vectors") {
+    // 4 tight, well-separated clusters: the ADC shortlist trivially
+    // holds the true neighbors, and the re-rank restores exact order
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.tabulate(64)(j => if (j / 16 == c) 10f else 0f)
+      (i, base.zipWithIndex.map { case (v, j) =>
+        v + ((i * 31 + j * 7) % 5).toFloat * 0.01f })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 4)
+    val pq = Similarity.pqTopK(vecs, q, k = 3, nSub = 16, nCodes = 8,
+      shortlist = 24, maxFitRows = 1000)
+      .select("query_id", "rk", "neighbor_id").collect().toSet
+    val bf = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .select("query_id", "rk", "neighbor_id").collect().toSet
+    assert(pq === bf)
+  }
+
+  test("pqTopK encoding is deterministic across layouts") {
+    val e = graft.io.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val a = Similarity.pqTopK(e.repartition(2), q, k = 5,
+      nSub = 16, nCodes = 32, shortlist = 64).collect().toSeq
+    val b = Similarity.pqTopK(e.repartition(7), q, k = 5,
+      nSub = 16, nCodes = 32, shortlist = 64).collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- epoch shuffle ----
+
+  test("epoch shuffle partitions every doc exactly once, layout-independently") {
+    val d = sf("sf0.001")
+    val total = graft.io.Tables.load(spark, d, "documents").count()
+    val rows = graft.queries.Wave8Queries.qEpochShuffle(spark, d).collect()
+    assert(rows.map(_.getLong(1)).sum === total)
+    val again = graft.queries.Wave8Queries.qEpochShuffle(spark, d).collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  // ---- incremental state merge ----
+
+  test("state merge: base+delta equals full recompute (n_mismatch=0)") {
+    val r = graft.queries.Wave8Queries.qStateMerge(spark, sf("sf0.001"))
+      .collect()(0)
+    assert(r.getLong(3) === 0L, "merged state diverged from direct recompute")
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+}
