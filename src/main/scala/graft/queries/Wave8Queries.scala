@@ -137,12 +137,19 @@ object Wave8Queries {
              col("t_m") =!= col("t_f")).cast("int")).as("n_mismatch"))
   }
 
+  // ---- data-quality constraint audit ----
+
+  def qDataQuality(s: SparkSession, d: String): DataFrame =
+    graft.ops.Quality.ordersAudit(
+      Tables.load(s, d, "orders"), Tables.load(s, d, "customer"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_dedup"    -> qSpanDedup,
     "q_bm25_search"   -> qBm25Search,
     "q_ann_pq"        -> qAnnPq,
     "q_epoch_shuffle" -> qEpochShuffle,
-    "q_state_merge"   -> qStateMerge)
+    "q_state_merge"   -> qStateMerge,
+    "q_data_quality"  -> qDataQuality)
 
   private val T = TextStats.TOKENS("text")
 
@@ -150,6 +157,7 @@ object Wave8Queries {
     .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_data_quality" -> graft.ops.Quality.ORDERS_AUDIT_SQL,
     "q_span_dedup" -> Dedup.SPAN_COVERAGE(8),
     "q_bm25_search" -> Search.BM25_SQL(BM25_VALUES, 10),
     "q_ann_pq" ->

@@ -41,7 +41,9 @@ class PlanAuditSpec extends SparkSuite {
     // is all equi-joins; the nested loop is its recall AUDIT's exact
     // brute-force truth side plus the 1-row audit crosses (the
     // q_ann_ivf shape).
-    "q_bm25_search", "q_ann_pq")
+    // q_data_quality crosses its two 1-row audit frames (scalar checks
+    // × FK-orphan count) into the six-check output.
+    "q_bm25_search", "q_ann_pq", "q_data_quality")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")

@@ -116,6 +116,36 @@ class Wave8Spec extends SparkSuite {
     assert(rows.toSeq === again.toSeq)
   }
 
+  // ---- data-quality audit ----
+
+  test("ordersAudit flips exactly the violated checks") {
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, Option(10L), "O", 5.0, Timestamp.valueOf("2000-01-01 00:00:00")),
+      (1L, Option(10L), "F", -2.0, Timestamp.valueOf("2000-02-01 00:00:00")),
+      (2L, None, "X", 7.0, Timestamp.valueOf("1998-01-01 00:00:00")),
+      (3L, Option(99L), "P", 1.0, Timestamp.valueOf("2000-03-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+    val customer = Seq(Tuple1(10L)).toDF("c_custkey")
+    val m = graft.ops.Quality.ordersAudit(orders, customer).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(m("completeness_custkey") === ((0.75, 0)))   // one NULL custkey
+    assert(m("unique_orderkey")._2 === 0)               // key 1 duplicated
+    assert(m("range_totalprice_positive") === ((-2.0, 0)))
+    assert(m("set_orderstatus") === ((1.0, 0)))         // the 'X' row
+    assert(m("fk_custkey_in_customer") === ((1.0, 0)))  // 99 has no customer
+    assert(m("freshness_orderdate") === ((2000.0, 1)))
+  }
+
+  test("ordersAudit is all-green on the test corpus") {
+    val d = sf("sf0.001")
+    val rows = graft.queries.Wave8Queries.qDataQuality(spark, d).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getInt(2) === 1),
+      rows.map(r => s"${r.getString(0)}=${r.getInt(2)}").mkString(", "))
+  }
+
   // ---- incremental state merge ----
 
   test("state merge: base+delta equals full recompute (n_mismatch=0)") {
