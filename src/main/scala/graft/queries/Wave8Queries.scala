@@ -137,6 +137,83 @@ object Wave8Queries {
              col("t_m") =!= col("t_f")).cast("int")).as("n_mismatch"))
   }
 
+  // ---- mixture-scheduled interleave ----
+
+  /** Stride-scheduled training-stream composition: each source's k-th
+    * document (deterministic md5 order) occupies virtual time
+    * (k − 0.5)/w_s with w_s the temperature-scaled mixture weight
+    * (exactly `q_mixture_weights`' τ=0.5 formula) — the classic
+    * stride scheduler, so any virtual-time prefix realizes the target
+    * mixture. Batch assignment is floor(p·20/T_max): a ROW-LOCAL
+    * expression (no global sort — the scale-honest way to batch a
+    * weighted interleave), with T_max the latest source finish time.
+    * The output shows composition drift as upsampled sources exhaust
+    * (the known stride-scheduling effect production loops around):
+    * early batches hit all sources, late batches only the
+    * under-sampled ones — `top_share` rises. */
+  def qMixtureInterleave(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        TextStats.tokenCount(col("text")).as("nt"),
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+    val srcTok = base.groupBy("source")
+      .agg(sum(col("nt")).as("n_tokens"), count(lit(1)).as("n_docs"))
+    val tot = srcTok.agg(sum(col("n_tokens")).as("total"))
+    val sq = srcTok.crossJoin(broadcast(tot))
+      .withColumn("sq", sqrt(col("n_tokens") / col("total")))
+    val den = sq
+      .agg(sort_array(collect_list(struct(col("source"), col("sq"))))
+        .as("sqs"))
+      .select(expr("aggregate(sqs, 0d, (a, x) -> a + x.sq)").as("denom"))
+    val weights = sq.crossJoin(broadcast(den))
+      .select(col("source"), (col("sq") / col("denom")).as("w"),
+        col("n_docs"))
+    val wrk = Window.partitionBy("source").orderBy("h", "doc_id")
+    val timed = base.withColumn("k", row_number().over(wrk))
+      .join(broadcast(weights.select(col("source"), col("w"))), "source")
+      .withColumn("p", (col("k") - lit(0.5)) / col("w"))
+    val tmax = weights
+      .select(max(col("n_docs") / col("w")).as("t_max"))
+    val perSrc = timed.crossJoin(broadcast(tmax))
+      .withColumn("batch",
+        least(floor(col("p") * lit(20.0) / col("t_max")), lit(19.0))
+          .cast("int"))
+      .groupBy(col("batch"), col("source")).agg(count(lit(1)).as("n"))
+    perSrc.groupBy("batch")
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        round(max(col("n")) / sum(col("n")), 6).as("top_share"))
+      .orderBy("batch")
+  }
+
+  // ---- poison-row quarantine ----
+
+  /** Corrupt-record routing at ingest: a JSON payload per document
+    * (deterministically TRUNCATED for doc_id % 7 == 3 — the poison
+    * rows), parsed with `from_json` in its default PERMISSIVE mode;
+    * rows whose parse comes back null route to quarantine, clean rows
+    * contribute their parsed fields. The production point: poison
+    * input must neither kill the job (FAILFAST) nor silently vanish
+    * (DROPMALFORMED) — it lands in an auditable channel, and the
+    * clean/quarantined split is exact, so the oracle replays it with
+    * `json_valid`. Row-local; the only shuffle is the output agg. */
+  def qQuarantine(s: SparkSession, d: String): DataFrame = {
+    val payload = when(col("doc_id") % 7 === 3,
+        concat(lit("{\"id\": "), col("doc_id"), lit(", \"n\":")))
+      .otherwise(concat(lit("{\"id\": "), col("doc_id"),
+        lit(", \"n\": "), col("n_chars"),
+        lit(", \"src\": \""), col("source"), lit("\"}")))
+    docs(s, d).select(col("doc_id"), col("source"), payload.as("payload"))
+      .withColumn("j", from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, n BIGINT, src STRING")))
+      .groupBy("source")
+      .agg(sum(col("j.id").isNotNull.cast("long")).as("n_clean"),
+        sum(col("j.id").isNull.cast("long")).as("n_quarantined"),
+        sum(when(col("j.id").isNotNull, col("j.n"))).as("clean_chars"))
+      .orderBy("source")
+  }
+
   // ---- data-quality constraint audit ----
 
   def qDataQuality(s: SparkSession, d: String): DataFrame =
@@ -149,7 +226,9 @@ object Wave8Queries {
     "q_ann_pq"        -> qAnnPq,
     "q_epoch_shuffle" -> qEpochShuffle,
     "q_state_merge"   -> qStateMerge,
-    "q_data_quality"  -> qDataQuality)
+    "q_data_quality"  -> qDataQuality,
+    "q_mixture_interleave" -> qMixtureInterleave,
+    "q_quarantine"    -> qQuarantine)
 
   private val T = TextStats.TOKENS("text")
 
@@ -158,6 +237,59 @@ object Wave8Queries {
 
   val oracles: Map[String, String] = Map(
     "q_data_quality" -> graft.ops.Quality.ORDERS_AUDIT_SQL,
+    "q_mixture_interleave" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, len($T) AS nt,
+         |         md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |src AS (
+         |  SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |         count(*) AS n_docs
+         |  FROM base GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM src),
+         |sq AS (
+         |  SELECT source, n_docs, sqrt(n_tokens / CAST(total AS DOUBLE)) AS sq
+         |  FROM src CROSS JOIN tot),
+         |den AS (SELECT list_sum(list(sq ORDER BY source)) AS denom FROM sq),
+         |wts AS (
+         |  SELECT source, n_docs, sq / denom AS w FROM sq CROSS JOIN den),
+         |tmax AS (SELECT max(n_docs / w) AS t_max FROM wts),
+         |timed AS (
+         |  SELECT b.source,
+         |         (row_number() OVER (PARTITION BY b.source
+         |                             ORDER BY b.h, b.doc_id) - 0.5) / w.w
+         |           AS p
+         |  FROM base b JOIN wts w ON b.source = w.source),
+         |batched AS (
+         |  SELECT CAST(least(floor(p * 20.0 / t_max), 19.0) AS INTEGER)
+         |           AS batch, source
+         |  FROM timed CROSS JOIN tmax),
+         |per_src AS (
+         |  SELECT batch, source, count(*) AS n
+         |  FROM batched GROUP BY batch, source)
+         |SELECT batch, CAST(sum(n) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_sources,
+         |       round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_share
+         |FROM per_src GROUP BY batch ORDER BY batch""".stripMargin,
+    "q_quarantine" ->
+      """WITH raw AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 7 = 3
+        |              THEN '{"id": ' || CAST(doc_id AS VARCHAR) || ', "n":'
+        |              ELSE '{"id": ' || CAST(doc_id AS VARCHAR) ||
+        |                   ', "n": ' || CAST(n_chars AS VARCHAR) ||
+        |                   ', "src": "' || source || '"}' END AS payload
+        |  FROM documents)
+        |SELECT source,
+        |       CAST(sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clean,
+        |       CAST(sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_quarantined,
+        |       CAST(sum(CASE WHEN json_valid(payload)
+        |                     THEN CAST(json_extract_string(payload, '$.n')
+        |                               AS BIGINT) END) AS BIGINT)
+        |         AS clean_chars
+        |FROM raw GROUP BY source ORDER BY source""".stripMargin,
     "q_span_dedup" -> Dedup.SPAN_COVERAGE(8),
     "q_bm25_search" -> Search.BM25_SQL(BM25_VALUES, 10),
     "q_ann_pq" ->

@@ -42,8 +42,10 @@ class PlanAuditSpec extends SparkSuite {
     // brute-force truth side plus the 1-row audit crosses (the
     // q_ann_ivf shape).
     // q_data_quality crosses its two 1-row audit frames (scalar checks
-    // × FK-orphan count) into the six-check output.
-    "q_bm25_search", "q_ann_pq", "q_data_quality")
+    // × FK-orphan count) into the six-check output. q_mixture_interleave
+    // crosses three 1-row scalar frames (token total, weight
+    // denominator, latest finish time) — the q_mixture_weights shape.
+    "q_bm25_search", "q_ann_pq", "q_data_quality", "q_mixture_interleave")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")

@@ -146,6 +146,38 @@ class Wave8Spec extends SparkSuite {
       rows.map(r => s"${r.getString(0)}=${r.getInt(2)}").mkString(", "))
   }
 
+  // ---- mixture interleave ----
+
+  test("mixture interleave: batches partition the corpus; composition drifts as sources exhaust") {
+    val d = sf("sf0.001")
+    val total = graft.io.Tables.load(spark, d, "documents").count()
+    val rows = graft.queries.Wave8Queries.qMixtureInterleave(spark, d)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum === total)
+    // stride scheduling: the first batch sees at least as many sources
+    // as the last (upsampled sources exhaust before T_max)
+    val bySources = rows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(bySources(0) >= bySources(rows.map(_.getInt(0)).max))
+    val again = graft.queries.Wave8Queries.qMixtureInterleave(spark, d)
+      .collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  // ---- quarantine ----
+
+  test("quarantine routes exactly the poison rows; clean fields parse") {
+    val d = sf("sf0.001")
+    val docs = graft.io.Tables.load(spark, d, "documents")
+    val poison = docs.filter(col("doc_id") % 7 === 3).count()
+    val rows = graft.queries.Wave8Queries.qQuarantine(spark, d).collect()
+    assert(rows.map(_.getLong(2)).sum === poison)
+    assert(rows.map(_.getLong(1)).sum === docs.count() - poison)
+    // clean_chars is the sum of n_chars over clean docs — parsed, not copied
+    val expChars = docs.filter(col("doc_id") % 7 =!= 3)
+      .agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).sum === expChars)
+  }
+
   // ---- incremental state merge ----
 
   test("state merge: base+delta equals full recompute (n_mismatch=0)") {
