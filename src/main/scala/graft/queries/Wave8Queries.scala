@@ -60,7 +60,7 @@ object Wave8Queries {
     * one-row audit — a collapsed recall flips `recall_ok` and fails
     * the hash. Production dial 16 subspaces × 32 codes (80-bit codes,
     * ~25× smaller than the fp32 vectors) + a 64-candidate exact
-    * re-rank; measured recall@5 1.000 / 0.980 / 0.940 at
+    * re-rank; measured recall@5 1.000 / 1.000 / 0.900 at
     * sf0.001/0.01/0.1 (`tools/PqRecall`), floor 0.6 under the band.
     * Pure-ADC ordering (no re-rank) measures 0.14–0.54 on these
     * near-uniform embeddings — the shortlist re-rank is the

@@ -366,6 +366,43 @@ object Similarity {
               round(col("cos"), 6).as("cos"))
   }
 
+  /** Driver-local Lloyd's k-means over a bounded sample (see [[pqTopK]]
+    * — the fit input is capped, so the distributed fit machinery would
+    * be hundreds of Spark jobs to cluster a few MB). Deterministic:
+    * evenly-spaced init over the (caller-sorted) sample, argmin with
+    * lowest-index tie-break, empty clusters keep their centroid. */
+  private[text] def fitLloyd(points: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    val n = points.length
+    require(n > 0, "empty fit sample")
+    val d = points(0).length
+    var centroids = Array.tabulate(k)(i => points(((i.toLong * n) / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) {
+            val df = (p(j) - centroids(c)(j)).toDouble; dist += df * df; j += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(d)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
   /** Product-quantization ANN (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search"): the embedding is split into `nSub`
     * sub-vectors, each quantized to one of `nCodes` per-subspace
@@ -407,8 +444,6 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              dim: Int = 64, nSub: Int = 8, nCodes: Int = 16,
              shortlist: Int = 0, maxFitRows: Long = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(dim % nSub == 0, "dim must divide into nSub subspaces")
     val subDim = dim / nSub
     val spark = corpus.sparkSession
@@ -421,20 +456,26 @@ object Similarity {
         corpus.where(
           graft.ops.Sampling.hashBucket(col("vec_id"), 1000) < lit(permille))
       }
-    // one k-means per subspace, each on the SAMPLE's sub-vectors; the
-    // fits are tiny (sample × subDim floats) and run sequentially on
-    // the driver like any MLlib fit — corpus-size-independent
-    val cached = fitBase.select(col("embedding")).cache()
+    // the capped hash sample COLLECTS (≤ maxFitRows × dim floats — the
+    // cap is the driver-memory bound, the Bpe.fitOnCorpus discipline)
+    // and all nSub Lloyd fits run driver-LOCAL: an MLlib fit is a
+    // driver-coordinated job PER ITERATION, and nSub fits × its
+    // iterations was 300+ Spark jobs to cluster a few MB — the
+    // distributed machinery belongs to encoding/scoring, not to a
+    // bounded-sample fit. Sorted by vec_id so the codebook is
+    // layout-independent; Lloyd's is deterministic by construction
+    // (evenly-spaced init over the sorted sample, lowest-code
+    // tie-break, empty clusters keep their centroid).
+    val sample = fitBase.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).take(
+        math.min(maxFitRows, Int.MaxValue.toLong).toInt).map(_._2)
     val codebook: Seq[(Int, Int, Seq[Float])] = (0 until nSub).flatMap { m =>
-      val sub = cached.select(array_to_vector(
-        slice(col("embedding"), m * subDim + 1, subDim)).as("features"))
-      val model = new KMeans().setK(nCodes).setSeed(42L + m)
-        .setFeaturesCol("features").setPredictionCol("code").fit(sub)
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (m, i, c.toArray.map(_.toFloat).toSeq)
+      val subs = sample.map(v => v.slice(m * subDim, (m + 1) * subDim))
+      fitLloyd(subs, nCodes, iters = 10).zipWithIndex.map {
+        case (c, i) => (m, i, c.toSeq)
       }
     }
-    cached.unpersist()
     val cb = spark.createDataFrame(codebook.toIndexedSeq)
       .toDF("m", "code", "centroid")
 
