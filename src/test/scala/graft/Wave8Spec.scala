@@ -178,6 +178,26 @@ class Wave8Spec extends SparkSuite {
     assert(rows.map(_.getLong(3)).sum === expChars)
   }
 
+  test("wave-8 float-fold queries are layout-independent: byte-identical " +
+      "at 4 vs 32 shuffle partitions") {
+    // q_bm25_search folds term contributions in sorted term order;
+    // q_mixture_interleave's weights ride the pinned fold and batch
+    // assignment is row-local; q_state_merge keeps decimal state —
+    // none may drift with partitioning (the Wave6Spec proof, extended)
+    val queries = Seq("q_bm25_search", "q_mixture_interleave",
+      "q_state_merge", "q_data_quality")
+    val d = sf("sf0.001")
+    queries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val a = fn(spark, d).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val b = fn(spark, d).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a == b, s"$name drifted across shuffle layouts")
+    }
+  }
+
   // ---- incremental state merge ----
 
   test("state merge: base+delta equals full recompute (n_mismatch=0)") {
