@@ -214,6 +214,41 @@ object Wave8Queries {
       .orderBy("source")
   }
 
+  // ---- chat-template flattening (SFT prep) ----
+
+  /** Instruction-tuning data prep: each document becomes a
+    * deterministic 3-turn conversation (fixed system prompt, the
+    * doc's first 8 tokens as the user turn, the remainder as the
+    * assistant turn), flattened through a chat template with role
+    * markers — and the output carries the TOKEN OFFSETS of the
+    * assistant span, which is exactly what a trainer's loss mask
+    * needs (loss on assistant tokens only). Offsets are computed
+    * from the same whitespace tokenization both engines share, so
+    * the span arithmetic is oracle-checkable; `template_md5` pins
+    * the flattened bytes. Row-local — no shuffle before the output
+    * ordering; at 100 TB this is a map stage like the HTML extract. */
+  def qChatTemplate(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val userTxt = concat_ws(" ", slice(toks, 1, 8))
+    val asstTxt = concat_ws(" ", slice(toks, 9, 1000000))
+    val sys = lit("You are a helpful assistant.")
+    val flat = concat(
+      lit("<|system|> "), sys,
+      lit(" <|user|> "), userTxt,
+      lit(" <|assistant|> "), asstTxt)
+    docs(s, d)
+      .select(col("doc_id"), flat.as("flat"),
+        TextStats.tokenCount(concat(lit("<|system|> "), sys,
+          lit(" <|user|> "), userTxt, lit(" <|assistant|>"))).as("asst_start"))
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("flat")).as("n_tokens"),
+        col("asst_start"),
+        (TextStats.tokenCount(col("flat")) - col("asst_start"))
+          .as("asst_len"),
+        md5(col("flat")).as("template_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- data-quality constraint audit ----
 
   def qDataQuality(s: SparkSession, d: String): DataFrame =
@@ -227,6 +262,7 @@ object Wave8Queries {
     "q_epoch_shuffle" -> qEpochShuffle,
     "q_state_merge"   -> qStateMerge,
     "q_data_quality"  -> qDataQuality,
+    "q_chat_template" -> qChatTemplate,
     "q_mixture_interleave" -> qMixtureInterleave,
     "q_quarantine"    -> qQuarantine)
 
@@ -237,6 +273,28 @@ object Wave8Queries {
 
   val oracles: Map[String, String] = Map(
     "q_data_quality" -> graft.ops.Quality.ORDERS_AUDIT_SQL,
+    "q_chat_template" ->
+      s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         '<|system|> You are a helpful assistant. <|user|> '
+         |           || array_to_string(toks[1:8], ' ')
+         |           || ' <|assistant|> '
+         |           || array_to_string(toks[9:1000000], ' ') AS flat,
+         |         '<|system|> You are a helpful assistant. <|user|> '
+         |           || array_to_string(toks[1:8], ' ')
+         |           || ' <|assistant|>' AS prefix
+         |  FROM t)
+         |SELECT doc_id,
+         |       CAST(len(${TextStats.TOKENS("flat")}) AS INTEGER)
+         |         AS n_tokens,
+         |       CAST(len(${TextStats.TOKENS("prefix")}) AS INTEGER)
+         |         AS asst_start,
+         |       CAST(len(${TextStats.TOKENS("flat")})
+         |            - len(${TextStats.TOKENS("prefix")}) AS INTEGER)
+         |         AS asst_len,
+         |       md5(flat) AS template_md5
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q_mixture_interleave" ->
       s"""WITH base AS (
          |  SELECT doc_id, source, len($T) AS nt,

@@ -178,6 +178,30 @@ class Wave8Spec extends SparkSuite {
     assert(rows.map(_.getLong(3)).sum === expChars)
   }
 
+  // ---- chat template ----
+
+  test("chat template: assistant span covers exactly the post-marker tokens") {
+    val d = sf("sf0.001")
+    val rows = graft.queries.Wave8Queries.qChatTemplate(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, start, len) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(start + len === n, s"doc ${r.getLong(0)}: span arithmetic")
+      assert(len >= 0 && start >= 7,
+        s"doc ${r.getLong(0)}: marker prefix is at least 7 tokens")
+    }
+    // a doc with > 8 tokens puts the remainder in the assistant span
+    val docs = graft.io.Tables.load(spark, d, "documents")
+      .select(col("doc_id"),
+        graft.text.TextStats.tokenCount(col("text")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val nt = docs(r.getLong(0))
+      if (nt > 8) assert(r.getInt(3) === nt - 8,
+        s"doc ${r.getLong(0)}: assistant span should be the doc tail")
+    }
+  }
+
   test("wave-8 float-fold queries are layout-independent: byte-identical " +
       "at 4 vs 32 shuffle partitions") {
     // q_bm25_search folds term contributions in sorted term order;
