@@ -39,6 +39,36 @@ class Wave8Spec extends SparkSuite {
     assert(m(2L) === ((0, 0L, 0L, 0.0)))
   }
 
+  test("spanCoverage equals the brute-force duplicated-position count " +
+      "on generated corpora") {
+    // reference: position p of doc d is covered iff SOME k-window of d
+    // containing p has a gram text occurring > 1 time corpus-wide
+    val k = 3
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(97L + seed)
+      val vocab = Seq("a", "b", "c", "d")
+      val corpus = (0L until 8L).map { id =>
+        val n = rnd.nextInt(12)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty) }.toMap
+      val counts = toks.values.flatMap(ts =>
+        ts.sliding(k).filter(_.length == k).map(_.mkString(" ")))
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+      val expected = toks.map { case (id, ts) =>
+        val dupStarts = (0 to ts.length - k)
+          .filter(i => counts(ts.slice(i, i + k).mkString(" ")) > 1)
+        val covered = dupStarts.flatMap(i => i until i + k).distinct.size
+        id -> ((ts.length, dupStarts.size.toLong, covered.toLong))
+      }
+      val got = Dedup.spanCoverage(corpus.toDF("doc_id", "text"), k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("spanCoverage is layout-independent") {
     val docs = graft.io.Tables.load(spark, sf("sf0.001"), "documents")
     val a = Dedup.spanCoverage(docs.repartition(1), 8).collect().toSeq
