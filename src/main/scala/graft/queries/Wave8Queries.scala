@@ -249,6 +249,50 @@ object Wave8Queries {
       .orderBy("doc_id")
   }
 
+  // ---- preference-pair construction (DPO prep) ----
+
+  private val jacThreshold = 0.8
+
+  /** Post-training preference pairs from near-duplicate clusters: when
+    * a cluster holds variants of the same content, the highest-quality
+    * member is the `chosen` response and the lowest the `rejected` —
+    * the standard weak-supervision recipe for DPO/RLHF data when no
+    * human labels exist. Reuses the audited Jaccard pair miner and
+    * O(log n) connected components; chosen = max (quality, then min
+    * doc), rejected = min (quality, then MAX doc — the opposite
+    * tie-break, so all-equal-quality clusters still yield a distinct
+    * pair). `prompt_md5` fingerprints the chosen doc's chat-template
+    * user turn, tying the pair to `q_chat_template`'s prompt. */
+  def qPreferencePairs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val cc = Dedup.connectedComponents(
+      Dedup.jaccardPairs(base, jacThreshold).select(col("doc_a"), col("doc_b")))
+    val q = base.select(col("doc_id"),
+      round(TextStats.qualityScore(col("text")), 6).as("quality"))
+    val labeled = cc.join(q, "doc_id")
+    val wBest = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val wWorst = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").asc, col("doc_id").desc)
+    val best = labeled.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("chosen_doc"),
+        col("quality").as("chosen_q"))
+    val worst = labeled.withColumn("rk", row_number().over(wWorst))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rejected_doc"),
+        col("quality").as("rejected_q"))
+    val prompt = base.select(col("doc_id").as("chosen_doc"),
+      md5(concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 8)))
+        .as("prompt_md5"))
+    best.join(worst, "cluster_id")
+      .join(prompt, "chosen_doc")
+      .select(col("cluster_id"), col("prompt_md5"),
+        col("chosen_doc"), col("rejected_doc"),
+        round(col("chosen_q") - col("rejected_q"), 6).as("quality_gap"))
+      .orderBy("cluster_id")
+  }
+
   // ---- data-quality constraint audit ----
 
   def qDataQuality(s: SparkSession, d: String): DataFrame =
@@ -263,6 +307,7 @@ object Wave8Queries {
     "q_state_merge"   -> qStateMerge,
     "q_data_quality"  -> qDataQuality,
     "q_chat_template" -> qChatTemplate,
+    "q_preference_pairs" -> qPreferencePairs,
     "q_mixture_interleave" -> qMixtureInterleave,
     "q_quarantine"    -> qQuarantine)
 
@@ -273,6 +318,33 @@ object Wave8Queries {
 
   val oracles: Map[String, String] = Map(
     "q_data_quality" -> graft.ops.Quality.ORDERS_AUDIT_SQL,
+    "q_preference_pairs" ->
+      s"""WITH RECURSIVE ${PipelineQueries.CLOSURE_CTES},
+         |t AS (SELECT doc_id, text, $T AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |        round(${PipelineQueries.QUALITY("text", "toks")}, 6)
+         |          AS quality
+         |      FROM t),
+         |lq AS (SELECT l.cluster_id, l.doc_id, q.quality
+         |       FROM lab l JOIN q ON q.doc_id = l.doc_id),
+         |best AS (
+         |  SELECT cluster_id, doc_id AS chosen_doc, quality AS chosen_q
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY quality DESC, doc_id ASC) AS rk FROM lq)
+         |  WHERE rk = 1),
+         |worst AS (
+         |  SELECT cluster_id, doc_id AS rejected_doc, quality AS rejected_q
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY quality ASC, doc_id DESC) AS rk FROM lq)
+         |  WHERE rk = 1),
+         |pm AS (SELECT doc_id AS chosen_doc,
+         |         md5(array_to_string(toks[1:8], ' ')) AS prompt_md5
+         |       FROM t)
+         |SELECT b.cluster_id, pm.prompt_md5, b.chosen_doc, w.rejected_doc,
+         |       round(b.chosen_q - w.rejected_q, 6) AS quality_gap
+         |FROM best b JOIN worst w USING (cluster_id)
+         |     JOIN pm USING (chosen_doc)
+         |ORDER BY b.cluster_id""".stripMargin,
     "q_chat_template" ->
       s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
          |b AS (

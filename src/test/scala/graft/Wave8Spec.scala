@@ -208,6 +208,28 @@ class Wave8Spec extends SparkSuite {
     assert(rows.map(_.getLong(3)).sum === expChars)
   }
 
+  // ---- preference pairs ----
+
+  test("preference pairs: distinct docs per pair, non-negative quality gap, " +
+      "chosen agrees with q_cluster_best") {
+    val d = sf("sf0.001")
+    val rows = graft.queries.Wave8Queries.qPreferencePairs(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) !== r.getLong(3),
+        s"cluster ${r.getLong(0)}: chosen == rejected")
+      assert(r.getDouble(4) >= 0.0,
+        s"cluster ${r.getLong(0)}: negative quality gap")
+    }
+    // the chosen doc is exactly q_cluster_best's keeper per cluster
+    val best = graft.queries.Wave6Queries.qClusterBest(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(best(r.getLong(0)) === r.getLong(2),
+        s"cluster ${r.getLong(0)}: chosen != cluster-best keeper")
+    }
+  }
+
   // ---- chat template ----
 
   test("chat template: assistant span covers exactly the post-marker tokens") {
