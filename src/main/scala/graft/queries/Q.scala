@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Cross-engine numeric-determinism helpers shared by all query modules.
   *
@@ -27,6 +27,28 @@ object Q {
 
   /** Order-independent average (NULLs excluded, like SQL avg). */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Order-independent sum for ARBITRARY-real double terms (not just
+    * money-grid data): quantize each per-row term to an integer grid
+    * with `floor(x·1e8 + 0.5)` — both engines compute the identical
+    * double `x·1e8 + 0.5` and the identical floor, so the integer is
+    * bit-identical WITHOUT relying on either engine's double→DECIMAL
+    * cast being correctly rounded (dsum's midpoint argument only holds
+    * for data already near the decimal grid) — then sum exactly in
+    * integers and divide back once in double. Associative and
+    * mergeable, so layout/AQE-independent at any cluster size. Used by
+    * the distributed linear-algebra operators (power-iteration PCA,
+    * Lloyd k-means) whose per-term values are arbitrary reals.
+    * Magnitude budget: |term|·1e8·n_rows must stay < 2^63; at real
+    * 100 TB row counts the long accumulator widens to DECIMAL(38,0)
+    * (still exact-integer, same quantizer). */
+  def gsum(c: Column): Column =
+    sum(floor(c * lit(1e8) + lit(0.5)).cast(LongType)).cast(DoubleType) / lit(1e8)
+
+  /** DuckDB-side twin of [[gsum]] (hugeint sum of the same quantized
+    * integers; the cast to DOUBLE is exact below 2^53). */
+  def GSUM(e: String): String =
+    s"(CAST(sum(CAST(floor(($e) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8)"
 
   /** DuckDB-side twin of [[dsum]].
     *

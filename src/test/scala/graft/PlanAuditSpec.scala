@@ -45,7 +45,12 @@ class PlanAuditSpec extends SparkSuite {
     // × FK-orphan count) into the six-check output. q_mixture_interleave
     // crosses three 1-row scalar frames (token total, weight
     // denominator, latest finish time) — the q_mixture_weights shape.
-    "q_bm25_search", "q_ann_pq", "q_data_quality", "q_mixture_interleave")
+    "q_bm25_search", "q_ann_pq", "q_data_quality", "q_mixture_interleave",
+    // q_hybrid_search composes both audited retrievers, so it inherits
+    // BM25's 1-row corpus-stats cross AND the brute-force cosine side's
+    // intended 3-row-broadcast non-equi probe (the q_ann_brute shape;
+    // the scale path swaps in the PQ/IVF retriever, same fusion).
+    "q_hybrid_search")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
