@@ -95,19 +95,30 @@ object Tables {
   /** Read one test table from an sf directory. Column-pruned and
     * filter-pushed automatically by the parquet source.
     *
-    * `events.ts` is physically TIMESTAMP(NANOS), which Spark reads only
-    * as a nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong,
-    * set in every session builder here); convert to TimestampType by
-    * truncating to micros — the same truncation DuckDB applies, keeping
-    * the oracle aligned. */
+    * Timestamp layout varies by generator version, so normalize every
+    * variant to TimestampType here rather than letting it leak into
+    * operators:
+    *  - TIMESTAMP(NANOS) is readable only as a nanos-since-epoch long
+    *    (spark.sql.legacy.parquet.nanosAsLong, set in every session
+    *    builder here); truncate to micros — the same truncation DuckDB
+    *    applies, keeping the oracle aligned.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+    *    TIMESTAMP_NTZ, which type-strict functions (`unix_micros`)
+    *    reject; cast to TimestampType — value-preserving because every
+    *    session pins spark.sql.session.timeZone=UTC. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val ntzFixed = df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == TimestampNTZType)
+        acc.withColumn(f.name, col(f.name).cast(TimestampType))
+      else acc
+    }
     // NOTE: integral `div`, not `/` — fractional division would round-trip
     // ~1.7e18 nanos through a double and lose microsecond precision.
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+      ntzFixed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else ntzFixed
   }
 
   /** Cast a frame to the declared schema (name-matched). Used when a

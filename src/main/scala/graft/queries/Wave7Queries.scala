@@ -401,7 +401,7 @@ object Wave7Queries {
         |    ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         |  FROM s)
-        |SELECT source, cum // 8192 AS shard,
+        |SELECT source, CAST(cum // 8192 AS BIGINT) AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(nb) AS BIGINT) AS n_bytes
         |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,

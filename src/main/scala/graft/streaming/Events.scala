@@ -26,22 +26,32 @@ import org.apache.spark.sql.types._
   */
 object Events {
 
-  /** Streaming reader needs an explicit schema; ts arrives as
-    * TIMESTAMP(NANOS) → long (nanosAsLong), converted to micros. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  def readStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
+  /** Streaming reader needs an explicit schema. The generator has
+    * shipped `events.ts` both as TIMESTAMP(NANOS) — which Spark reads
+    * only as a nanos-since-epoch long (nanosAsLong) — and as plain
+    * TIMESTAMP(MICROS). The batch reader infers the right logical type
+    * from the footer; a stream declares its schema up front, so sniff
+    * the footer with a batch schema probe and declare to match. A
+    * hard-coded unit silently rescales every event time 1000× when the
+    * file flips layout (hours collapse, session gaps vanish). */
+  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val tsIsNanosLong = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == LongType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsNanosLong) LongType else TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val raw = spark.readStream.schema(schema)
       // file stream source wants a directory; select just the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsNanosLong)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** Tumbling-window count/sum per event type, with a 1-hour watermark.
     * Complete output mode so every window is emitted in the single
