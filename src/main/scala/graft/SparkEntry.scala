@@ -33,7 +33,8 @@ object SparkEntry {
     graft.queries.Wave6Queries.queries ++
     graft.queries.Wave7Queries.queries ++
     graft.queries.Wave8Queries.queries ++
-    graft.queries.Wave9Queries.queries
+    graft.queries.Wave9Queries.queries ++
+    graft.queries.Wave10Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     graft.queries.Wave6Queries.oracles ++
     graft.queries.Wave7Queries.oracles ++
     graft.queries.Wave8Queries.oracles ++
-    graft.queries.Wave9Queries.oracles
+    graft.queries.Wave9Queries.oracles ++
+    graft.queries.Wave10Queries.oracles
 }
