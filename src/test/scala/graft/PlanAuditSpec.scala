@@ -46,6 +46,10 @@ class PlanAuditSpec extends SparkSuite {
     // crosses three 1-row scalar frames (token total, weight
     // denominator, latest finish time) — the q_mixture_weights shape.
     "q_bm25_search", "q_ann_pq", "q_data_quality", "q_mixture_interleave",
+    // q_line_dedup and q_link_graph cross the 1-row corpus-count frame
+    // (the size-scaled df threshold / the link-target modulus) — the
+    // scalar-stats single-row broadcast shape again.
+    "q_line_dedup", "q_link_graph",
     // q_hybrid_search composes both audited retrievers, so it inherits
     // BM25's 1-row corpus-stats cross AND the brute-force cosine side's
     // intended 3-row-broadcast non-equi probe (the q_ann_brute shape;
