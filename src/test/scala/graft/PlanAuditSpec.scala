@@ -50,6 +50,11 @@ class PlanAuditSpec extends SparkSuite {
     // (the size-scaled df threshold / the link-target modulus) — the
     // scalar-stats single-row broadcast shape again.
     "q_line_dedup", "q_link_graph",
+    // q_retrieval_eval composes the brute-force truth side (intended
+    // 3-row-broadcast non-equi probe, the q_ann_brute shape) with
+    // BM25's 1-row corpus-stats cross — the q_hybrid_search
+    // composition again, here as the scorer rather than the fusion.
+    "q_retrieval_eval",
     // q_hybrid_search composes both audited retrievers, so it inherits
     // BM25's 1-row corpus-stats cross AND the brute-force cosine side's
     // intended 3-row-broadcast non-equi probe (the q_ann_brute shape;
