@@ -36,7 +36,8 @@ object SparkEntry {
     graft.queries.Wave9Queries.queries ++
     graft.queries.Wave10Queries.queries ++
     graft.queries.Wave11Queries.queries ++
-    graft.queries.Wave12Queries.queries
+    graft.queries.Wave12Queries.queries ++
+    graft.queries.Wave13Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
     graft.queries.Wave9Queries.oracles ++
     graft.queries.Wave10Queries.oracles ++
     graft.queries.Wave11Queries.oracles ++
-    graft.queries.Wave12Queries.oracles
+    graft.queries.Wave12Queries.oracles ++
+    graft.queries.Wave13Queries.oracles
 }
