@@ -84,10 +84,106 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity: dot(a,b), ‖a‖² and ‖b‖² accumulated in ONE
+  * pass over the arrays, then `dot / (√na · √nb)` — one array traversal
+  * where the composed form (`dot/(norm·norm)`) pays three.
+  *
+  * Bit-identical to the composed form BY CONSTRUCTION: the three
+  * accumulators are independent left-to-right double folds over the same
+  * index order (fusing loops does not reorder any individual sum), the
+  * final expression applies the same sqrt/multiply/divide, and a zero
+  * denominator returns NULL — matching non-ANSI `Divide`'s x/0 → NULL,
+  * which is what the composed form produces under this engine's pinned
+  * `spark.sql.ansi.enabled=false`. `VectorDotSpec` pins fused ==
+  * composed bit-for-bit including the zero-norm row. Norm accumulation
+  * runs over min(len a, len b), like the dot — callers compare
+  * equal-length vectors (enforced upstream by construction).
+  */
+case class VectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vector_cosine expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else s / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def get(v: String, i: String, t: DataType) = t match {
+      case FloatType => s"(double) $v.getFloat($i)"
+      case _         => s"$v.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${get(a, i, elemType(left))};
+         |  double $yv = ${get(b, i, elemType(right))};
+         |  $s += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $s / $denom;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
   /** Codegen'd dot product over array<float|double> columns. */
   def vector_dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd single-pass cosine similarity (see [[VectorCosine]]). */
+  def vector_cosine(a: Column, b: Column): Column =
+    Bridge.column(VectorCosine(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -31,7 +31,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (graft.functions.VectorCosine): one array
+    * traversal instead of the composed form's three, bit-identical by
+    * construction (independent accumulators, same per-element order —
+    * `VectorDotSpec` pins fused == dot/(norm·norm) exactly). Callers
+    * with a REUSABLE norm (e.g. [[bruteForceTopK]], which amortizes
+    * each vector's norm across all its pairs) keep the explicit
+    * dot+norm decomposition — fusing there would recompute norms per
+    * pair. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vector_cosine(a, b)
 
   /** DuckDB twin of [[cosine]] (explicit index-ordered double fold). */
   def COSINE(a: String, b: String, dim: Int): String = {
