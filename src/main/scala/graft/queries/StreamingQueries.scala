@@ -65,6 +65,19 @@ object StreamingQueries {
   def qStreamJoin(s: SparkSession, d: String): DataFrame =
     Events.clickErrorPairs(s, d)
 
+  /** LEFT OUTER stream-stream interval join: matched pairs inner-style,
+    * unmatched clicks emitted with a null error once the watermark
+    * evicts them (see [[Events.clickErrorPairsOuter]]). */
+  def qStreamJoinOuter(s: SparkSession, d: String): DataFrame =
+    Events.clickErrorPairsOuter(s, d)
+
+  /** Watermark late-data drop proof (see
+    * [[Events.hourlyWithLateReplay]]): history replayed AFTER newer
+    * data is provably dropped, emitted windows bounded by the final
+    * watermark. */
+  def qLateData(s: SparkSession, d: String): DataFrame =
+    Events.hourlyWithLateReplay(s, d, cut = "2024-01-20 00:00:00")
+
   /** Stream-static broadcast enrichment + aggregation. */
   def qStreamEnrich(s: SparkSession, d: String): DataFrame =
     Events.enrichedSegmentTotals(s, d)
@@ -88,6 +101,8 @@ object StreamingQueries {
     "q_stream_ingest"    -> qStreamIngest,
     "q_stream_bloom"     -> qStreamBloom,
     "q_stream_join"      -> qStreamJoin,
+    "q_stream_join_outer" -> qStreamJoinOuter,
+    "q_late_data"        -> qLateData,
     "q_stream_sessions"  -> qStreamSessions,
     "q_fmgws_sessions"   -> qFmgwsSessions,
     "q_stream_dedup"     -> qStreamDedup,
@@ -123,6 +138,45 @@ object StreamingQueries {
         | AND c.event_type = 'click' AND e.event_type = 'error'
         | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
         |ORDER BY c.user_id, click_ts, error_ts""".stripMargin,
+    "q_stream_join_outer" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+        |wm AS (SELECT least(
+        |    (SELECT max(epoch_us(ts)) // 1000 FROM c),
+        |    (SELECT max(epoch_us(ts)) // 1000 FROM e)) - 3600000 AS ms),
+        |pairs AS (
+        |  SELECT c.user_id,
+        |    strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |    strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts
+        |  FROM c JOIN e ON c.user_id = e.user_id
+        |    AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE),
+        |lone AS (
+        |  SELECT c.user_id,
+        |    strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |    CAST(NULL AS VARCHAR) AS error_ts
+        |  FROM c
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM e
+        |      WHERE e.user_id = c.user_id
+        |        AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE)
+        |    AND (epoch_us(c.ts) // 1000) + 600000 < (SELECT ms FROM wm))
+        |SELECT * FROM pairs
+        |UNION ALL SELECT * FROM lone
+        |ORDER BY user_id, click_ts, error_ts NULLS FIRST""".stripMargin,
+    "q_late_data" ->
+      s"""WITH recent AS (
+         |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+         |wm AS (SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS ms
+         |       FROM recent),
+         |agg AS (
+         |  SELECT date_trunc('hour', ts) AS h, event_type,
+         |    count(*) AS n, ${Q.DSUM("value")} AS total_value
+         |  FROM recent GROUP BY 1, 2)
+         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+         |  total_value
+         |FROM agg
+         |WHERE (epoch_us(h) // 1000) + 3600000 <= (SELECT ms FROM wm)
+         |ORDER BY hour, event_type""".stripMargin,
     "q_stream_sessions" ->
       s"""WITH m AS (
          |  SELECT user_id, ts,

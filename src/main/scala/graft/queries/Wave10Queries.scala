@@ -110,7 +110,12 @@ object Wave10Queries {
         .option("checkpointLocation", s"$dir/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally q.stop()
+      // wait for AvailableNow self-termination (see Events.runToCompletion
+      // — processAllAvailable alone races the final micro-batch)
+      try {
+        q.processAllAvailable()
+        q.awaitTermination(300000L)
+      } finally q.stop()
       val nv = Versioned.currentVersion(s, lakePath).getOrElse(0L)
       import s.implicits._
       Versioned.read(s, lakePath)

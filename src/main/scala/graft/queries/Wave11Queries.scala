@@ -131,8 +131,8 @@ object Wave11Queries {
     * 100 TB is confined to the seam window by partition-pruning the
     * batch side and watermark-bounding the stream side. */
   def qStreamBackfill(s: SparkSession, d: String): DataFrame = {
-    val cut = lit("2024-02-15 00:00:00").cast("timestamp")
-    val overlapStart = lit("2024-02-14 00:00:00").cast("timestamp")
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    val overlapStart = lit("2024-01-19 00:00:00").cast("timestamp")
     val batch = Tables.load(s, d, "events")
       .filter(col("ts") < cut)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))

@@ -111,7 +111,17 @@ object Events {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally q.stop()
+      // AvailableNow self-terminates AFTER its final no-data batch — the
+      // batch that advances the watermark and flushes timer/append-mode
+      // emissions. processAllAvailable() alone can return between the
+      // last DATA batch and that final batch, and stop() would then kill
+      // the flush (observed: an append-mode windowed agg emitting 0 rows
+      // on a multi-file replay). Wait for self-termination; the bounded
+      // trigger guarantees it arrives.
+      try {
+        q.processAllAvailable()
+        q.awaitTermination(300000L)
+      } finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -273,6 +283,40 @@ object Events {
       .orderBy("user_id", "click_ts", "error_ts")
   }
 
+  /** [[clickErrorPairs]] as a LEFT OUTER stream-stream join: matched
+    * pairs emit as data arrives (inner semantics), and a click with NO
+    * error inside its 10-minute horizon emits a null-error row once the
+    * watermark proves no future error can match it (state eviction IS
+    * the emission trigger — the semantics only a watermark makes
+    * well-defined on an unbounded stream). Needs the final no-data
+    * batch (`needsTimers`) so end-of-replay advances the watermark and
+    * flushes the evictable unmatched clicks; clicks whose horizon is
+    * still open at end-of-stream stay in state, exactly like a live
+    * pipeline. The oracle mirrors both effects: batch pairs UNION
+    * unmatched clicks whose (ts + 10 min) lies strictly below the
+    * final watermark = min(max click ts, max error ts) − 1 h,
+    * millisecond-floored. */
+  def clickErrorPairsOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = readStream(spark, sfDir)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+      col("e_ts") >= col("c_ts") &&
+      col("e_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    runToCompletion(spark, joined, mode = "append", needsTimers = true)
+      .select(col("c_user").as("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("e_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("error_ts"))
+      .orderBy(col("user_id"), col("click_ts"),
+        col("error_ts").asc_nulls_first)
+  }
+
   /** STREAM-STATIC enrichment: the event stream joined to a broadcast
     * dimension (customer segment) then aggregated — the standard
     * "enrich in flight" shape. The static side is planned as a regular
@@ -300,6 +344,88 @@ object Events {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy("hour", "event_type")
+
+  /** Watermark LATE-DATA DROP made observable, via the production
+    * restart shape: a DURABLE parquet sink + checkpoint runs TWICE —
+    * first over everything from `cut` onward, then RESTARTED from the
+    * same checkpoint after the older history lands in the source
+    * directory "late". The restart recovers the committed watermark
+    * (max recent ts − 1 h) from the checkpoint, so the late batch is
+    * provably dropped — the bounded-state guarantee that makes
+    * streaming aggregation state evictable at all. (A single
+    * AvailableNow run does NOT exhibit the drop: all its batches are
+    * planned against the watermark at query start — measured
+    * dropped=0 with the full history aggregated — so the restart
+    * boundary IS the semantics under test.) The oracle mirrors both
+    * effects in SQL: aggregate ONLY ts ≥ cut, keep only windows whose
+    * end ≤ final watermark (= ms-floored max recent ts − 1 h).
+    * `replayLate = false` skips the second pass — the spec's handle
+    * for proving the late replay adds exactly nothing. */
+  def hourlyWithLateReplay(spark: SparkSession, sfDir: String,
+      cut: String, replayLate: Boolean = true): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val ev = graft.io.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      def stage(name: String, cond: org.apache.spark.sql.Column,
+          mtime: Long): Unit = {
+        val st = s"$dir/stage/$name"
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no staged part file for $name"))
+        val in = new org.apache.hadoop.fs.Path(s"$dir/in/$name.parquet")
+        hfs.mkdirs(in.getParent)
+        hfs.rename(part, in)
+        hfs.setTimes(in, mtime, -1L)
+      }
+      def runPass(): Unit = {
+        val agg = spark.readStream.schema(schema).parquet(s"$dir/in")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(30, 8))).cast(DoubleType)
+              .as("total_value"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"), col("event_type"), col("n"), col("total_value"))
+        val q = agg.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.processAllAvailable()
+          q.awaitTermination(300000L)
+        } finally q.stop()
+      }
+      stage("b0", col("ts") >= lit(cut).cast("timestamp"), 10000L)
+      runPass()
+      if (replayLate) {
+        stage("b1", col("ts") < lit(cut).cast("timestamp"), 20000L)
+        runPass()
+      }
+      val outSchema = StructType(Seq(
+        StructField("hour", StringType),
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("total_value", DoubleType)))
+      spark.read.schema(outSchema).parquet(s"$dir/out")
+        .orderBy("hour", "event_type")
+        // materialize BEFORE the scratch dir is deleted
+        .localCheckpoint()
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 
   /** Streaming dedup: `dropDuplicatesWithinWatermark` holds one state
     * entry per event_id only until the watermark passes — the bounded-
