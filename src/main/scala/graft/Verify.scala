@@ -29,6 +29,10 @@ object Verify {
     val queries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     queries.foreach { case (name, fn) =>
+      // several operators legitimately .cache() shared frames; across
+      // 200+ queries those accumulate and thrash executor storage (the
+      // same reason Bench clears per query)
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -100,22 +100,30 @@ object Versioned {
       version: Option[Long] = None): DataFrame =
     readFiles(spark, path, files(spark, path, version))
 
-  /** Stage a batch's rows as immutable files under `data/b<v>/` and
-    * return their paths. */
+  /** Stage a batch's rows as immutable files under a UNIQUE
+    * `data/gbatch=<v>-<uuid>/` directory and return (dir, paths). The
+    * uuid suffix is what makes the optimistic-concurrency story sound:
+    * two writers racing toward the same version stage into DISJOINT
+    * directories, so neither the loser's overwrite nor its post-loss
+    * cleanup can touch the winner's committed files. (The gbatch value
+    * is partition-style only so mixed-batch manifests present one
+    * consistent directory layout; the column is dropped on read, so
+    * the suffix is invisible to consumers.) */
   private def stage(df: DataFrame, path: String, v: Long,
-      partitionCol: Option[String]): Seq[String] = {
-    val dir = new Path(new Path(path, "data"), s"$batchCol=$v").toString
+      partitionCol: Option[String]): (Path, Seq[String]) = {
+    val unique = s"$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(new Path(path, "data"), s"$batchCol=$unique")
     val w = df.write.mode("overwrite")
-    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dir)
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dir.toString)
     val f = fs(df.sparkSession, path)
-    val it = f.listFiles(new Path(dir), true)
+    val it = f.listFiles(dir, true)
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
       val s = it.next()
       if (s.isFile && s.getPath.getName.endsWith(".parquet"))
         out += s.getPath.toString
     }
-    out.result()
+    (dir, out.result())
   }
 
   /** Atomically commit `fileList` as version `v`. True iff this writer
@@ -145,7 +153,7 @@ object Versioned {
     val spark = df.sparkSession
     require(currentVersion(spark, path).isEmpty,
       s"table already initialized: $path")
-    val staged = stage(df, path, 1L, partitionCol)
+    val (_, staged) = stage(df, path, 1L, partitionCol)
     require(commit(spark, path, 1L, staged), s"init lost a commit race: $path")
     1L
   }
@@ -166,9 +174,20 @@ object Versioned {
 
       val (carried, rewriteDf) = partitionCol match {
         case Some(pc) =>
-          // untouched partitions carry over BY REFERENCE
+          // untouched partitions carry over BY REFERENCE. Match against
+          // the HIVE-ESCAPED directory name (specials are %-encoded on
+          // disk, NULL becomes __HIVE_DEFAULT_PARTITION__) — a raw
+          // string match would miss those partitions, carry their old
+          // files alongside the new rows, and break the upsert.
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           val touched = source.select(col(pc)).distinct()
-            .collect().map(r => s"$pc=${r.get(0)}").toSet
+            .collect().map { r =>
+              val v = r.get(0)
+              val escaped =
+                if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                else ExternalCatalogUtils.escapePathName(v.toString)
+              s"${ExternalCatalogUtils.escapePathName(pc)}=$escaped"
+            }.toSet
           val (hit, keep) = curFiles.partition(f =>
             touched.exists(t => f.contains(s"/$t/")))
           val hitDf =
@@ -188,13 +207,13 @@ object Versioned {
         source.select(keys.map(col): _*).distinct(), keys, "left_anti")
       val merged = survivors.unionByName(inserts)
 
-      val staged = stage(merged, path, next, partitionCol)
+      val (stagedDir, staged) = stage(merged, path, next, partitionCol)
       if (commit(spark, path, next, carried ++ staged)) return next
-      // lost the race: another writer committed `next` — re-merge
-      // against the new current (our staged b<next> files were named
-      // by the version we failed to take; clean them up)
-      fs(spark, path).delete(
-        new Path(new Path(path, "data"), s"$batchCol=$next"), true)
+      // lost the race: another writer committed `next` — clean up OUR
+      // OWN staging directory only (uuid-suffixed, so the winner's
+      // files are untouchable by construction) and re-merge against
+      // the new current
+      fs(spark, path).delete(stagedDir, true)
       attempt += 1
     }
     sys.error(s"merge lost $maxRetries commit races: $path")

@@ -114,7 +114,8 @@ object Wave10Queries {
       // — processAllAvailable alone races the final micro-batch)
       try {
         q.processAllAvailable()
-        q.awaitTermination(300000L)
+        if (!q.awaitTermination(300000L))
+          sys.error("stream-merge replay did not terminate within 300s")
       } finally q.stop()
       val nv = Versioned.currentVersion(s, lakePath).getOrElse(0L)
       import s.implicits._

@@ -38,10 +38,11 @@ object Wave12Queries {
 
   /** BM25's top-10 scored against exact-cosine truth for the same three
     * queries (query vectors = embeddings with vec_id < 3, as in
-    * `q_hybrid_search`): per query recall@10, MRR over the truth set,
-    * and nDCG@10 with linear gain (11 − truth rank). Truth is the
-    * audited brute-force path; the metric math is rank arithmetic plus
-    * log2 — IEEE-identical per row in both engines. */
+    * `q_hybrid_search`): per query recall@10, MRR (reciprocal of the
+    * best SYSTEM rank holding any truth-set doc — the standard
+    * system-rank MRR), and nDCG@10 with linear gain (11 − truth rank).
+    * Truth is the audited brute-force path; the metric math is rank
+    * arithmetic plus log2 — IEEE-identical per row in both engines. */
   def qRetrievalEval(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.load(s, d, "embeddings")

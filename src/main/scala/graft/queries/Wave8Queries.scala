@@ -228,7 +228,10 @@ object Wave8Queries {
     * the flattened bytes. Row-local — no shuffle before the output
     * ordering; at 100 TB this is a map stage like the HTML extract. */
   def qChatTemplate(s: SparkSession, d: String): DataFrame = {
-    val toks = TextStats.tokens(col("text"))
+    // coalesce NULL text: Spark's concat_ws would skip the null slices
+    // and build a real template while the oracle's `|| NULL` nulls the
+    // whole row — NULL docs must template as empty turns in BOTH engines
+    val toks = TextStats.tokens(coalesce(col("text"), lit("")))
     val userTxt = concat_ws(" ", slice(toks, 1, 8))
     val asstTxt = concat_ws(" ", slice(toks, 9, 1000000))
     val sys = lit("You are a helpful assistant.")
@@ -283,8 +286,8 @@ object Wave8Queries {
       .select(col("cluster_id"), col("doc_id").as("rejected_doc"),
         col("quality").as("rejected_q"))
     val prompt = base.select(col("doc_id").as("chosen_doc"),
-      md5(concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 8)))
-        .as("prompt_md5"))
+      md5(concat_ws(" ", slice(TextStats.tokens(
+        coalesce(col("text"), lit(""))), 1, 8))).as("prompt_md5"))
     best.join(worst, "cluster_id")
       .join(prompt, "chosen_doc")
       .select(col("cluster_id"), col("prompt_md5"),
@@ -338,7 +341,9 @@ object Wave8Queries {
          |          ORDER BY quality ASC, doc_id DESC) AS rk FROM lq)
          |  WHERE rk = 1),
          |pm AS (SELECT doc_id AS chosen_doc,
-         |         md5(array_to_string(toks[1:8], ' ')) AS prompt_md5
+         |         md5(array_to_string(
+         |           (${TextStats.TOKENS("coalesce(text, '')")})[1:8], ' '))
+         |           AS prompt_md5
          |       FROM t)
          |SELECT b.cluster_id, pm.prompt_md5, b.chosen_doc, w.rejected_doc,
          |       round(b.chosen_q - w.rejected_q, 6) AS quality_gap
@@ -346,7 +351,8 @@ object Wave8Queries {
          |     JOIN pm USING (chosen_doc)
          |ORDER BY b.cluster_id""".stripMargin,
     "q_chat_template" ->
-      s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id,
+         |  ${TextStats.TOKENS("coalesce(text, '')")} AS toks FROM documents),
          |b AS (
          |  SELECT doc_id,
          |         '<|system|> You are a helpful assistant. <|user|> '

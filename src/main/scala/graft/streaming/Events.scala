@@ -120,7 +120,11 @@ object Events {
       // trigger guarantees it arrives.
       try {
         q.processAllAvailable()
-        q.awaitTermination(300000L)
+        // a false return means the bounded trigger did NOT finish —
+        // stopping now would truncate the final flush; fail loudly
+        // instead of handing back a silently partial table
+        if (!q.awaitTermination(300000L))
+          sys.error(s"streaming replay $name did not terminate within 300s")
       } finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -403,7 +407,8 @@ object Events {
           .start()
         try {
           q.processAllAvailable()
-          q.awaitTermination(300000L)
+          if (!q.awaitTermination(300000L))
+            sys.error("late-replay pass did not terminate within 300s")
         } finally q.stop()
       }
       stage("b0", col("ts") >= lit(cut).cast("timestamp"), 10000L)
