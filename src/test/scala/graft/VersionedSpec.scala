@@ -78,6 +78,52 @@ class VersionedSpec extends SparkSuite {
     assert(got.contains((9L, "nine", "a")) && got.contains((2L, "TWO", "a")))
   }
 
+  test("a losing writer's cleanup cannot touch the winner's files: " +
+      "staging directories are disjoint per attempt") {
+    val dir = tmp()
+    Versioned.init(base.toDF("k", "v", "p"), dir)
+    // two sequential merges both produce version-unique staging dirs;
+    // the uuid suffix is what makes a RACING loser's recursive delete
+    // safe — prove no two commits ever share a gbatch directory
+    Versioned.merge(Seq((2L, "TWO", "a")).toDF("k", "v", "p"), dir, Seq("k"))
+    Versioned.merge(Seq((3L, "THREE", "b")).toDF("k", "v", "p"), dir, Seq("k"))
+    def batchDirOf(f: String): String =
+      f.split("/").find(_.startsWith("gbatch=")).get
+    val dirs = (1L to 3L).map(v =>
+      Versioned.files(spark, dir, Some(v)).map(batchDirOf).toSet)
+    val perVersionNew = Seq(dirs(0), dirs(1) -- dirs(0), dirs(2) -- dirs(1))
+    assert(perVersionNew.forall(_.size == 1))
+    assert(perVersionNew.map(_.head).distinct.size == 3,
+      s"every commit must stage into its own directory: $perVersionNew")
+    assert(rows(Versioned.read(spark, dir)).contains((3L, "THREE", "b")))
+  }
+
+  test("partition matching survives hive-escaped and NULL partition values") {
+    val dir = tmp()
+    // 'x:y' escapes to p=x%3Ay on disk; null becomes the hive default
+    val hostile = Seq((1L, "one", "x:y"), (2L, "two", "plain"))
+      .toDF("k", "v", "p")
+      .unionByName(Seq((3L, "three")).toDF("k", "v")
+        .withColumn("p", lit(null).cast("string")))
+    Versioned.init(hostile, dir, partitionCol = Some("p"))
+    // touch ONLY the escaped partition: its old row must be replaced,
+    // not carried alongside the new one
+    Versioned.merge(Seq((1L, "ONE", "x:y")).toDF("k", "v", "p"),
+      dir, Seq("k"), partitionCol = Some("p"))
+    val got = Versioned.read(spark, dir).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "ONE"), (2L, "two"), (3L, "three")),
+      s"escaped-partition upsert must not duplicate keys: $got")
+    // and a null-partition touch rewrites the hive-default directory
+    Versioned.merge(Seq((3L, "THREE")).toDF("k", "v")
+        .withColumn("p", lit(null).cast("string")),
+      dir, Seq("k"), partitionCol = Some("p"))
+    val got2 = Versioned.read(spark, dir).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == Set((1L, "ONE"), (2L, "two"), (3L, "THREE")),
+      s"null-partition upsert must not duplicate keys: $got2")
+  }
+
   test("vacuum deletes only unreferenced files and keeps readable history") {
     val dir = tmp()
     Versioned.init(base.toDF("k", "v", "p"), dir)
