@@ -37,7 +37,8 @@ object SparkEntry {
     graft.queries.Wave10Queries.queries ++
     graft.queries.Wave11Queries.queries ++
     graft.queries.Wave12Queries.queries ++
-    graft.queries.Wave13Queries.queries
+    graft.queries.Wave13Queries.queries ++
+    graft.queries.Wave15Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
     graft.queries.Wave10Queries.oracles ++
     graft.queries.Wave11Queries.oracles ++
     graft.queries.Wave12Queries.oracles ++
-    graft.queries.Wave13Queries.oracles
+    graft.queries.Wave13Queries.oracles ++
+    graft.queries.Wave15Queries.oracles
 }
