@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   *    files are never mutated or deleted until [[vacuum]]), and a
   *    half-crashed writer leaves only unreferenced stage files, never
   *    a torn table.
-  *  - '''Optimistic concurrency.''' The rename target embeds the
-  *    version number; HDFS/posix `rename` fails if the destination
-  *    exists, so two writers racing to commit version N+1 produce
-  *    exactly one winner — the loser re-reads the new current and
-  *    retries its merge (bounded retries, then error).
+  *  - '''Optimistic concurrency.''' Version N+1 is claimed by an
+  *    EXCLUSIVE CREATE of a `.v<N+1>.lock` marker (O_CREAT|O_EXCL on
+  *    local disks, namenode-atomic `create(overwrite=false)` on
+  *    HDFS), so two writers racing to commit produce exactly one
+  *    winner — the loser re-reads the new current and retries its
+  *    merge (bounded retries, then error). Only the winner writes the
+  *    manifest, still tmp+rename so readers never see a torn list.
   *  - '''Partition-scoped rewrite.''' MERGE with `partitionCol`
   *    rewrites only the partitions present in the source batch:
   *    untouched partitions' files carry over into the new manifest BY
@@ -127,24 +129,43 @@ object Versioned {
   }
 
   /** Atomically commit `fileList` as version `v`. True iff this writer
-    * won the race for `v`. */
+    * won the race for `v`.
+    *
+    * The lock is an EXCLUSIVE CREATE of `.v<v>.lock` — on a local
+    * filesystem that is a real O_CREAT|O_EXCL via java.nio (POSIX
+    * rename would silently overwrite, so exists()+rename is
+    * check-then-act there); on HDFS `create(overwrite = false)` is
+    * namenode-atomic. Only the lock winner writes the manifest, still
+    * via tmp+rename so readers never observe a torn file list. */
   private def commit(spark: SparkSession, path: String, v: Long,
       fileList: Seq[String]): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
+    val lock = new Path(manifestDir(path), s".v$v.lock")
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        // hadoop's FileAlreadyExistsException extends IOException; any
+        // other IO failure here is indistinguishable from a lost race
+        // and the caller's bounded retry surfaces a persistent fault
+        try { f.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    if (!won) return false
     val tmp = new Path(manifestDir(path),
       s".v$v.manifest.tmp.${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write((fileList.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // HDFS rename refuses an existing destination (the real atomic
-    // lock); local filesystems may overwrite, so the exists() probe in
-    // front keeps the conflict detection honest in tests too
-    val target = manifestPath(path, v)
-    val won = !f.exists(target) && f.rename(tmp, target)
-    if (!won) f.delete(tmp, false)
-    won
+    f.rename(tmp, manifestPath(path, v))
   }
 
   /** Initialize the table with `df` as version 1. */
@@ -179,14 +200,17 @@ object Versioned {
           // disk, NULL becomes __HIVE_DEFAULT_PARTITION__) — a raw
           // string match would miss those partitions, carry their old
           // files alongside the new rows, and break the upsert.
+          // The value string must be SPARK's cast-to-string (what the
+          // dynamic-partition writer embeds in the path — e.g. a
+          // timestamp renders '…00:00:00', where JVM toString yields
+          // '…00:00:00.0'), so derive it with the same Cast in-plan
+          // rather than Row.get(0).toString on the driver.
           import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          val touched = source.select(col(pc)).distinct()
+          val touched = source
+            .select(col(pc).cast("string").as("p")).distinct()
             .collect().map { r =>
-              val v = r.get(0)
-              val escaped =
-                if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-                else ExternalCatalogUtils.escapePathName(v.toString)
-              s"${ExternalCatalogUtils.escapePathName(pc)}=$escaped"
+              ExternalCatalogUtils.getPartitionPathString(pc,
+                if (r.isNullAt(0)) null else r.getString(0))
             }.toSet
           val (hit, keep) = curFiles.partition(f =>
             touched.exists(t => f.contains(s"/$t/")))
@@ -216,7 +240,8 @@ object Versioned {
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
     }
-    sys.error(s"merge lost $maxRetries commit races: $path")
+    sys.error(s"merge lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
   }
 
   /** Delete data files referenced by NO surviving manifest and drop
@@ -245,7 +270,10 @@ object Versioned {
       }
       dead.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
-    drop.foreach(v => f.delete(manifestPath(path, v), false))
+    drop.foreach { v =>
+      f.delete(manifestPath(path, v), false)
+      f.delete(new Path(dir, s".v$v.lock"), false)
+    }
     deleted
   }
 }

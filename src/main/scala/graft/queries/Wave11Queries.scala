@@ -187,12 +187,16 @@ object Wave11Queries {
     * corpus grows, falling novelty quantifies how much genuinely new
     * content each source still contributes. One shingle explode, one
     * uniform-key groupBy (min doc_id per shingle), one equi-join
-    * back. */
+    * back — keyed on the md5-64 of the shingle, not the shingle
+    * STRING (same discipline as q_line_dedup: the fixed 8-byte key
+    * shrinks both shuffles by the mean shingle width; the oracle
+    * hashes identically via md5_number_upper). */
   def qNgramNovelty(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d).select(col("doc_id"),
       explode(Dedup.shingles(coalesce(col("text"), lit("")))).as("g"))
-    val first = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = sh.join(first, "g")
+      .select(col("doc_id"), Dedup.md5Hash64(col("g")).as("gh"))
+    val first = sh.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(first, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -287,12 +291,13 @@ object Wave11Queries {
     "q_ngram_novelty" ->
       s"""WITH sh AS (SELECT doc_id,
          |    ${Dedup.SHINGLES("coalesce(text, '')")} AS s FROM documents),
-         |x AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |first AS (SELECT g, min(doc_id) AS first_doc FROM x GROUP BY g),
+         |x0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |x AS (SELECT doc_id, md5_number_upper(g) AS gh FROM x0),
+         |first AS (SELECT gh, min(doc_id) AS first_doc FROM x GROUP BY gh),
          |pd AS (SELECT x.doc_id, count(*) AS n_shingles,
          |    CAST(sum(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_novel
-         |  FROM x JOIN first f USING (g) GROUP BY x.doc_id)
+         |  FROM x JOIN first f USING (gh) GROUP BY x.doc_id)
          |SELECT d.doc_id, d.source,
          |  coalesce(n_shingles, 0) AS n_shingles,
          |  coalesce(n_novel, 0) AS n_novel,

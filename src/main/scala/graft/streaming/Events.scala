@@ -373,6 +373,20 @@ object Events {
     try {
       val ev = graft.io.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      // The drop proof needs the recovered watermark (max post-cut ts
+      // − 1 h) to clear the cut — otherwise part of the "late" history
+      // would survive the replay and diverge from the oracle (which
+      // aggregates only ts ≥ cut). Fail loudly rather than let a
+      // generator/SF change turn into a silent hash mismatch.
+      val slack = ev
+        .filter(col("ts") >= lit(cut).cast("timestamp"))
+        .agg((unix_timestamp(max(col("ts"))) -
+          unix_timestamp(lit(cut).cast("timestamp"))).as("s")).head
+      require(!slack.isNullAt(0) && slack.getLong(0) >= 3600L,
+        s"late-replay invariant violated: max recent ts must be ≥ cut " +
+          s"($cut) + 1h for the watermark to drop all late rows " +
+          s"(slack = ${if (slack.isNullAt(0)) "no recent rows"
+          else s"${slack.getLong(0)}s"})")
       val schema = StructType(Seq(
         StructField("event_id", LongType),
         StructField("ts", TimestampType),

@@ -261,15 +261,27 @@ object Dedup {
     * the identical value). Assembled from hex pairs with codegen'd
     * conv/shift builtins; the top byte may set the sign bit — only the
     * BIT PATTERN is used downstream, which signedness doesn't affect. */
-  def md5Hash64(t: Column): Column = {
+  def md5Hash64(t: Column): Column = md5Half(t, 0)
+
+  /** The OTHER md5 half — bytes 8–15, same little-endian assembly
+    * (DuckDB's `md5_number_lower`). Paired with [[md5Hash64]] this
+    * gives the full 128-bit digest as two longs: collision-free at any
+    * realistic corpus scale, still a narrow fixed-width shuffle key. */
+  def md5Hash64Lo(t: Column): Column = md5Half(t, 8)
+
+  private def md5Half(t: Column, byteOff: Int): Column = {
     val hex = md5(t)
     (0 until 8).map { i =>
-      shiftleft(conv(substring(hex, 2 * i + 1, 2), 16, 10).cast("long"), 8 * i)
+      shiftleft(conv(substring(hex, 2 * (i + byteOff) + 1, 2), 16, 10)
+        .cast("long"), 8 * i)
     }.reduce(_ bitwiseOR _)
   }
 
   /** DuckDB twin of [[md5Hash64]] (UBIGINT; same 64-bit pattern). */
   def MD5_HASH64(e: String): String = s"md5_number_upper($e)"
+
+  /** DuckDB twin of [[md5Hash64Lo]]. */
+  def MD5_HASH64_LO(e: String): String = s"md5_number_lower($e)"
 
   /** 64-bit SimHash signatures: per token-hash bit, sum ±1 across a
     * doc's tokens; sign → signature bit.
@@ -664,11 +676,14 @@ object Dedup {
     * the same answer with better constants on one machine — the
     * k-gram/groupBy form is the one that distributes.
     *
-    * 64-bit gram keys collide at birthday scale (~2^32 grams); a
-    * collision can only OVERCOUNT coverage (two different grams
-    * sharing a key look duplicated). At the corpus sizes where that
-    * bites, production raises the key to 128 bits (md5 uncut); the
-    * oracle path keeps 64 so both engines hash identically. */
+    * Gram keys are the FULL 128-bit md5 as two longs
+    * ([[md5Hash64]]/[[md5Hash64Lo]] — DuckDB's md5_number_upper/lower,
+    * so both engines hash identically): at 100 TB gram cardinality
+    * passes the 64-bit birthday bound (~2^32) where half-width keys
+    * would overcount routinely; 128 bits keeps collisions negligible
+    * at any realistic scale while the shuffle key stays a fixed 16
+    * bytes (`SpanKeyWidthSpec` demonstrates the narrow-key overcount
+    * and the wide-key separation on an engineered collision). */
   def spanCoverage(docsDf: DataFrame, k: Int = 8): DataFrame = {
     val toks = TextStats.tokens(col("text"))
     val base = docsDf
@@ -679,8 +694,8 @@ object Dedup {
         transform(sequence(lit(0), col("n_tokens") - lit(k)),
           i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(k)))))))
       .select(col("doc_id"), col("pos").as("i"),
-        md5Hash64(col("col")).as("h"))
-    val dupKeys = grams.groupBy("h").agg(count(lit(1)).as("c"))
+        md5Hash64(col("col")).as("h1"), md5Hash64Lo(col("col")).as("h2"))
+    val dupKeys = grams.groupBy("h1", "h2").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
     // window: prior-row running max of span ends; each row adds only
     // its uncovered tail, so the sum is the merged interval length
@@ -688,7 +703,7 @@ object Dedup {
     // max never reaches past the current end)
     val w = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val covered = grams.join(dupKeys, "h")
+    val covered = grams.join(dupKeys, Seq("h1", "h2"))
       .withColumn("pme", coalesce(max(col("i") + lit(k - 1)).over(w),
         lit(-1)))
       .withColumn("add",
@@ -714,10 +729,11 @@ object Dedup {
        |  SELECT doc_id, $T AS toks, len($T) AS n_tokens FROM documents),
        |g AS (
        |  SELECT doc_id, n_tokens, CAST(u.i AS INTEGER) AS i,
-       |         md5_number_upper(array_to_string(toks[u.i+1:u.i+$k], ' ')) AS h
+       |         md5_number_upper(array_to_string(toks[u.i+1:u.i+$k], ' ')) AS h1,
+       |         md5_number_lower(array_to_string(toks[u.i+1:u.i+$k], ' ')) AS h2
        |  FROM t, unnest(range(greatest(n_tokens - ${k - 1}, 0))) AS u(i)),
-       |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
-       |d AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (h)),
+       |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(*) > 1),
+       |d AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (h1, h2)),
        |m AS (
        |  SELECT doc_id, i,
        |         coalesce(max(i + ${k - 1}) OVER (
