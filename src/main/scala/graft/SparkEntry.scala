@@ -38,7 +38,8 @@ object SparkEntry {
     graft.queries.Wave11Queries.queries ++
     graft.queries.Wave12Queries.queries ++
     graft.queries.Wave13Queries.queries ++
-    graft.queries.Wave15Queries.queries
+    graft.queries.Wave15Queries.queries ++
+    graft.queries.Wave16Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
     graft.queries.Wave11Queries.oracles ++
     graft.queries.Wave12Queries.oracles ++
     graft.queries.Wave13Queries.oracles ++
-    graft.queries.Wave15Queries.oracles
+    graft.queries.Wave15Queries.oracles ++
+    graft.queries.Wave16Queries.oracles
 }

