@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.text.{LangId, TextStats}
+import graft.text.{LangId, QualityModel, TextStats}
 
 /** Round-8 wave 16 — the model-based curation gates the round-7
   * verdict ranked first, plus the external-lake read path:
@@ -62,11 +62,45 @@ object Wave16Queries {
       .orderBy("lang_true")
   }
 
+  // ---- learned quality filter ----
+
+  /** Per-doc quality-model row: the planted-junk label, the Gaussian-NB
+    * model's junk flag, and the heuristic gate's junk flag
+    * (`round(qualityScore, 6) < 0.5` — the curation funnel's gate on
+    * the same text). The oracle replays corpus planting, the 6-feature
+    * battery, the grid-exact class statistics, and the full log-odds
+    * expression. */
+  def qQualityModel(s: SparkSession, d: String): DataFrame =
+    QualityModel.scored(docs(s, d))
+      .select(col("doc_id"), col("planted").cast("int").as("planted"),
+        (col("z") > 0).cast("int").as("model_junk"),
+        (round(TextStats.qualityScore(col("t")), 6) < 0.5).cast("int")
+          .as("heur_junk"))
+      .orderBy("doc_id")
+
+  /** One-row confusion scoreboard: the model keeps every good doc the
+    * heuristic throws away (measured: model 39 TP / 0 FP vs heuristic
+    * 39 TP / 409 FP at sf0.01) — the "dominates the heuristic gate"
+    * claim as a hashed registry row. */
+  def qQualityModelEval(s: SparkSession, d: String): DataFrame =
+    QualityModel.scored(docs(s, d))
+      .withColumn("model_junk", col("z") > 0)
+      .withColumn("heur_junk",
+        round(TextStats.qualityScore(col("t")), 6) < 0.5)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("planted").cast("long")).as("n_planted"),
+        sum((col("planted") && col("model_junk")).cast("long")).as("model_tp"),
+        sum((!col("planted") && col("model_junk")).cast("long")).as("model_fp"),
+        sum((col("planted") && col("heur_junk")).cast("long")).as("heur_tp"),
+        sum((!col("planted") && col("heur_junk")).cast("long")).as("heur_fp"))
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_lang_id2"      -> qLangId2,     // hashed-n-gram NB language ID
-    "q_lang_id2_eval" -> qLangId2Eval) // held-out eval vs heuristic
+    "q_lang_id2"           -> qLangId2,          // hashed-n-gram NB language ID
+    "q_lang_id2_eval"      -> qLangId2Eval,      // held-out eval vs heuristic
+    "q_quality_model"      -> qQualityModel,     // Gaussian-NB learned quality filter
+    "q_quality_model_eval" -> qQualityModelEval) // confusion vs heuristic gate
 
   val oracles: Map[String, String] = Map(
     "q_lang_id2" ->
@@ -94,5 +128,43 @@ object Wave16Queries {
          |FROM a JOIN pred p ON p.doc_id = a.doc_id
          |       JOIN h ON h.doc_id = a.doc_id
          |WHERE NOT a.is_train
-         |GROUP BY a.lang ORDER BY lang_true""".stripMargin)
+         |GROUP BY a.lang ORDER BY lang_true""".stripMargin,
+    "q_quality_model" ->
+      s"""WITH ${QualityModel.PLANT_CTE},
+         |${QualityModel.X_CTE},
+         |${QualityModel.ST_CTE},
+         |scored AS (
+         |  SELECT x.doc_id, x.planted, x.t, x.toks,
+         |    ${QualityModel.Z_SQL} AS z
+         |  FROM x CROSS JOIN st)
+         |SELECT doc_id, CAST(planted AS INTEGER) AS planted,
+         |  CASE WHEN z > 0 THEN 1 ELSE 0 END AS model_junk,
+         |  CASE WHEN round(${PipelineQueries.QUALITY("t", "toks")}, 6) < 0.5
+         |       THEN 1 ELSE 0 END AS heur_junk
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_quality_model_eval" ->
+      s"""WITH ${QualityModel.PLANT_CTE},
+         |${QualityModel.X_CTE},
+         |${QualityModel.ST_CTE},
+         |scored AS (
+         |  SELECT x.doc_id, x.planted, x.t, x.toks,
+         |    ${QualityModel.Z_SQL} AS z
+         |  FROM x CROSS JOIN st),
+         |f AS (
+         |  SELECT planted, z > 0 AS model_junk,
+         |    round(${PipelineQueries.QUALITY("t", "toks")}, 6) < 0.5
+         |      AS heur_junk
+         |  FROM scored)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_planted,
+         |  CAST(sum(CASE WHEN planted AND model_junk THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS model_tp,
+         |  CAST(sum(CASE WHEN NOT planted AND model_junk THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS model_fp,
+         |  CAST(sum(CASE WHEN planted AND heur_junk THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS heur_tp,
+         |  CAST(sum(CASE WHEN NOT planted AND heur_junk THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS heur_fp
+         |FROM f""".stripMargin)
 }
