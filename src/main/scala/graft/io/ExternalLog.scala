@@ -1,0 +1,108 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Delta-style EXTERNAL table log → snapshot-read API (the r7 verdict's
+  * open-table-format interop item).
+  *
+  * Layout (the minimal add/remove subset of a Delta `_delta_log`):
+  *
+  * {{{
+  *   <table>/_log/00000000000000000000.json   // version 0
+  *   <table>/_log/00000000000000000001.json   // version 1, ...
+  *   <table>/<data-dir>/part-*.parquet        // one dir per add action
+  * }}}
+  *
+  * Each log file is JSON-lines, one ACTION per line:
+  * `{"add":{"path":"<dir>"}}` or `{"remove":{"path":"<dir>"}}`, paths
+  * relative to the table root. A snapshot at version v is the adds of
+  * versions 0..v minus the removes of versions 0..v (a remove at or
+  * after the add wins — Delta's live-set semantics).
+  *
+  * Scale shape: resolving a snapshot reads ONLY the log (tiny —
+  * O(commits) JSON lines, parsed as one distributed `spark.read.json`
+  * over the selected files); the data scan then opens exactly the live
+  * files, so untouched commits cost nothing — the same
+  * manifest-selection economics as [[graft.ops.Versioned]], but
+  * resolved from a layout an EXTERNAL writer owns. Differences from
+  * real Delta are deliberate scope: no metaData/protocol/txn actions,
+  * no checkpoints parquet, no partition-values map — the add/remove
+  * live-set core is what the read path needs.
+  */
+object ExternalLog {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(path: String) = new Path(path, "_log")
+
+  private def logName(v: Long) = f"$v%020d.json"
+
+  /** Committed versions, ascending (from log file names alone). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = logDir(path)
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+  }
+
+  private val actionSchema = StructType(Seq(
+    StructField("add", StructType(Seq(StructField("path", StringType)))),
+    StructField("remove", StructType(Seq(StructField("path", StringType))))))
+
+  /** The live file set at `version` (default: latest). */
+  def liveFiles(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no external log at $path")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+    val selected = vs.filter(_ <= v)
+      .map(x => new Path(logDir(path), logName(x)).toString)
+    // the log is tiny (O(commits) lines): one distributed JSON read
+    // with a PINNED schema (no sampling pass), collected to resolve
+    // the live set — the only driver-side state is the file list
+    val actions = spark.read.schema(actionSchema).json(selected: _*)
+      .select(input_file_name().as("f"), col("add.path").as("a"),
+        col("remove.path").as("r"))
+      .collect()
+      .sortBy(r => r.getString(0)) // filename order = version order
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    actions.foreach { r =>
+      Option(r.getString(1)).foreach(live += _)
+      Option(r.getString(2)).foreach(live -= _)
+    }
+    live.toSeq
+  }
+
+  /** Read a snapshot (default: latest) — exactly the live files. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val files = liveFiles(spark, path, version)
+    require(files.nonEmpty, s"snapshot at $path is empty")
+    spark.read.parquet(files.map(f => new Path(path, f).toString): _*)
+  }
+
+  /** Append a commit (exclusive-create on the log file — a racing
+    * duplicate version fails loudly rather than silently replacing,
+    * the [[graft.ops.Versioned]] lock discipline). Fixture/test writer
+    * — a real external table is written by its owning engine. */
+  def commit(spark: SparkSession, path: String, version: Long,
+      adds: Seq[String], removes: Seq[String] = Seq.empty): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(logDir(path))
+    val target = new Path(logDir(path), logName(version))
+    val out = f.create(target, false)
+    try {
+      val lines =
+        adds.map(p => s"""{"add":{"path":"$p"}}""") ++
+          removes.map(p => s"""{"remove":{"path":"$p"}}""")
+      out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    } finally out.close()
+  }
+}

@@ -94,13 +94,56 @@ object Wave16Queries {
         sum((col("planted") && col("heur_junk")).cast("long")).as("heur_tp"),
         sum((!col("planted") && col("heur_junk")).cast("long")).as("heur_fp"))
 
+  // ---- external-table snapshot read ----
+
+  /** Delta-style external log resolved through [[graft.io.ExternalLog]]:
+    * a three-commit table is laid down (v0 adds the even docs; v1 adds
+    * the odd docs and REMOVES the even file; v2 re-adds the evens with
+    * shifted ids), then every version is read back through the
+    * snapshot API. Per version: row count, order-independent XOR over
+    * doc_ids, exact n_chars sum — so a snapshot that leaks a removed
+    * file or misses an added one breaks the hash. The oracle replays
+    * the live-set algebra directly from `documents`. */
+  def qExternalSnapshot(s: SparkSession, d: String): DataFrame = {
+    import graft.io.ExternalLog
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString
+    try {
+      val dd = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      dd.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/data-0")
+      dd.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/data-1")
+      dd.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .write.parquet(s"$dir/data-2")
+      ExternalLog.commit(s, dir, 0L, adds = Seq("data-0"))
+      ExternalLog.commit(s, dir, 1L, adds = Seq("data-1"),
+        removes = Seq("data-0"))
+      ExternalLog.commit(s, dir, 2L, adds = Seq("data-2"))
+      val out = (0L to 2L).map { v =>
+        ExternalLog.read(s, dir, Some(v))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("bit_xor(doc_id)").as("id_xor"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("id_xor"),
+            col("sum_chars"))
+      }.reduce(_ unionByName _).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      import s.implicits._
+      out.toDF("version", "n_docs", "id_xor", "sum_chars")
+        .orderBy("version")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id2"           -> qLangId2,          // hashed-n-gram NB language ID
     "q_lang_id2_eval"      -> qLangId2Eval,      // held-out eval vs heuristic
     "q_quality_model"      -> qQualityModel,     // Gaussian-NB learned quality filter
-    "q_quality_model_eval" -> qQualityModelEval) // confusion vs heuristic gate
+    "q_quality_model_eval" -> qQualityModelEval, // confusion vs heuristic gate
+    "q_external_snapshot"  -> qExternalSnapshot) // Delta-style log snapshot read
 
   val oracles: Map[String, String] = Map(
     "q_lang_id2" ->
@@ -166,5 +209,21 @@ object Wave16Queries {
          |    AS BIGINT) AS heur_tp,
          |  CAST(sum(CASE WHEN NOT planted AND heur_junk THEN 1 ELSE 0 END)
          |    AS BIGINT) AS heur_fp
-         |FROM f""".stripMargin)
+         |FROM f""".stripMargin,
+    "q_external_snapshot" ->
+      """WITH snap AS (
+        |  SELECT 0 AS version, doc_id, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 1, doc_id, n_chars FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 2, doc_id, n_chars FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 2, doc_id + 1000000, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  count(*) AS n_docs,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM snap GROUP BY version ORDER BY version""".stripMargin)
 }

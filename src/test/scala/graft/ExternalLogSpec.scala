@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.ExternalLog
+
+/** Delta-style external log read path ([[ExternalLog]]).
+  *
+  * Pins the live-set algebra (add/remove per version), snapshot
+  * isolation (an old version is unaffected by later commits), the
+  * loud-failure contracts (unknown version, duplicate commit), and
+  * that resolving a snapshot opens ONLY the live files.
+  */
+class ExternalLogSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_extspec").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/d0")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir/d1")
+    Seq((10L, "x")).toDF("id", "v").write.parquet(s"$dir/d2")
+    dir
+  }
+
+  test("live-set algebra: remove drops a file, later versions stack") {
+    val dir = freshTable()
+    ExternalLog.commit(spark, dir, 0L, adds = Seq("d0"))
+    ExternalLog.commit(spark, dir, 1L, adds = Seq("d1"), removes = Seq("d0"))
+    ExternalLog.commit(spark, dir, 2L, adds = Seq("d2"))
+    assert(ExternalLog.liveFiles(spark, dir, Some(0L)) == Seq("d0"))
+    assert(ExternalLog.liveFiles(spark, dir, Some(1L)) == Seq("d1"))
+    assert(ExternalLog.liveFiles(spark, dir, Some(2L)).toSet == Set("d1", "d2"))
+    val latest = ExternalLog.read(spark, dir)
+      .orderBy("id").select("id").as[Long].collect()
+    assert(latest.sameElements(Array(3L, 10L)))
+  }
+
+  test("snapshot isolation: v0 read is identical before and after later commits") {
+    val dir = freshTable()
+    ExternalLog.commit(spark, dir, 0L, adds = Seq("d0"))
+    val before = ExternalLog.read(spark, dir, Some(0L))
+      .orderBy("id").collect().toSeq
+    ExternalLog.commit(spark, dir, 1L, adds = Seq("d1"), removes = Seq("d0"))
+    val after = ExternalLog.read(spark, dir, Some(0L))
+      .orderBy("id").collect().toSeq
+    assert(before == after && before.map(_.getLong(0)) == Seq(1L, 2L))
+  }
+
+  test("unknown version and duplicate commit fail loudly") {
+    val dir = freshTable()
+    ExternalLog.commit(spark, dir, 0L, adds = Seq("d0"))
+    intercept[IllegalArgumentException] {
+      ExternalLog.read(spark, dir, Some(7L))
+    }
+    intercept[Exception] { // exclusive create: version 0 already exists
+      ExternalLog.commit(spark, dir, 0L, adds = Seq("d1"))
+    }
+    // the failed duplicate must not have corrupted version 0
+    assert(ExternalLog.liveFiles(spark, dir, Some(0L)) == Seq("d0"))
+  }
+
+  test("snapshot scan opens only the live files") {
+    val dir = freshTable()
+    ExternalLog.commit(spark, dir, 0L, adds = Seq("d0", "d1"))
+    ExternalLog.commit(spark, dir, 1L, removes = Seq("d0"), adds = Seq())
+    val df = ExternalLog.read(spark, dir)
+    val scanned = df.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(scanned.forall(_.contains("/d1/")), scanned.mkString(","))
+  }
+}
