@@ -21,7 +21,7 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
   private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
-  private val jacThreshold = 0.8
+  private[queries] val jacThreshold = 0.8
   private val dim = 64
 
   // ---- text analysis ----
@@ -637,18 +637,25 @@ object PipelineQueries {
     * themselves via the LEFT JOIN coalesce). All outputs are integer
     * counts, so there is no float-tie hazard in the aggregation. */
   /** Shared CTE chain ending in `flags` — the funnel (counts) and the
-    * keepers (membership) oracles differ only in the final SELECT. */
-  private val FLAGS_CTES =
+    * keepers (membership) oracles differ only in the final SELECT. The
+    * lang gate is parameterized so the model-gated funnel
+    * (`q_curation_model`, wave 16) swaps in the NB prediction while
+    * every other stage stays literally identical. */
+  private[queries] def flagsCtes(
+      langKeepSql: String = s"(${TextStats.predictedSql("text")}) = 'en'",
+      extraJoin: String = ""): String =
     s"""$CLOSURE_CTES,
        |t AS (SELECT doc_id, source, text, $T AS toks FROM documents),
        |flags AS (
        |  SELECT t.doc_id, t.source,
-       |    (${TextStats.predictedSql("text")}) = 'en' AS lang_keep,
+       |    $langKeepSql AS lang_keep,
        |    round(${QUALITY("text", "toks")}, 6) >= 0.5 AS quality_keep,
        |    t.doc_id = min(t.doc_id) OVER (
        |      PARTITION BY ${TextStats.FINGERPRINT("text")}) AS exact_keep,
        |    coalesce(t.doc_id = l.cluster_id, TRUE) AS nd_keep
-       |  FROM t LEFT JOIN lab l ON l.doc_id = t.doc_id)""".stripMargin
+       |  FROM t LEFT JOIN lab l ON l.doc_id = t.doc_id $extraJoin)""".stripMargin
+
+  private val FLAGS_CTES = flagsCtes()
 
   private val KEEPERS_SQL =
     s"""WITH RECURSIVE $FLAGS_CTES

@@ -94,6 +94,47 @@ object Wave16Queries {
         sum((col("planted") && col("heur_junk")).cast("long")).as("heur_tp"),
         sum((!col("planted") && col("heur_junk")).cast("long")).as("heur_fp"))
 
+  /** Decision-threshold sweep over the quality model's log-odds — the
+    * operating-curve view a pipeline owner tunes the junk gate with
+    * (how many good docs does each extra point of recall cost?). One
+    * row per threshold with the full confusion; every count integer.
+    * The planted-junk margins are wide (junk min z ≈ +6, good max
+    * z ≈ −1700 at sf0.01), which the sweep makes visible: the
+    * confusion is flat across decades of threshold. */
+  private val rocThresholds = Seq(-1000.0, -100.0, -10.0, 0.0, 10.0,
+    100.0, 1000.0)
+
+  def qQualityRoc(s: SparkSession, d: String): DataFrame =
+    QualityModel.scored(docs(s, d))
+      .withColumn("thr", explode(array(rocThresholds.map(lit): _*)))
+      .groupBy("thr")
+      .agg(sum((col("planted") && col("z") > col("thr")).cast("long"))
+          .as("tp"),
+        sum((!col("planted") && col("z") > col("thr")).cast("long"))
+          .as("fp"),
+        sum((col("planted") && !(col("z") > col("thr"))).cast("long"))
+          .as("fn"),
+        sum((!col("planted") && !(col("z") > col("thr"))).cast("long"))
+          .as("tn"))
+      .orderBy("thr")
+
+  // ---- model-gated curation funnel ----
+
+  /** The curation funnel with the lang gate SWITCHED to the NB model
+    * (the "behind a flag" wiring the r7 verdict asked for): every
+    * other stage — quality, exact keeper, near-dup closure — runs
+    * unchanged on the original text; only `lang_keep` comes from
+    * [[LangId.predictions]] over the augmented corpus. The oracle
+    * composes the NB CTE chain with the existing funnel CTEs, lang
+    * gate swapped, everything else literally the same SQL. */
+  def qCurationModel(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val pred = LangId.predictions(LangId.augmented(dd))
+      .select(col("doc_id"), (col("lang_model") === "en").as("lang_keep"))
+    graft.text.Curation.funnel(dd, PipelineQueries.jacThreshold, Some(pred))
+      .orderBy("source")
+  }
+
   // ---- external-table snapshot read ----
 
   /** Delta-style external log resolved through [[graft.io.ExternalLog]]:
@@ -143,7 +184,9 @@ object Wave16Queries {
     "q_lang_id2_eval"      -> qLangId2Eval,      // held-out eval vs heuristic
     "q_quality_model"      -> qQualityModel,     // Gaussian-NB learned quality filter
     "q_quality_model_eval" -> qQualityModelEval, // confusion vs heuristic gate
-    "q_external_snapshot"  -> qExternalSnapshot) // Delta-style log snapshot read
+    "q_external_snapshot"  -> qExternalSnapshot, // Delta-style log snapshot read
+    "q_curation_model"     -> qCurationModel,    // funnel with NB lang gate
+    "q_quality_roc"        -> qQualityRoc)       // threshold sweep / confusion
 
   val oracles: Map[String, String] = Map(
     "q_lang_id2" ->
@@ -225,5 +268,47 @@ object Wave16Queries {
         |  count(*) AS n_docs,
         |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM snap GROUP BY version ORDER BY version""".stripMargin)
+        |FROM snap GROUP BY version ORDER BY version""".stripMargin,
+    "q_quality_roc" ->
+      s"""WITH ${QualityModel.PLANT_CTE},
+         |${QualityModel.X_CTE},
+         |${QualityModel.ST_CTE},
+         |scored AS (
+         |  SELECT x.doc_id, x.planted, ${QualityModel.Z_SQL} AS z
+         |  FROM x CROSS JOIN st),
+         |sweep AS (
+         |  SELECT s.planted, s.z, t.thr
+         |  FROM scored s,
+         |    unnest([${rocThresholds.map(t => s"CAST($t AS DOUBLE)")
+                 .mkString(", ")}]) AS t(thr))
+         |SELECT thr,
+         |  CAST(sum(CASE WHEN planted AND z > thr THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN NOT planted AND z > thr THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN planted AND NOT (z > thr) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN NOT planted AND NOT (z > thr) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn
+         |FROM sweep GROUP BY thr ORDER BY thr""".stripMargin,
+    "q_curation_model" ->
+      s"""WITH RECURSIVE ${LangId.AUG_CTE},
+         |${LangId.NB_CTES},
+         |${PipelineQueries.flagsCtes(
+               langKeepSql = "(p.lang_model = 'en')",
+               extraJoin = "JOIN pred p ON p.doc_id = t.doc_id")}
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN lang_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lang,
+         |  CAST(sum(CASE WHEN quality_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality,
+         |  CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  CAST(sum(CASE WHEN nd_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_neardup,
+         |  CAST(sum(CASE WHEN lang_keep AND quality_keep AND exact_keep
+         |                     AND nd_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep
+         |FROM flags GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -32,7 +32,8 @@ object Curation {
     * raw-double gating is a cross-engine hazard (corpus values sit
     * within one ulp of 0.5, measured), while the rounded values are
     * proven bit-identical by q_text_stats' hash. */
-  def flags(docs: DataFrame, jacThreshold: Double): DataFrame = {
+  def flags(docs: DataFrame, jacThreshold: Double,
+      langKeep: Option[DataFrame] = None): DataFrame = {
     val exactKeepers = docs
       .groupBy(TextStats.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper"))
@@ -42,10 +43,20 @@ object Curation {
       .select(col("doc_id"), (col("doc_id") === col("keeper")).as("exact_keep"))
     val nd = Dedup.nearDupClusters(docs, jacThreshold)
       .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("nd_keep"))
-    docs.select(col("doc_id"), col("source"),
+    // lang gate behind a flag: default is the stopword heuristic; a
+    // caller can swap in a model's (doc_id, lang_keep) frame — the
+    // wave-16 NB classifier — without touching any other stage
+    val withLang = langKeep match {
+      case None => docs.select(col("doc_id"), col("source"),
         (TextStats.predictedLang(col("text")) === lit("en")).as("lang_keep"),
         (round(TextStats.qualityScore(col("text")), 6) >= lit(0.5))
           .as("quality_keep"))
+      case Some(lk) => docs.select(col("doc_id"), col("source"),
+          (round(TextStats.qualityScore(col("text")), 6) >= lit(0.5))
+            .as("quality_keep"))
+        .join(lk.select("doc_id", "lang_keep"), "doc_id")
+    }
+    withLang
       .join(exact, "doc_id")
       .join(nd, Seq("doc_id"), "left")
       .na.fill(true, Seq("nd_keep"))
@@ -53,8 +64,9 @@ object Curation {
 
   /** Per-source stage counts — every count an integer, so there is no
     * float-tie hazard in the aggregation. */
-  def funnel(docs: DataFrame, jacThreshold: Double): DataFrame =
-    flags(docs, jacThreshold)
+  def funnel(docs: DataFrame, jacThreshold: Double,
+      langKeep: Option[DataFrame] = None): DataFrame =
+    flags(docs, jacThreshold, langKeep)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("lang_keep").cast("long")).as("n_lang"),

@@ -59,7 +59,16 @@ class PlanAuditSpec extends SparkSuite {
     // BM25's 1-row corpus-stats cross AND the brute-force cosine side's
     // intended 3-row-broadcast non-equi probe (the q_ann_brute shape;
     // the scale path swaps in the PQ/IVF retriever, same fusion).
-    "q_hybrid_search")
+    "q_hybrid_search",
+    // wave 16: LangId crosses the 1-row train-doc-total frame (the NB
+    // prior denominator) into the 5-row lang-stats frame — a 1-row
+    // broadcast feeding model CONSTRUCTION, never a data-sized product
+    // (the per-doc scoring join is a broadcast EQUI-join on bucket).
+    // QualityModel crosses its 1-row class-statistics frame into the
+    // scoring projection — the scalar-stats single-row broadcast shape.
+    // q_curation_model inherits the LangId cross via its lang gate.
+    "q_lang_id2", "q_lang_id2_eval", "q_curation_model",
+    "q_quality_model", "q_quality_model_eval", "q_quality_roc")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
