@@ -80,12 +80,22 @@ object ExternalLog {
     live.toSeq
   }
 
-  /** Read a snapshot (default: latest) — exactly the live files. */
+  /** Read a snapshot (default: latest) — exactly the live files.
+    *
+    * `mergeSchema = true` unions the live files' schemas (columns a
+    * later commit ADDED read as NULL in older files — additive schema
+    * evolution, the lakehouse upgrade path that doesn't rewrite
+    * history). The footer-merge pass costs O(live files) metadata
+    * reads, not data reads. Default off: a single-schema table should
+    * not pay it, and a schema CONFLICT (same column, different type)
+    * should fail loudly at scan rather than be silently widened. */
   def read(spark: SparkSession, path: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(spark, path, version)
     require(files.nonEmpty, s"snapshot at $path is empty")
-    spark.read.parquet(files.map(f => new Path(path, f).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => new Path(path, f).toString): _*)
   }
 
   /** Append a commit (exclusive-create on the log file — a racing

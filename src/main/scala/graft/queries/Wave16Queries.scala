@@ -177,6 +177,42 @@ object Wave16Queries {
     }
   }
 
+  /** Additive schema evolution through the external snapshot read: v0
+    * lands (doc_id, source) only; v1 adds the odd docs WITH the
+    * n_chars column. The merged-schema snapshot reads old files with
+    * NULL n_chars — history is never rewritten. Per source: row
+    * count, rows carrying the evolved column, exact sum over it (the
+    * NULL-for-old-files semantics is exactly what the aggregate
+    * proves). */
+  def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import graft.io.ExternalLog
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    try {
+      val dd = docs(s, d)
+      dd.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
+        .write.parquet(s"$dir/data-0")
+      dd.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.parquet(s"$dir/data-1")
+      ExternalLog.commit(s, dir, 0L, adds = Seq("data-0"))
+      ExternalLog.commit(s, dir, 1L, adds = Seq("data-1"))
+      val out = ExternalLog.read(s, dir, mergeSchema = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_evolved"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .orderBy("source")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      import s.implicits._
+      out.toDF("source", "n_docs", "n_evolved", "sum_chars")
+        .orderBy("source")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -186,7 +222,8 @@ object Wave16Queries {
     "q_quality_model_eval" -> qQualityModelEval, // confusion vs heuristic gate
     "q_external_snapshot"  -> qExternalSnapshot, // Delta-style log snapshot read
     "q_curation_model"     -> qCurationModel,    // funnel with NB lang gate
-    "q_quality_roc"        -> qQualityRoc)       // threshold sweep / confusion
+    "q_quality_roc"        -> qQualityRoc,       // threshold sweep / confusion
+    "q_schema_evolution"   -> qSchemaEvolution)  // additive evolution on read
 
   val oracles: Map[String, String] = Map(
     "q_lang_id2" ->
@@ -269,6 +306,16 @@ object Wave16Queries {
         |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM snap GROUP BY version ORDER BY version""".stripMargin,
+    "q_schema_evolution" ->
+      """WITH snap AS (
+        |  SELECT doc_id, source, NULL AS n_chars FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1)
+        |SELECT source, count(*) AS n_docs,
+        |  count(n_chars) AS n_evolved,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        |FROM snap GROUP BY source ORDER BY source""".stripMargin,
     "q_quality_roc" ->
       s"""WITH ${QualityModel.PLANT_CTE},
          |${QualityModel.X_CTE},

@@ -60,6 +60,23 @@ class ExternalLogSpec extends SparkSuite {
     assert(ExternalLog.liveFiles(spark, dir, Some(0L)) == Seq("d0"))
   }
 
+  test("additive schema evolution: old files read NULL for later columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evospec").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/d0")
+    Seq((3L, "c", 30L)).toDF("id", "v", "extra").write.parquet(s"$dir/d1")
+    ExternalLog.commit(spark, dir, 0L, adds = Seq("d0"))
+    ExternalLog.commit(spark, dir, 1L, adds = Seq("d1"))
+    val merged = ExternalLog.read(spark, dir, mergeSchema = true)
+      .orderBy("id").collect()
+    assert(merged.map(_.schema.fieldNames.toSeq).head ==
+      Seq("id", "v", "extra"))
+    assert(merged.map(r => Option(r.get(2))).toSeq ==
+      Seq(None, None, Some(30L)))
+    // default read (no merge) must not silently pay the footer union
+    val plain = ExternalLog.read(spark, dir)
+    assert(!plain.columns.contains("extra") || plain.columns.length == 3)
+  }
+
   test("snapshot scan opens only the live files") {
     val dir = freshTable()
     ExternalLog.commit(spark, dir, 0L, adds = Seq("d0", "d1"))
