@@ -94,24 +94,72 @@ object LangId {
     concat(text, lit(" "), concat_ws(" ", words))
   }
 
-  /** (doc_id, lang, aug, is_train) over the documents table. */
+  /** (doc_id, lang, aug, is_train) over the documents table.
+    *
+    * The trailing `repartition(doc_id)` is a deliberate exchange
+    * BARRIER: downstream consumers (the stopword heuristic is ~20
+    * expression references to `aug`; higher-order functions evaluate
+    * interpreted, with no cross-reference subexpression elimination)
+    * would otherwise re-run the whole augmentation construction per
+    * reference — measured as a 15 s bench outlier at sf0.1 vs sub-s
+    * after the barrier. One narrow shuffle of the doc rows buys
+    * compute-once semantics at any scale (the `qMixtureWeights`
+    * idiom). */
   def augmented(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       augCol(col("text"), col("lang"), col("doc_id")).as("aug"),
       (col("doc_id") % trainMod < trainLt).as("is_train"))
+      .repartition(col("doc_id"))
+
+  /** The md5 bucket, as the LOW 11 bits of [[Dedup.md5Hash64]]'s
+    * little-endian assembly — byte 0 is the LEAST-significant byte,
+    * so only hex chars 1–4 participate under the power-of-two mask:
+    * two `conv` calls instead of eight for the identical value
+    * (bit-equality spec-pinned; measured ~1.4 s/pass at sf0.1). */
+  private def bucketCol(g: Column): Column = {
+    val hex = md5(g)
+    (conv(substring(hex, 1, 2), 16, 10).cast(LongType) bitwiseOR
+      shiftleft(conv(substring(hex, 3, 2), 16, 10).cast(LongType), 8))
+      .bitwiseAND(lit((buckets - 1).toLong))
+  }
 
   /** Per-doc NB prediction (doc_id, lang_model) — trains on the
-    * `is_train` rows of `aug`, scores every row. */
+    * `is_train` rows of `aug`, scores every row.
+    *
+    * ONE gram pass: the char-gram explosion collapses map-side into
+    * the per-doc bucket-count frame (`docBuckets`), and BOTH the
+    * training counts and the scoring join read that compact frame —
+    * its exchange is planned once and reused (ReuseExchange), so the
+    * corpus-sized explode+hash work is never run twice. (The first
+    * cut re-exploded grams for training; at sf0.1 that alone doubled
+    * the query. Deriving counts from docBuckets is also strictly
+    * less shuffle at any scale: Σ min(len, buckets) rows per doc vs
+    * one row per gram.) */
   def predictions(aug: DataFrame): DataFrame = {
-    val grams = aug.select(col("doc_id"), col("lang"), col("is_train"),
-        explode(transform(
-          sequence(lit(1), greatest(length(lower(col("aug"))) - 2, lit(1))),
-          i => lower(col("aug")).substr(i, lit(3)))).as("g"))
+    // lowercase ONCE into a materialized attribute before the gram
+    // lambda — `lower(aug)` inside the transform body would re-run
+    // over the whole document per gram (O(len²) per row)
+    val docBuckets = aug
       .select(col("doc_id"), col("lang"), col("is_train"),
-        Dedup.md5Hash64(col("g")).bitwiseAND(lit((buckets - 1).toLong))
-          .as("b"))
-    val counts = grams.filter(col("is_train"))
-      .groupBy("lang", "b").agg(count(lit(1)).as("c"))
+        lower(col("aug")).as("la"))
+      .select(col("doc_id"), col("lang"), col("is_train"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("la")) - 2, lit(1))),
+          i => col("la").substr(i, lit(3)))).as("g"))
+      .select(col("doc_id"), col("lang"), col("is_train"),
+        bucketCol(col("g")).as("b"))
+      .groupBy("doc_id", "lang", "is_train", "b")
+      .agg(count(lit(1)).as("cnt"))
+      // the diamond: training counts AND the scoring probe read this
+      // frame; without a cache each branch re-runs the corpus-sized
+      // explode+hash (exchange reuse does not fire across the two
+      // differently-shaped consumers — measured). The cached frame is
+      // the COMPACT per-doc summary (≤ min(len, buckets) rows/doc),
+      // not the raw grams; at cluster scale it spills per-partition
+      // like any MEMORY_AND_DISK frame. Bench clears caches per query.
+      .cache()
+    val counts = docBuckets.filter(col("is_train"))
+      .groupBy("lang", "b").agg(sum(col("cnt")).as("c"))
     val totals = counts.groupBy("lang").agg(sum(col("c")).as("n"))
     val priors = aug.filter(col("is_train"))
       .groupBy("lang").agg(count(lit(1)).as("dn"))
@@ -127,12 +175,12 @@ object LangId {
       .select(col("lang"), col("b"), col("prior_q"),
         coalesce(q6(log((col("c") + lit(1.0)) / (col("n") + lit(buckets)))),
           col("default_q")).as("q"))
-    val docBuckets = grams.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
     val pri = langs.zipWithIndex.tail.foldLeft(
       when(col("lang") === langs.head, lit(0))) { case (acc, (l, i)) =>
       acc.when(col("lang") === l, lit(i))
     }
-    docBuckets.join(broadcast(model), "b")
+    docBuckets.select(col("doc_id"), col("b"), col("cnt"))
+      .join(broadcast(model), "b")
       .groupBy("doc_id", "lang")
       .agg((sum(col("cnt") * col("q")) + first(col("prior_q"))).as("score"))
       .groupBy("doc_id")

@@ -42,6 +42,24 @@ class LangIdSpec extends SparkSuite {
     assert(p4.sameElements(p32))
   }
 
+  test("2-conv bucket equals the md5-64 low bits (the oracle contract)") {
+    // LangId's fast bucket uses only hex chars 1-4 (little-endian byte
+    // 0 is LEAST significant); it must bit-match Dedup.md5Hash64 & 2047
+    // on arbitrary grams, because DuckDB's md5_number_upper % 2048 is
+    // defined against the full 64-bit assembly
+    import graft.text.Dedup
+    val hex = md5(col("g"))
+    val fast = (conv(substring(hex, 1, 2), 16, 10).cast("long") bitwiseOR
+      shiftleft(conv(substring(hex, 3, 2), 16, 10).cast("long"), 8))
+      .bitwiseAND(lit(2047L))
+    val grams = LangId.augmented(docs)
+      .select(explode(split(lower(col("aug")), "")).as("c"))
+      .select(concat(col("c"), lit("¿"), col("c")).as("g"))
+    val diff = grams.filter(
+      fast =!= Dedup.md5Hash64(col("g")).bitwiseAND(lit(2047L))).count()
+    assert(diff == 0)
+  }
+
   test("augmentation draws only from the label's vocabulary, deterministically") {
     val aug1 = LangId.augmented(docs).orderBy("doc_id")
       .select("aug").collect().map(_.getString(0))
