@@ -39,7 +39,8 @@ object SparkEntry {
     graft.queries.Wave12Queries.queries ++
     graft.queries.Wave13Queries.queries ++
     graft.queries.Wave15Queries.queries ++
-    graft.queries.Wave16Queries.queries
+    graft.queries.Wave16Queries.queries ++
+    graft.queries.Wave17Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +66,6 @@ object SparkEntry {
     graft.queries.Wave12Queries.oracles ++
     graft.queries.Wave13Queries.oracles ++
     graft.queries.Wave15Queries.oracles ++
-    graft.queries.Wave16Queries.oracles
+    graft.queries.Wave16Queries.oracles ++
+    graft.queries.Wave17Queries.oracles
 }

@@ -68,7 +68,15 @@ class PlanAuditSpec extends SparkSuite {
     // scoring projection — the scalar-stats single-row broadcast shape.
     // q_curation_model inherits the LangId cross via its lang gate.
     "q_lang_id2", "q_lang_id2_eval", "q_curation_model",
-    "q_quality_model", "q_quality_model_eval", "q_quality_roc")
+    "q_quality_model", "q_quality_model_eval", "q_quality_roc",
+    // wave 17: q_triangles crosses the 1-row corpus-count frame (the
+    // link modulus, the q_link_graph shape) and assembles its single
+    // output row from three 1-row audit frames; the wedge/closure
+    // joins themselves are vertex-id equi-joins. q_dsir_weights
+    // crosses its two 1-row token-total frames into the 2048-row
+    // ratio lattice (the LangId prior-denominator shape); scoring is
+    // a broadcast equi-join on bucket.
+    "q_triangles", "q_dsir_weights")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
