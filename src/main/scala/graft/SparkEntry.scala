@@ -40,7 +40,8 @@ object SparkEntry {
     graft.queries.Wave13Queries.queries ++
     graft.queries.Wave15Queries.queries ++
     graft.queries.Wave16Queries.queries ++
-    graft.queries.Wave17Queries.queries
+    graft.queries.Wave17Queries.queries ++
+    graft.queries.Wave18Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
     graft.queries.Wave13Queries.oracles ++
     graft.queries.Wave15Queries.oracles ++
     graft.queries.Wave16Queries.oracles ++
-    graft.queries.Wave17Queries.oracles
+    graft.queries.Wave17Queries.oracles ++
+    graft.queries.Wave18Queries.oracles
 }

@@ -76,7 +76,11 @@ class PlanAuditSpec extends SparkSuite {
     // crosses its two 1-row token-total frames into the 2048-row
     // ratio lattice (the LangId prior-denominator shape); scoring is
     // a broadcast equi-join on bucket.
-    "q_triangles", "q_dsir_weights")
+    "q_triangles", "q_dsir_weights",
+    // wave 18: q_label_prop builds on the same linkEdges 1-row
+    // corpus-count cross as q_triangles; propagation itself is all
+    // vertex-keyed equi-joins.
+    "q_label_prop")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
