@@ -80,7 +80,13 @@ class PlanAuditSpec extends SparkSuite {
     // wave 18: q_label_prop builds on the same linkEdges 1-row
     // corpus-count cross as q_triangles; propagation itself is all
     // vertex-keyed equi-joins.
-    "q_label_prop")
+    "q_label_prop",
+    // wave 19: q_bfs_depth inherits the linkEdges 1-row cross and
+    // assembles its unreached row from two 1-row count frames;
+    // q_textrank_keywords crosses the 1-row node-count frame into the
+    // 100-row rank vector each damped iteration (the q_domain_rank
+    // shape exactly).
+    "q_bfs_depth", "q_textrank_keywords")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
