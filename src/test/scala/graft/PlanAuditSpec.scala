@@ -86,7 +86,11 @@ class PlanAuditSpec extends SparkSuite {
     // q_textrank_keywords crosses the 1-row node-count frame into the
     // 100-row rank vector each damped iteration (the q_domain_rank
     // shape exactly).
-    "q_bfs_depth", "q_textrank_keywords")
+    "q_bfs_depth", "q_textrank_keywords",
+    // wave 20: q_chi_square crosses the 1-row grand-total frame into
+    // the 35-cell contingency table — the scalar-stats single-row
+    // broadcast shape.
+    "q_chi_square")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
