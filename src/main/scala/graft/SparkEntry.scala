@@ -43,7 +43,8 @@ object SparkEntry {
     graft.queries.Wave17Queries.queries ++
     graft.queries.Wave18Queries.queries ++
     graft.queries.Wave19Queries.queries ++
-    graft.queries.Wave20Queries.queries
+    graft.queries.Wave20Queries.queries ++
+    graft.queries.Wave21Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,5 +74,6 @@ object SparkEntry {
     graft.queries.Wave17Queries.oracles ++
     graft.queries.Wave18Queries.oracles ++
     graft.queries.Wave19Queries.oracles ++
-    graft.queries.Wave20Queries.oracles
+    graft.queries.Wave20Queries.oracles ++
+    graft.queries.Wave21Queries.oracles
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** Input row for the top-k processor: one event's (type, user). */
+case class TopKIn(event_type: String, user_id: Long)
+
+/** One emitted leaderboard row; `emit_seq` counts the micro-batches
+  * this key has seen, so the FINAL leaderboard per key is the rows
+  * with the key's maximum emit_seq. */
+case class TopKOut(event_type: String, emit_seq: Long, rank: Int,
+    user_id: Long, cnt: Long)
+
+/** Streaming per-key top-k via Spark 4's `transformWithState` — the
+  * arbitrary-state successor of `mapGroupsWithState` (typed state
+  * primitives on the RocksDB store instead of one opaque blob). Keyed
+  * by event_type; a `MapState[user, count]` accumulates across
+  * micro-batches (point lookups and single-entry writes against
+  * RocksDB — the map never round-trips wholesale, which is what makes
+  * per-key state wider than heap viable), and each batch emits the
+  * current top-`k` users by (count desc, user asc).
+  *
+  * Determinism: counts are additive integers, the ordering tie-break
+  * is total, and emit_seq only selects the final emission — so the
+  * end state is independent of how the replay slices batches (the
+  * spec reruns with a different maxFilesPerTrigger and the query's
+  * oracle recomputes the leaderboard from the batch table).
+  */
+class StatefulTopK(k: Int) extends StatefulProcessor[String, TopKIn, TopKOut] {
+
+  @transient private var counts: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+  @transient private var seq: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[Long, Long]("counts",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    seq = getHandle.getValueState[Long]("seq",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[TopKIn],
+      timers: TimerValues): Iterator[TopKOut] = {
+    rows.foreach { r =>
+      val c = if (counts.containsKey(r.user_id)) counts.getValue(r.user_id)
+        else 0L
+      counts.updateValue(r.user_id, c + 1L)
+    }
+    val s = (if (seq.exists()) seq.get() else 0L) + 1L
+    seq.update(s)
+    val top = counts.iterator().toSeq
+      .sortBy { case (user, cnt) => (-cnt, user) }
+      .take(k)
+    top.iterator.zipWithIndex.map { case ((user, cnt), i) =>
+      TopKOut(key, s, i + 1, user, cnt)
+    }
+  }
+}

@@ -90,7 +90,10 @@ class PlanAuditSpec extends SparkSuite {
     // wave 20: q_chi_square crosses the 1-row grand-total frame into
     // the 35-cell contingency table — the scalar-stats single-row
     // broadcast shape.
-    "q_chi_square")
+    "q_chi_square",
+    // wave 21: q_benford crosses the 1-row order-count frame into the
+    // 9-digit cell table — the scalar-stats single-row broadcast shape.
+    "q_benford")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
