@@ -45,7 +45,8 @@ object SparkEntry {
     graft.queries.Wave19Queries.queries ++
     graft.queries.Wave20Queries.queries ++
     graft.queries.Wave21Queries.queries ++
-    graft.queries.Wave22Queries.queries
+    graft.queries.Wave22Queries.queries ++
+    graft.queries.Wave23Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,5 +78,6 @@ object SparkEntry {
     graft.queries.Wave19Queries.oracles ++
     graft.queries.Wave20Queries.oracles ++
     graft.queries.Wave21Queries.oracles ++
-    graft.queries.Wave22Queries.oracles
+    graft.queries.Wave22Queries.oracles ++
+    graft.queries.Wave23Queries.oracles
 }
