@@ -119,9 +119,19 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
       DataFrame]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // evict entries for STOPPED sessions on every access (a weak key
+    // can't work here — the cached DataFrame strongly references its
+    // session), so a multi-session runner never pins dead sessions'
+    // plans and file indexes; the live set is ≤ sessions × dirs ×
+    // tables, i.e. dozens of entries
+    val it = relationCache.keySet.iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
     relationCache.computeIfAbsent((spark, sfDir, name),
       _ => loadUncached(spark, sfDir, name))
+  }
 
   private def loadUncached(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {

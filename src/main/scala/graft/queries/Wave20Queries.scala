@@ -89,10 +89,19 @@ object Wave20Queries {
   def qChiSquare(s: SparkSession, d: String): DataFrame = {
     // integer ISO weekday (0 = Monday) rendered as a string — immune
     // to JVM/DuckDB locale differences in day names
-    val cells = events(s, d)
+    val observed = events(s, d)
       .groupBy(col("event_type"),
         weekday(col("ts")).cast("string").as("weekday"))
       .agg(count(lit(1)).as("observed"))
+    // full margin lattice: a (type, weekday) combination with NO events
+    // must still contribute its (0 − e)²/e term, or the statistic is
+    // silently understated on sparse data (the dof row already assumes
+    // the full grid)
+    val cells = observed.select("event_type").distinct()
+      .crossJoin(observed.select("weekday").distinct())
+      .join(observed, Seq("event_type", "weekday"), "left")
+      .select(col("event_type"), col("weekday"),
+        coalesce(col("observed"), lit(0L)).as("observed"))
     val rows = cells.groupBy("event_type").agg(sum(col("observed")).as("rt"))
     val cols = cells.groupBy("weekday").agg(sum(col("observed")).as("ct"))
     val tot = cells.agg(sum(col("observed")).as("n"))
@@ -133,7 +142,7 @@ object Wave20Queries {
     "q_multi_touch" ->
       s"""WITH cl AS (
          |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus,
-         |    'ch' || CAST(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+         |    'ch' || CAST(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
          |      AS BIGINT) % 4 AS VARCHAR) AS channel
          |  FROM events WHERE event_type = 'click'),
          |pu AS (
@@ -162,10 +171,16 @@ object Wave20Queries {
          |FROM (SELECT * FROM pc UNION ALL SELECT * FROM un)
          |ORDER BY channel""".stripMargin,
     "q_chi_square" ->
-      """WITH cells AS (
+      """WITH obs AS (
         |  SELECT event_type, CAST(isodow(ts) - 1 AS VARCHAR) AS weekday,
         |    count(*) AS observed
         |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT t.event_type, w.weekday, coalesce(o.observed, 0) AS observed
+        |  FROM (SELECT DISTINCT event_type FROM obs) t
+        |  CROSS JOIN (SELECT DISTINCT weekday FROM obs) w
+        |  LEFT JOIN obs o ON o.event_type = t.event_type
+        |    AND o.weekday = w.weekday),
         |r AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS rt
         |      FROM cells GROUP BY 1),
         |c AS (SELECT weekday, CAST(sum(observed) AS BIGINT) AS ct

@@ -248,8 +248,10 @@ object Events {
             cur.foreach { c =>
               state.update(c)
               // evict once the watermark proves no event can extend this
-              // session (timeout is in millis)
-              state.setTimeoutTimestamp(c._2 / 1000L + gapMicros / 1000L)
+              // session (timeout is in millis — CEIL, because a floored
+              // expiry can fire up to 999 µs before last + gap and split
+              // a session the full-microsecond oracle keeps whole)
+              state.setTimeoutTimestamp((c._2 + gapMicros + 999L) / 1000L)
             }
             out.iterator
           }

@@ -40,7 +40,11 @@ class StatefulSessions(gapMicros: Long)
   }
 
   private def rearm(lastUs: Long): Unit = {
-    val expiry = lastUs / 1000L + gapMicros / 1000L
+    // CEIL to millis: a floored expiry can fire up to 999 µs before
+    // last + gap, prematurely closing a session that a
+    // sub-millisecond-late event should still extend (the batch
+    // oracle's island split is full-microsecond)
+    val expiry = (lastUs + gapMicros + 999L) / 1000L
     if (tmr.exists()) {
       if (tmr.get() != expiry) {
         getHandle.deleteTimer(tmr.get())

@@ -16,10 +16,15 @@ case class TopKOut(event_type: String, emit_seq: Long, rank: Int,
   * arbitrary-state successor of `mapGroupsWithState` (typed state
   * primitives on the RocksDB store instead of one opaque blob). Keyed
   * by event_type; a `MapState[user, count]` accumulates across
-  * micro-batches (point lookups and single-entry writes against
-  * RocksDB — the map never round-trips wholesale, which is what makes
-  * per-key state wider than heap viable), and each batch emits the
-  * current top-`k` users by (count desc, user asc).
+  * micro-batches — UPDATES are point lookups and single-entry writes
+  * against RocksDB (the mapGroupsWithState whole-blob round trip per
+  * batch is gone), and each batch emits the current top-`k` users by
+  * (count desc, user asc). The per-batch EMISSION does scan the
+  * key's map (`counts.iterator()`) — O(distinct users of that key);
+  * for an unbounded per-key user space, keep a bounded candidate
+  * structure (e.g. a SpaceSaving sketch) in a ValueState next to the
+  * exact map, or emit only on demand — the update path is the part
+  * that must stay O(batch).
   *
   * Determinism: counts are additive integers, the ordering tie-break
   * is total, and emit_seq only selects the final emission — so the

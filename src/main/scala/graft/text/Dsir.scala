@@ -39,21 +39,12 @@ object Dsir {
   /** Hash-bucket count (power of two → low-bit mask in both engines). */
   val buckets: Int = 2048
 
-  /** log-prob grid (the exact-integer scoring unit, as [[LangId]]). */
-  private def q6(c: Column): Column =
-    floor(c * lit(1e6) + lit(0.5)).cast(LongType)
-
-  private def Q6(e: String): String =
-    s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)"
-
-  /** Low 11 bits of the cross-engine md5-64 (LangId's two-`conv`
-    * little-endian assembly — byte 0 least significant). */
-  private def bucketCol(t: Column): Column = {
-    val hex = md5(t)
-    (conv(substring(hex, 1, 2), 16, 10).cast(LongType) bitwiseOR
-      shiftleft(conv(substring(hex, 3, 2), 16, 10).cast(LongType), 8))
-      .bitwiseAND(lit((buckets - 1).toLong))
-  }
+  // shared exact-arithmetic plumbing — ONE implementation per engine
+  // ([[Quantize]]; drift between models would break the bit-identity
+  // contract)
+  private def q6(c: Column): Column = Quantize.q6(c)
+  private def Q6(e: String): String = Quantize.Q6(e)
+  private def bucketCol(t: Column): Column = Quantize.bucket(t, buckets)
 
   /** Per-doc importance score over an augmented corpus (columns
     * `doc_id`, `lang`, `aug`, `is_train` — [[LangId.augmented]]'s

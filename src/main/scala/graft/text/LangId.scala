@@ -75,12 +75,10 @@ object LangId {
   private val trainMod = 10
   private val trainLt = 7
 
-  /** log-prob → 1e-6 integer grid (the exact-integer scoring unit). */
-  private def q6(c: Column): Column =
-    floor(c * lit(1e6) + lit(0.5)).cast(LongType)
+  /** log-prob → 1e-6 integer grid — shared impl ([[Quantize]]). */
+  private def q6(c: Column): Column = Quantize.q6(c)
 
-  private def Q6(e: String): String =
-    s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)"
+  private def Q6(e: String): String = Quantize.Q6(e)
 
   /** Deterministic per-label augmentation: text + 8 vocab words chosen
     * by `(doc_id·7 + i·5) mod 12`. */
@@ -112,16 +110,9 @@ object LangId {
       .repartition(col("doc_id"))
 
   /** The md5 bucket, as the LOW 11 bits of [[Dedup.md5Hash64]]'s
-    * little-endian assembly — byte 0 is the LEAST-significant byte,
-    * so only hex chars 1–4 participate under the power-of-two mask:
-    * two `conv` calls instead of eight for the identical value
-    * (bit-equality spec-pinned; measured ~1.4 s/pass at sf0.1). */
-  private def bucketCol(g: Column): Column = {
-    val hex = md5(g)
-    (conv(substring(hex, 1, 2), 16, 10).cast(LongType) bitwiseOR
-      shiftleft(conv(substring(hex, 3, 2), 16, 10).cast(LongType), 8))
-      .bitwiseAND(lit((buckets - 1).toLong))
-  }
+    * little-endian assembly (shared impl — [[Quantize.bucket]];
+    * bit-equality spec-pinned, measured ~1.4 s/pass at sf0.1). */
+  private def bucketCol(g: Column): Column = Quantize.bucket(g, buckets)
 
   /** Per-doc NB prediction (doc_id, lang_model) — trains on the
     * `is_train` rows of `aug`, scores every row.
