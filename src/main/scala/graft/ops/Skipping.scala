@@ -70,8 +70,8 @@ object Skipping {
     * (stat hi = '1995-03-31') must survive a probe from
     * '1995-03-31 10:00:00' — truncating the probe bound widens the
     * keep set, so the test can over-read but never false-prune. */
-  def readRange(spark: SparkSession, path: String, statsCol: String,
-      from: String, to: String): (DataFrame, Long, Long) = {
+  def readRange(spark: SparkSession, path: String, bucketCol: String,
+      statsCol: String, from: String, to: String): (DataFrame, Long, Long) = {
     require(from.length >= 10 && to.length >= 10 &&
       from.take(10).matches("\\d{4}-\\d{2}-\\d{2}") &&
       to.take(10).matches("\\d{4}-\\d{2}-\\d{2}"),
@@ -87,7 +87,6 @@ object Skipping {
       case (b, lo, hi) if lo <= to && hi >= from.take(10) => b
     }
     val df = spark.read.parquet(path)
-    val bucketCol = df.schema.fields.last.name // partition col lists last
     val pruned = df
       .filter(col(bucketCol).cast("string").isin(keep: _*))
       .filter(col(statsCol) >= lit(from) && col(statsCol) <= lit(to))

@@ -37,7 +37,7 @@ object Wave22Queries {
             quarter(col("l_shipdate")).cast("string")))
       Skipping.writeWithStats(li, dir, "bucket", "l_shipdate")
       val (pruned, total, read) =
-        Skipping.readRange(s, dir, "l_shipdate", probeFrom, probeTo)
+        Skipping.readRange(s, dir, "bucket", "l_shipdate", probeFrom, probeTo)
       val r = pruned.agg(count(lit(1)).as("n_rows"),
         round(Q.dsum(Q.revenue), 2).as("revenue")).head()
       import s.implicits._

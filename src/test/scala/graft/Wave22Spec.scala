@@ -25,7 +25,8 @@ class Wave22Spec extends SparkSuite {
     try {
       cluster(dir)
       val (pruned, total, read) =
-        Skipping.readRange(spark, dir, "l_shipdate", "1995-02-01", "1995-04-15")
+        Skipping.readRange(spark, dir, "bucket", "l_shipdate",
+          "1995-02-01", "1995-04-15")
       assert(read < total, s"no files skipped: $read of $total")
       val got = pruned.agg(count(lit(1)), Q.dsum(Q.revenue)).head()
       val want = Tables.load(spark, d, "lineitem")
@@ -45,7 +46,8 @@ class Wave22Spec extends SparkSuite {
     try {
       cluster(dir)
       val (_, total, read) =
-        Skipping.readRange(spark, dir, "l_shipdate", "1995-02-01", "1995-03-01")
+        Skipping.readRange(spark, dir, "bucket", "l_shipdate",
+          "1995-02-01", "1995-03-01")
       assert(read === 1L, s"expected 1 file, read $read of $total")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
