@@ -46,7 +46,8 @@ object SparkEntry {
     graft.queries.Wave20Queries.queries ++
     graft.queries.Wave21Queries.queries ++
     graft.queries.Wave22Queries.queries ++
-    graft.queries.Wave23Queries.queries
+    graft.queries.Wave23Queries.queries ++
+    graft.queries.Wave24Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -79,5 +80,6 @@ object SparkEntry {
     graft.queries.Wave20Queries.oracles ++
     graft.queries.Wave21Queries.oracles ++
     graft.queries.Wave22Queries.oracles ++
-    graft.queries.Wave23Queries.oracles
+    graft.queries.Wave23Queries.oracles ++
+    graft.queries.Wave24Queries.oracles
 }

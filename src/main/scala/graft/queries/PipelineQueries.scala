@@ -559,25 +559,34 @@ object PipelineQueries {
        |WHERE common / (la.n + lb.n - common) >= $jacThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** SimHash oracle: recompute the 64-bit signatures from scratch in
-    * DuckDB (md5_number_upper == the md5-derived hash the registry
-    * query uses), then mirror the pairing semantics exactly — some
-    * 16-bit chunk equal AND full Hamming ≤ 6. */
-  private val SIMHASH_SQL = {
+  /** Per-doc SimHash signature CTE chain over `rel` (must expose
+    * doc_id + text), all CTE names prefixed with `p` — ends in
+    * `${p}sig(doc_id, sig UBIGINT)`. Shared by the SimHash pair
+    * oracle below and the incremental-signature oracle (wave 24), so
+    * the cross-engine signature recomputation has ONE implementation. */
+  private[queries] def simhashSigCtes(rel: String, p: String): String = {
     val sums = (0 until 64).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS b$j")
       .mkString(", ")
     val sigBits = (0 until 64).map(j =>
       s"CASE WHEN b$j > 0 THEN ${BigInt(1) << j}::UBIGINT ELSE 0::UBIGINT END")
       .mkString(" + ")
+    s"""${p}tok AS (SELECT doc_id, unnest($T) AS t FROM $rel),
+       |${p}h AS (SELECT doc_id, md5_number_upper(t) AS h FROM ${p}tok),
+       |${p}bits AS (SELECT doc_id, $sums FROM ${p}h GROUP BY doc_id),
+       |${p}sig AS (SELECT doc_id, $sigBits AS sig FROM ${p}bits)""".stripMargin
+  }
+
+  /** SimHash oracle: recompute the 64-bit signatures from scratch in
+    * DuckDB (md5_number_upper == the md5-derived hash the registry
+    * query uses), then mirror the pairing semantics exactly — some
+    * 16-bit chunk equal AND full Hamming ≤ 6. */
+  private val SIMHASH_SQL = {
     val masks = Seq("65535", "4294901760", "281470681743360",
         "18446462598732840960")
       .map(m => s"(a.sig & $m::UBIGINT) = (b.sig & $m::UBIGINT)")
       .mkString(" OR ")
-    s"""WITH tok AS (SELECT doc_id, unnest($T) AS t FROM documents),
-       |h AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
-       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sigBits AS sig FROM bits)
+    s"""WITH ${simhashSigCtes("documents", "")}
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
