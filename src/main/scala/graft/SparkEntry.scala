@@ -47,7 +47,10 @@ object SparkEntry {
     graft.queries.Wave21Queries.queries ++
     graft.queries.Wave22Queries.queries ++
     graft.queries.Wave23Queries.queries ++
-    graft.queries.Wave24Queries.queries
+    graft.queries.Wave24Queries.queries ++
+    graft.queries.Wave25Queries.queries ++
+    graft.queries.Wave26Queries.queries ++
+    graft.queries.Wave27Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -81,5 +84,8 @@ object SparkEntry {
     graft.queries.Wave21Queries.oracles ++
     graft.queries.Wave22Queries.oracles ++
     graft.queries.Wave23Queries.oracles ++
-    graft.queries.Wave24Queries.oracles
+    graft.queries.Wave24Queries.oracles ++
+    graft.queries.Wave25Queries.oracles ++
+    graft.queries.Wave26Queries.oracles ++
+    graft.queries.Wave27Queries.oracles
 }

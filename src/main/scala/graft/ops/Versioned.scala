@@ -244,6 +244,53 @@ object Versioned {
       s"(1 attempt + $maxRetries retries): $path")
   }
 
+  /** Compact the current snapshot into `targetFiles` files and commit
+    * the rewrite as a new version — data-identical by construction
+    * (the plan is read → round-robin repartition → write; no filter,
+    * no projection). The small-file problem this solves is the
+    * steady-state of any merge-maintained lake: every MERGE stages a
+    * fresh batch directory, so the file count grows with commit count
+    * while file SIZE shrinks toward the per-task sliver, and at 100 TB
+    * the scan's task-scheduling + footer overhead comes to dominate.
+    * Compaction trades one bounded rewrite for a scan-optimal layout;
+    * readers of older versions are untouched (their files stay until
+    * [[vacuum]]).
+    *
+    * Without `partitionCol` the rewrite is a round-robin
+    * `repartition(targetFiles)`, so the new version has EXACTLY
+    * `targetFiles` files whenever rows ≥ targetFiles (round-robin
+    * spreads rows evenly — no empty tasks). With `partitionCol` the
+    * data is clustered by partition value first (`repartition(n, pc)`)
+    * and written `partitionBy(pc)`, giving at most `targetFiles` files
+    * per partition value and preserving partition-scoped [[merge]]
+    * carry-over semantics for subsequent commits.
+    *
+    * Concurrency: same optimistic loop as [[merge]] — losing a commit
+    * race re-reads the new current (which may contain rows the raced
+    * merge just added) and re-compacts, so a compaction can never
+    * silently undo a concurrent writer's committed rows. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+      partitionCol: Option[String] = None, maxRetries: Int = 5): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = currentVersion(spark, path)
+        .getOrElse(sys.error(s"uninitialized versioned table: $path"))
+      val next = cur + 1
+      val snap = read(spark, path, Some(cur))
+      val laidOut = partitionCol match {
+        case Some(pc) => snap.repartition(targetFiles, col(pc))
+        case None     => snap.repartition(targetFiles)
+      }
+      val (stagedDir, staged) = stage(laidOut, path, next, partitionCol)
+      if (commit(spark, path, next, staged)) return next
+      fs(spark, path).delete(stagedDir, true)
+      attempt += 1
+    }
+    sys.error(s"compact lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
   /** Delete data files referenced by NO surviving manifest and drop
     * all but the last `keepLast` manifests. Returns deleted file
     * count. Readers of retained versions are unaffected. */

@@ -351,6 +351,42 @@ object Events {
         col("event_type"), col("n"), col("total_value"))
       .orderBy("hour", "event_type")
 
+  /** CHAINED stateful operators in one streaming query (SPARK-40925,
+    * Spark ≥ 3.4): a 10-minute tumbling aggregation feeding a 1-hour
+    * re-aggregation over the sub-windows (`window(window_col, …)`), in
+    * APPEND mode — the only mode chained stateful ops support, and the
+    * production shape for multi-resolution rollups: the raw stream is
+    * aggregated ONCE at fine grain, and the coarse tier consumes the
+    * (vastly smaller) sub-window stream instead of re-reading events.
+    * At 100 TB the first tier's shuffle is the only one proportional
+    * to event volume; the second shuffles (windows × types) rows.
+    *
+    * Both tiers hold exact-decimal partial sums, so the hour totals
+    * equal a direct hour aggregation bit-for-bit — which is exactly
+    * what the oracle computes, plus the append-mode emission rule
+    * (hour windows whose end ≤ final watermark; every sub-window of
+    * an emitted hour window closed with it, so no second filter).
+    * needsTimers: the final no-data batches advance the watermark
+    * through BOTH operators to flush their append output. */
+  def cascadedWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val sub = readStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n10"),
+        sum(col("value").cast(DecimalType(30, 8))).as("v10"))
+    val hourly = sub
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_sub"), sum(col("n10")).as("n_total"),
+        max(col("n10")).as("max10"),
+        sum(col("v10")).cast(DoubleType).as("total_value"))
+    runToCompletion(spark, hourly, mode = "append", needsTimers = true)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_sub"), col("n_total"), col("max10"),
+        col("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Watermark LATE-DATA DROP made observable, via the production
     * restart shape: a DURABLE parquet sink + checkpoint runs TWICE —
     * first over everything from `cut` onward, then RESTARTED from the

@@ -124,6 +124,46 @@ class VersionedSpec extends SparkSuite {
       s"null-partition upsert must not duplicate keys: $got2")
   }
 
+  test("compact hits the target file count, preserves data, keeps history") {
+    val dir = tmp()
+    val wide = (1L to 64L).map(i => (i, s"v$i", if (i % 2 == 0) "a" else "b"))
+    Versioned.init(wide.toDF("k", "v", "p").repartition(16), dir)
+    assert(Versioned.files(spark, dir, Some(1L)).length == 16)
+    val before = rows(Versioned.read(spark, dir))
+    val v2 = Versioned.compact(spark, dir, targetFiles = 3)
+    assert(v2 == 2L)
+    assert(Versioned.files(spark, dir, Some(2L)).length == 3,
+      "round-robin compaction must land exactly targetFiles files")
+    assert(rows(Versioned.read(spark, dir)) == before,
+      "compaction must be data-identical")
+    // snapshot isolation: the fragmented version stays readable
+    assert(rows(Versioned.read(spark, dir, Some(1L))) == before)
+    assert(Versioned.files(spark, dir, Some(1L)).length == 16)
+  }
+
+  test("partitioned compact keeps partition-scoped merge carry-over sound") {
+    val dir = tmp()
+    Versioned.init(base.toDF("k", "v", "p"), dir, partitionCol = Some("p"))
+    Versioned.merge(Seq((5L, "five", "b")).toDF("k", "v", "p"),
+      dir, Seq("k"), partitionCol = Some("p"))
+    val v3 = Versioned.compact(spark, dir, targetFiles = 2,
+      partitionCol = Some("p"))
+    assert(v3 == 3L)
+    // a post-compaction partition-scoped merge must still match the
+    // compacted layout's directory names: touch only partition a
+    Versioned.merge(Seq((2L, "TWO", "a")).toDF("k", "v", "p"),
+      dir, Seq("k"), partitionCol = Some("p"))
+    assert(rows(Versioned.read(spark, dir)) == Set(
+      (1L, "one", "a"), (2L, "TWO", "a"), (3L, "three", "b"),
+      (4L, "four", "b"), (5L, "five", "b")),
+      "merge after partitioned compact must not duplicate or drop keys")
+    // partition b's compacted files carried by reference into v4
+    val v3b = Versioned.files(spark, dir, Some(3L)).filter(_.contains("/p=b/"))
+    val v4 = Versioned.files(spark, dir, Some(4L)).toSet
+    assert(v3b.nonEmpty && v3b.forall(v4.contains),
+      "untouched partition must carry the compacted files by reference")
+  }
+
   test("vacuum deletes only unreferenced files and keeps readable history") {
     val dir = tmp()
     Versioned.init(base.toDF("k", "v", "p"), dir)
