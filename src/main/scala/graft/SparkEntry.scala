@@ -50,7 +50,9 @@ object SparkEntry {
     graft.queries.Wave24Queries.queries ++
     graft.queries.Wave25Queries.queries ++
     graft.queries.Wave26Queries.queries ++
-    graft.queries.Wave27Queries.queries
+    graft.queries.Wave27Queries.queries ++
+    graft.queries.Wave28Queries.queries ++
+    graft.queries.Wave29Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -87,5 +89,7 @@ object SparkEntry {
     graft.queries.Wave24Queries.oracles ++
     graft.queries.Wave25Queries.oracles ++
     graft.queries.Wave26Queries.oracles ++
-    graft.queries.Wave27Queries.oracles
+    graft.queries.Wave27Queries.oracles ++
+    graft.queries.Wave28Queries.oracles ++
+    graft.queries.Wave29Queries.oracles
 }
