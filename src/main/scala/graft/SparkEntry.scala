@@ -52,7 +52,8 @@ object SparkEntry {
     graft.queries.Wave26Queries.queries ++
     graft.queries.Wave27Queries.queries ++
     graft.queries.Wave28Queries.queries ++
-    graft.queries.Wave29Queries.queries
+    graft.queries.Wave29Queries.queries ++
+    graft.queries.Wave30Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -91,5 +92,6 @@ object SparkEntry {
     graft.queries.Wave26Queries.oracles ++
     graft.queries.Wave27Queries.oracles ++
     graft.queries.Wave28Queries.oracles ++
-    graft.queries.Wave29Queries.oracles
+    graft.queries.Wave29Queries.oracles ++
+    graft.queries.Wave30Queries.oracles
 }

@@ -93,7 +93,11 @@ class PlanAuditSpec extends SparkSuite {
     "q_chi_square",
     // wave 21: q_benford crosses the 1-row order-count frame into the
     // 9-digit cell table — the scalar-stats single-row broadcast shape.
-    "q_benford")
+    "q_benford",
+    // wave 30: q_tpch_q22 crosses the 1-row average-balance frame into
+    // the customer filter (TPC-H's scalar subquery, decorrelated as the
+    // standard single-row broadcast).
+    "q_tpch_q22")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
