@@ -53,7 +53,8 @@ object SparkEntry {
     graft.queries.Wave27Queries.queries ++
     graft.queries.Wave28Queries.queries ++
     graft.queries.Wave29Queries.queries ++
-    graft.queries.Wave30Queries.queries
+    graft.queries.Wave30Queries.queries ++
+    graft.queries.Wave31Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -93,5 +94,6 @@ object SparkEntry {
     graft.queries.Wave27Queries.oracles ++
     graft.queries.Wave28Queries.oracles ++
     graft.queries.Wave29Queries.oracles ++
-    graft.queries.Wave30Queries.oracles
+    graft.queries.Wave30Queries.oracles ++
+    graft.queries.Wave31Queries.oracles
 }

@@ -82,41 +82,125 @@ object Search {
       .orderBy("query_id", "rk")
   }
 
-  /** DuckDB twin of [[bm25TopK]]: `queriesValues` is a SQL VALUES list
-    * of (query_id, term) rows matching the Spark-side frame. */
-  def BM25_SQL(queriesValues: String, k: Int): String = {
+  /** RM3-style pseudo-relevance feedback: run [[bm25TopK]], treat each
+    * query's top `kFeedback` documents as relevant, extract the
+    * `nExpand` strongest NEW terms from them (relevance-model weight
+    * wt(t) = Σ_d tf(t,d)/dl(d), folded in doc-id order so the weight —
+    * and therefore the SELECTION — is bit-identical cross-engine; ties
+    * broken by term), append them to the query, and re-score.
+    *
+    * Scale shape: the feedback doc set is (queries × kFeedback) rows —
+    * broadcast by construction — so the full-vocabulary tf pass runs
+    * only over those few documents (semi-join before the groupBy, the
+    * same postings-restriction discipline as the first pass); both
+    * BM25 passes keep their no-global-index property. */
+  def rm3TopK(docsDf: DataFrame, queryTerms: DataFrame,
+      kFeedback: Int = 10, nExpand: Int = 5, k: Int = 10): DataFrame = {
+    val top = bm25TopK(docsDf, queryTerms, kFeedback)
+      .select(col("query_id"), col("doc_id"))
+    val tok = docsDf.select(col("doc_id"),
+      explode(TextStats.tokens(col("text"))).as("term"))
+    val dl = docsDf.select(col("doc_id"),
+      TextStats.tokenCount(col("text")).as("dl"))
+    val ftf = tok
+      .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"),
+        "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val fb = broadcast(top).join(ftf, "doc_id").join(dl, "doc_id")
+      .groupBy(col("query_id"), col("term"))
+      .agg(sort_array(collect_list(struct(col("doc_id"),
+        (col("tf").cast("double") / col("dl")).as("w")))).as("ws"))
+      .withColumn("wt", expr("aggregate(ws, 0d, (acc, x) -> acc + x.w)"))
+    val novel = fb.join(queryTerms, Seq("query_id", "term"), "left_anti")
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("wt").desc, col("term"))
+    val expansion = novel.withColumn("r", row_number().over(wE))
+      .filter(col("r") <= lit(nExpand)).select("query_id", "term")
+    val q2 = queryTerms.select("query_id", "term")
+      .unionByName(expansion).distinct()
+    bm25TopK(docsDf, q2, k)
+  }
+
+  /** Corpus-side CTEs shared by every BM25 replay (query-independent). */
+  private def corpusCtes: String = {
     val T = TextStats.TOKENS("text")
-    s"""WITH q(query_id, term) AS (VALUES $queriesValues),
-       |tok AS (SELECT doc_id, unnest($T) AS term FROM documents),
+    s"""tok AS (SELECT doc_id, unnest($T) AS term FROM documents),
        |dl AS (SELECT doc_id, len($T) AS dl FROM documents),
        |stats AS (SELECT count(*) AS n_docs,
        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-       |          FROM dl),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-       |       WHERE term IN (SELECT DISTINCT term FROM q)
+       |          FROM dl)""".stripMargin
+  }
+
+  /** One BM25 scoring pass against query table `q`, CTE names prefixed
+    * with `p` so two passes (plain + feedback-expanded) can coexist in
+    * one statement; ends in `<p>ranked(query_id, doc_id, n_terms_hit,
+    * score, rk)`. */
+  private def scoreCtes(p: String, q: String): String =
+    s"""${p}tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN (SELECT DISTINCT term FROM $q)
        |       GROUP BY doc_id, term),
-       |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       |${p}dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM ${p}tf
        |        GROUP BY term),
-       |contrib AS (
-       |  SELECT q.query_id, tf.doc_id, tf.term,
-       |         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-       |           * (tf.tf * ${K1 + 1.0}) /
-       |           (tf.tf + $K1 * (1.0 - $B + $B * dl.dl / stats.avgdl))
+       |${p}contrib AS (
+       |  SELECT $q.query_id, ${p}tf.doc_id, ${p}tf.term,
+       |         ln(1.0 + (stats.n_docs - ${p}dft.df + 0.5)
+       |             / (${p}dft.df + 0.5))
+       |           * (${p}tf.tf * ${K1 + 1.0}) /
+       |           (${p}tf.tf + $K1 * (1.0 - $B + $B * dl.dl / stats.avgdl))
        |           AS c
-       |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
-       |       CROSS JOIN stats JOIN q USING (term)),
-       |folded AS (
+       |  FROM ${p}tf JOIN ${p}dft USING (term) JOIN dl USING (doc_id)
+       |       CROSS JOIN stats JOIN $q USING (term)),
+       |${p}folded AS (
        |  SELECT query_id, doc_id, count(*) AS n_terms_hit,
        |         list_sum(list(c ORDER BY term)) AS score
-       |  FROM contrib GROUP BY query_id, doc_id),
-       |ranked AS (
+       |  FROM ${p}contrib GROUP BY query_id, doc_id),
+       |${p}ranked AS (
        |  SELECT query_id, doc_id, n_terms_hit, score,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY score DESC, doc_id) AS rk
-       |  FROM folded)
-       |SELECT query_id, CAST(rk AS INTEGER) AS rk, doc_id,
+       |  FROM ${p}folded)""".stripMargin
+
+  private def rankedSelect(p: String, k: Int): String =
+    s"""SELECT query_id, CAST(rk AS INTEGER) AS rk, doc_id,
        |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
        |       round(score, 6) AS score
-       |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
-  }
+       |FROM ${p}ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+
+  /** DuckDB twin of [[bm25TopK]]: `queriesValues` is a SQL VALUES list
+    * of (query_id, term) rows matching the Spark-side frame. */
+  def BM25_SQL(queriesValues: String, k: Int): String =
+    s"""WITH q(query_id, term) AS (VALUES $queriesValues),
+       |$corpusCtes,
+       |${scoreCtes("", "q")}
+       |${rankedSelect("", k)}""".stripMargin
+
+  /** DuckDB twin of [[rm3TopK]] — the same two BM25 passes around the
+    * doc-id-ordered relevance-model fold. */
+  def RM3_SQL(queriesValues: String, kFeedback: Int, nExpand: Int,
+      k: Int): String =
+    s"""WITH q(query_id, term) AS (VALUES $queriesValues),
+       |$corpusCtes,
+       |${scoreCtes("b_", "q")},
+       |top_fb AS (SELECT query_id, doc_id FROM b_ranked
+       |  WHERE rk <= $kFeedback),
+       |ftf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE doc_id IN (SELECT doc_id FROM top_fb)
+       |  GROUP BY doc_id, term),
+       |fb AS (SELECT top_fb.query_id, ftf.term,
+       |    list_sum(list(CAST(ftf.tf AS DOUBLE) / dl.dl
+       |      ORDER BY ftf.doc_id)) AS wt
+       |  FROM top_fb JOIN ftf ON ftf.doc_id = top_fb.doc_id
+       |  JOIN dl ON dl.doc_id = ftf.doc_id
+       |  GROUP BY 1, 2),
+       |novel AS (SELECT * FROM fb
+       |  WHERE NOT EXISTS (SELECT 1 FROM q
+       |    WHERE q.query_id = fb.query_id AND q.term = fb.term)),
+       |expansion AS (SELECT query_id, term FROM (
+       |    SELECT query_id, term, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY wt DESC, term) AS r
+       |    FROM novel) WHERE r <= $nExpand),
+       |q2 AS (SELECT query_id, term FROM q
+       |  UNION SELECT query_id, term FROM expansion),
+       |${scoreCtes("r_", "q2")}
+       |${rankedSelect("r_", k)}""".stripMargin
 }

@@ -97,7 +97,10 @@ class PlanAuditSpec extends SparkSuite {
     // wave 30: q_tpch_q22 crosses the 1-row average-balance frame into
     // the customer filter (TPC-H's scalar subquery, decorrelated as the
     // standard single-row broadcast).
-    "q_tpch_q22")
+    "q_tpch_q22",
+    // wave 31: q_rm3_search runs TWO BM25 passes, each inheriting the
+    // 1-row corpus-stats cross (the q_bm25_search shape).
+    "q_rm3_search")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
