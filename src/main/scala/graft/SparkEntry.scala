@@ -54,7 +54,8 @@ object SparkEntry {
     graft.queries.Wave28Queries.queries ++
     graft.queries.Wave29Queries.queries ++
     graft.queries.Wave30Queries.queries ++
-    graft.queries.Wave31Queries.queries
+    graft.queries.Wave31Queries.queries ++
+    graft.queries.Wave32Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -95,5 +96,6 @@ object SparkEntry {
     graft.queries.Wave28Queries.oracles ++
     graft.queries.Wave29Queries.oracles ++
     graft.queries.Wave30Queries.oracles ++
-    graft.queries.Wave31Queries.oracles
+    graft.queries.Wave31Queries.oracles ++
+    graft.queries.Wave32Queries.oracles
 }

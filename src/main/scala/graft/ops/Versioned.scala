@@ -91,10 +91,24 @@ object Versioned {
     * column is dropped on read. */
   private val batchCol = "gbatch"
 
+  /** A manifest may reference files under SEVERAL data roots — its own
+    * `<table>/data/` plus any [[clone]] source's — and Spark's
+    * partition discovery takes exactly one `basePath`. Group the files
+    * by their data root (the `…/data` prefix before the batch
+    * directory), read each group against its own root so partition
+    * columns reconstruct identically, and union. The common
+    * single-root case stays one scan. */
   private def readFiles(spark: SparkSession, path: String,
-      fileList: Seq[String]): DataFrame =
-    spark.read.option("basePath", new Path(path, "data").toString)
-      .parquet(fileList: _*).drop(batchCol)
+      fileList: Seq[String]): DataFrame = {
+    def root(f: String): String = {
+      val i = f.lastIndexOf(s"/data/$batchCol=")
+      require(i > 0, s"manifest entry outside a data root: $f")
+      f.substring(0, i + "/data".length)
+    }
+    fileList.groupBy(root).toSeq.sortBy(_._1).map { case (base, fs) =>
+      spark.read.option("basePath", base).parquet(fs: _*).drop(batchCol)
+    }.reduce(_ unionByName _)
+  }
 
   /** Read a snapshot (default: current). `basePath` keeps partition
     * columns recoverable from the directory layout. */
@@ -242,6 +256,30 @@ object Versioned {
     }
     sys.error(s"merge lost ${maxRetries + 1} commit races " +
       s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** ZERO-COPY shallow clone: publish `src`'s current snapshot as
+    * version 1 of a new table at `dst` by copying the MANIFEST only —
+    * the data files are shared by reference, so cloning a 100 TB table
+    * costs one small metadata write (the Delta/Iceberg shallow-clone
+    * shape: dev/test sandboxes, WAP staging branches, reproducible
+    * experiment pins). Writes to the clone stage their own files under
+    * the clone's directory and never touch the source; the clone's
+    * first full rewrite (merge without partitionCol, or compact) ends
+    * the sharing entirely.
+    *
+    * Caveat shared with every shallow-clone design: [[vacuum]] is
+    * table-local reference counting, so vacuuming the SOURCE may
+    * delete files a clone still references. Vacuum only tables with no
+    * live clones (or deep-copy first) — documented contract, pinned by
+    * `VersionedSpec`. */
+  def clone(spark: SparkSession, src: String, dst: String): Long = {
+    require(currentVersion(spark, dst).isEmpty,
+      s"clone target already initialized: $dst")
+    val fileList = files(spark, src)
+    require(commit(spark, dst, 1L, fileList),
+      s"clone lost a commit race: $dst")
+    1L
   }
 
   /** Compact the current snapshot into `targetFiles` files and commit

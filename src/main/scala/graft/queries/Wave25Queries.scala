@@ -145,8 +145,8 @@ object Wave25Queries {
 
   /** SQL replay of the lake's v2 content (= v3 content, since compact
     * is data-identical): evens, then update/delete/insert by the same
-    * key arithmetic. */
-  private val v2Cte =
+    * key arithmetic. Shared with wave 32's clone receipts. */
+  private[queries] val v2Cte =
     """WITH b AS (SELECT o_orderkey AS k, o_custkey AS c,
       |    o_orderstatus AS st, o_totalprice AS p
       |  FROM orders),

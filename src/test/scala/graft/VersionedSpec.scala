@@ -164,6 +164,32 @@ class VersionedSpec extends SparkSuite {
       "untouched partition must carry the compacted files by reference")
   }
 
+  test("shallow clone shares files, diverges on write, never touches the source") {
+    val dir = tmp(); val src = s"$dir/src"; val dst = s"$dir/dst"
+    Versioned.init(base.toDF("k", "v", "p"), src)
+    assert(Versioned.clone(spark, src, dst) == 1L)
+    assert(Versioned.files(spark, dst).toSet ==
+      Versioned.files(spark, src).toSet,
+      "a fresh clone must reference exactly the source's files")
+    assert(rows(Versioned.read(spark, dst)) == rows(Versioned.read(spark, src)))
+    Versioned.merge(Seq((2L, "TWO", "a")).toDF("k", "v", "p"), dst, Seq("k"))
+    assert(rows(Versioned.read(spark, dst)).contains((2L, "TWO", "a")))
+    assert(rows(Versioned.read(spark, src)).contains((2L, "two", "a")),
+      "writing the clone must not change the source")
+    assert(Versioned.currentVersion(spark, src).contains(1L))
+  }
+
+  test("documented hazard: vacuuming a diverged source breaks its clones") {
+    val dir = tmp(); val src = s"$dir/src"; val dst = s"$dir/dst"
+    Versioned.init(base.toDF("k", "v", "p"), src)
+    Versioned.clone(spark, src, dst)
+    // source moves on; its v1 files are now dead BY ITS OWN reference
+    // counting, though the clone still points at them
+    Versioned.merge(Seq((1L, "ONE", "a")).toDF("k", "v", "p"), src, Seq("k"))
+    assert(Versioned.vacuum(spark, src, keepLast = 1) > 0)
+    intercept[Exception] { Versioned.read(spark, dst).collect() }
+  }
+
   test("vacuum deletes only unreferenced files and keeps readable history") {
     val dir = tmp()
     Versioned.init(base.toDF("k", "v", "p"), dir)
