@@ -55,7 +55,8 @@ object SparkEntry {
     graft.queries.Wave29Queries.queries ++
     graft.queries.Wave30Queries.queries ++
     graft.queries.Wave31Queries.queries ++
-    graft.queries.Wave32Queries.queries
+    graft.queries.Wave32Queries.queries ++
+    graft.queries.Wave33Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -97,5 +98,6 @@ object SparkEntry {
     graft.queries.Wave29Queries.oracles ++
     graft.queries.Wave30Queries.oracles ++
     graft.queries.Wave31Queries.oracles ++
-    graft.queries.Wave32Queries.oracles
+    graft.queries.Wave32Queries.oracles ++
+    graft.queries.Wave33Queries.oracles
 }
