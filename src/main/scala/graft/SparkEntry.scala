@@ -56,7 +56,8 @@ object SparkEntry {
     graft.queries.Wave30Queries.queries ++
     graft.queries.Wave31Queries.queries ++
     graft.queries.Wave32Queries.queries ++
-    graft.queries.Wave33Queries.queries
+    graft.queries.Wave33Queries.queries ++
+    graft.queries.Wave34Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -99,5 +100,6 @@ object SparkEntry {
     graft.queries.Wave30Queries.oracles ++
     graft.queries.Wave31Queries.oracles ++
     graft.queries.Wave32Queries.oracles ++
-    graft.queries.Wave33Queries.oracles
+    graft.queries.Wave33Queries.oracles ++
+    graft.queries.Wave34Queries.oracles
 }

@@ -100,7 +100,11 @@ class PlanAuditSpec extends SparkSuite {
     "q_tpch_q22",
     // wave 31: q_rm3_search runs TWO BM25 passes, each inheriting the
     // 1-row corpus-stats cross (the q_bm25_search shape).
-    "q_rm3_search")
+    "q_rm3_search",
+    // wave 34: both activity ledgers cross a 1-row data-span frame
+    // (max day / max month) to clip partial trailing windows — the
+    // scalar-stats single-row broadcast shape.
+    "q_rolling_dau", "q_growth_accounting")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
