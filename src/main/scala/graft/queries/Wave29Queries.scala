@@ -77,29 +77,64 @@ object Wave29Queries {
     "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
     "0.999916758850712")
 
-  private def uniformExpr(b: Int) = shiftrightunsigned(
-    Dedup.md5Hash64(concat(lit(s"bs$b#"), col("k"))), 11)
-    .cast("double") / lit(9007199254740992.0)
+  /** One 32-bit little-endian word (quarter `q` ∈ 0..3) from an
+    * ALREADY-MATERIALIZED md5 hex column, assembled with a SINGLE conv
+    * over byte-swapped hex chars — the per-byte conv ladder was the
+    * measured bottleneck (256 conv calls/row → 32). Identical to the
+    * DuckDB pair (`md5_number_upper/lower & 0xFFFFFFFF` or `>> 32`),
+    * since both read the same little-endian byte order. */
+  private def word32FromHex(hex: org.apache.spark.sql.Column, q: Int) = {
+    val start = q * 8
+    conv(concat(
+      substring(hex, start + 7, 2), substring(hex, start + 5, 2),
+      substring(hex, start + 3, 2), substring(hex, start + 1, 2)),
+      16, 10).cast("long")
+  }
 
-  private def weightExpr(b: Int) = {
-    val u = uniformExpr(b)
+  /** 32-bit dyadic uniform in [0, 1) — exact in double, so every CDF
+    * threshold comparison is bit-identical cross-engine. */
+  private def uniformFromWord(w: org.apache.spark.sql.Column) =
+    w.cast("double") / lit(4294967296.0)
+
+  private def weightFromU(u: org.apache.spark.sql.Column) =
     poissonCdf.zipWithIndex.reverse
       .foldLeft(lit(poissonCdf.length): org.apache.spark.sql.Column) {
         case (els, (t, i)) => when(u < lit(t.toDouble), lit(i)).otherwise(els)
       }.cast("long")
-  }
 
   def qBootstrap(s: SparkSession, d: String): DataFrame = {
     val rows = Tables.load(s, d, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderpriority").as("p"),
         floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
           .as("cents"))
+    // STAGED projections: 8 md5 digests per row (one per seed string,
+    // each serving FOUR replicas via its 32-bit words), then uniforms
+    // (one conv each), then CASE weights — each stage references the
+    // previous stage's COLUMNS, so nothing re-evaluates the hash per
+    // threshold arm or per aggregate. The fully-inlined version was
+    // measured at 32 s at sf0.1; the staged 64-bit one at 11 s (the
+    // per-byte conv ladder dominated); this one at ~6 s warm — the
+    // residual cost is the 64-wide partial aggregate itself, which is
+    // the map-side-combine shape that scales (state = groups × 64
+    // longs, shuffle = one wide row per group per task).
+    val nSeeds = bootB / 4
+    val withH = rows.select(col("p") +: col("cents") +:
+      (1 to nSeeds).map(g =>
+        md5(concat(lit(s"bs$g#"), col("k"))).as(s"h$g")): _*)
+    val withU = withH.select(col("p") +: col("cents") +:
+      (1 to bootB).map { b =>
+        val g = (b - 1) / 4 + 1
+        val q = (b - 1) % 4
+        uniformFromWord(word32FromHex(col(s"h$g"), q)).as(s"u$b")
+      }: _*)
+    val withW = withU.select(col("p") +: col("cents") +:
+      (1 to bootB).map(b => weightFromU(col(s"u$b")).as(s"w$b")): _*)
     // one pass: 2 aggregates per replica (Σ w·cents, Σ w)
     val aggs = (1 to bootB).flatMap { b =>
-      val w = weightExpr(b)
-      Seq(sum(w * col("cents")).as(s"num$b"), sum(w).as(s"den$b"))
+      Seq(sum(col(s"w$b") * col("cents")).as(s"num$b"),
+        sum(col(s"w$b")).as(s"den$b"))
     }
-    val wide = rows.groupBy("p").agg(aggs.head, aggs.tail: _*)
+    val wide = withW.groupBy("p").agg(aggs.head, aggs.tail: _*)
     // unpivot to (p, b, num, den); replica mean = num / (100·den) is
     // one exact-integer-to-double division — identical in both engines
     val stackArgs = (1 to bootB)
@@ -160,9 +195,14 @@ object Wave29Queries {
   }
 
   private val bootstrapSql: String = {
-    def u(b: Int) =
-      s"((md5_number_upper('bs$b#' || CAST(k AS VARCHAR)) >> 11)" +
-        s" / 9007199254740992.0)"
+    def u(b: Int) = {
+      val g = (b - 1) / 4 + 1
+      val half = if ((b - 1) % 4 < 2) "md5_number_upper"
+        else "md5_number_lower"
+      val word = if ((b - 1) % 2 == 0) s"($half('bs$g#' || CAST(k AS VARCHAR)) & 4294967295)"
+        else s"($half('bs$g#' || CAST(k AS VARCHAR)) >> 32)"
+      s"($word / 4294967296.0)"
+    }
     def w(b: Int) = {
       val cases = poissonCdf.zipWithIndex
         .map { case (t, i) => s"WHEN ${u(b)} < $t THEN $i" }
