@@ -57,7 +57,8 @@ object SparkEntry {
     graft.queries.Wave31Queries.queries ++
     graft.queries.Wave32Queries.queries ++
     graft.queries.Wave33Queries.queries ++
-    graft.queries.Wave34Queries.queries
+    graft.queries.Wave34Queries.queries ++
+    graft.queries.Wave35Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -101,5 +102,6 @@ object SparkEntry {
     graft.queries.Wave31Queries.oracles ++
     graft.queries.Wave32Queries.oracles ++
     graft.queries.Wave33Queries.oracles ++
-    graft.queries.Wave34Queries.oracles
+    graft.queries.Wave34Queries.oracles ++
+    graft.queries.Wave35Queries.oracles
 }
