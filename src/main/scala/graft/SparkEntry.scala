@@ -58,7 +58,8 @@ object SparkEntry {
     graft.queries.Wave32Queries.queries ++
     graft.queries.Wave33Queries.queries ++
     graft.queries.Wave34Queries.queries ++
-    graft.queries.Wave35Queries.queries
+    graft.queries.Wave35Queries.queries ++
+    graft.queries.Wave36Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -103,5 +104,6 @@ object SparkEntry {
     graft.queries.Wave32Queries.oracles ++
     graft.queries.Wave33Queries.oracles ++
     graft.queries.Wave34Queries.oracles ++
-    graft.queries.Wave35Queries.oracles
+    graft.queries.Wave35Queries.oracles ++
+    graft.queries.Wave36Queries.oracles
 }
