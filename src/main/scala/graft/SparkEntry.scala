@@ -59,7 +59,8 @@ object SparkEntry {
     graft.queries.Wave33Queries.queries ++
     graft.queries.Wave34Queries.queries ++
     graft.queries.Wave35Queries.queries ++
-    graft.queries.Wave36Queries.queries
+    graft.queries.Wave36Queries.queries ++
+    graft.queries.Wave37Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -105,5 +106,6 @@ object SparkEntry {
     graft.queries.Wave33Queries.oracles ++
     graft.queries.Wave34Queries.oracles ++
     graft.queries.Wave35Queries.oracles ++
-    graft.queries.Wave36Queries.oracles
+    graft.queries.Wave36Queries.oracles ++
+    graft.queries.Wave37Queries.oracles
 }

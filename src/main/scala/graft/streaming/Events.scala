@@ -201,6 +201,32 @@ object Events {
       .orderBy("user_id", "session_start")
   }
 
+  /** Sessionization via the BUILT-IN `session_window` aggregation —
+    * the fourth implementation of the same semantics (after the batch
+    * window-SQL, flatMapGroupsWithState, and transformWithState
+    * paths), exercising Spark's native merging-session state store.
+    * Emission differs from the FMGWS path by design: the native
+    * operator emits ONLY on watermark passage (session end = last
+    * event + gap must clear the final watermark), never early on an
+    * in-batch successor — so its append output is the watermark-closed
+    * SUBSET of the session set, which is what the oracle replays.
+    * `session_window.end` is last-event + gap, so the last-event bound
+    * is aggregated explicitly instead of derived. */
+  def nativeSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+    runToCompletion(spark, agg, mode = "append", needsTimers = true)
+      .select(col("user_id"),
+        date_format(col("session_window.start"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("last_ts"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_last_event"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** The watermark + flatMapGroupsWithState(EventTimeTimeout) stage of
     * [[streamingSessions]], factored so specs can drive it with a
     * MemoryStream batch-by-batch. Input needs `user_id` and timestamp
