@@ -329,6 +329,69 @@ object Versioned {
       s"(1 attempt + $maxRetries retries): $path")
   }
 
+  /** Receipt of a [[delete]]: the committed version, how many files
+    * were rewritten vs carried by reference, and the matched row
+    * count. `version == -1` means the predicate matched nothing and
+    * no new version was committed (a no-op DELETE, like Delta's). */
+  final case class Erasure(version: Long, rewritten: Int, carried: Int,
+    deletedRows: Long)
+
+  /** Scheme-stripped, decoded filesystem path — the common coordinate
+    * between manifest entries (`FileStatus.getPath.toString`) and
+    * `input_file_name()` (URL-encoded URI). */
+  private def uriPath(f: String): String = new Path(f).toUri.getPath
+
+  /** DELETE every row matching `pred`, rewriting ONLY the files that
+    * contain at least one matching row; all other files carry into the
+    * new manifest BY REFERENCE. This is the Delta `DELETE` shape and
+    * the right-to-be-forgotten primitive: erasing one user from a
+    * 100 TB table costs I/O proportional to that user's FILE FOOTPRINT
+    * (find pass reads only the predicate's columns; rewrite pass reads
+    * only the hit files), not to the table — and if ingest clustered
+    * the table on the erasure key ([[compact]] with a key layout), the
+    * footprint is a handful of files.
+    *
+    * Tables initialized/maintained with a `partitionCol` must pass the
+    * same column here so the rewrite preserves the directory layout
+    * (mixing partitioned and unpartitioned leaf directories under one
+    * data root would break partition discovery).
+    *
+    * Concurrency: the same optimistic loop as [[merge]] — losing the
+    * commit race re-resolves current and re-runs the find pass, so a
+    * racing writer's committed rows are never clobbered. */
+  def delete(spark: SparkSession, path: String, pred: Column,
+      partitionCol: Option[String] = None,
+      maxRetries: Int = 5): Erasure = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = currentVersion(spark, path)
+        .getOrElse(sys.error(s"uninitialized versioned table: $path"))
+      val next = cur + 1
+      val curFiles = readManifest(spark, path, cur)
+      // find pass: which files hold matching rows? Column-pruned scan
+      // (only the predicate's inputs are read); result cardinality is
+      // bounded by the FILE count, so the collect is manifest-scale.
+      val hitPaths = readFiles(spark, path, curFiles).filter(pred)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => uriPath(r.getString(0))).toSet
+      val (hit, keep) = curFiles.partition(f => hitPaths.contains(uriPath(f)))
+      require(hit.length == hitPaths.size,
+        s"delete find-pass returned files outside the manifest: " +
+          s"${hitPaths.size} scanned vs ${hit.length} matched in $path")
+      if (hit.isEmpty) return Erasure(-1L, 0, curFiles.length, 0L)
+      val hitDf = readFiles(spark, path, hit)
+      val deletedRows = hitDf.filter(pred).count()
+      val survivors = hitDf.filter(!pred)
+      val (stagedDir, staged) = stage(survivors, path, next, partitionCol)
+      if (commit(spark, path, next, keep ++ staged))
+        return Erasure(next, hit.length, keep.length, deletedRows)
+      fs(spark, path).delete(stagedDir, true)
+      attempt += 1
+    }
+    sys.error(s"delete lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
   /** Delete data files referenced by NO surviving manifest and drop
     * all but the last `keepLast` manifests. Returns deleted file
     * count. Readers of retained versions are unaffected. */

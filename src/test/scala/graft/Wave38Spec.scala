@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Versioned
+
+/** Wave-38: predicate DELETE with file-level pruning on the versioned
+  * lake (the right-to-be-forgotten primitive). */
+class Wave38Spec extends SparkSuite {
+
+  private val d = sf("sf0.001")
+
+  test("q_gdpr_delete: pruned rewrite, clean snapshot, intact history") {
+    val r = SparkEntry.queries("q_gdpr_delete")(spark, d).head()
+    assert(r.getAs[Int]("one_file_rewritten") == 1,
+      "range clustering must confine one customer to one file")
+    assert(r.getAs[Int]("carried_rest") == 1, "15 of 16 files must carry")
+    assert(r.getAs[Int]("v1_intact") == 1, "time travel lost the history")
+    assert(r.getAs[Int]("cur_clean") == 1, "erased rows survive in current")
+    assert(r.getAs[Long]("deleted_rows") > 0L)
+    assert(r.getAs[Int]("version") == 2)
+  }
+
+  test("delete: no-op predicate commits nothing and carries every file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_noop").toString
+    try {
+      val base = Tables.load(spark, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      Versioned.init(base.repartition(4), dir)
+      val e = Versioned.delete(spark, dir, col("c") === -42L)
+      assert(e.version == -1L && e.rewritten == 0 && e.deletedRows == 0L)
+      assert(e.carried == Versioned.files(spark, dir).length)
+      assert(Versioned.currentVersion(spark, dir).contains(1L),
+        "a matched-nothing DELETE must not commit a new version")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("delete: rewrite is row-exact — survivors only, erased only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_exact").toString
+    try {
+      val base = Tables.load(spark, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      Versioned.init(base.repartition(8), dir)
+      val total = base.count()
+      val matching = base.filter(col("c") % 10 === 3).count()
+      val e = Versioned.delete(spark, dir, col("c") % 10 === 3)
+      assert(e.deletedRows == matching)
+      val cur = Versioned.read(spark, dir)
+      assert(cur.count() == total - matching)
+      assert(cur.filter(col("c") % 10 === 3).count() == 0L)
+      // hash clustering on k spreads every customer across all files,
+      // so a 10%-of-customers predicate should hit every file — the
+      // pruning win needs key clustering, which q_gdpr_delete pins;
+      // here pin the complementary fact: correctness without it
+      assert(e.rewritten + e.carried == 8)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+}
