@@ -3,8 +3,9 @@ package graft.ops
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Snapshot-isolated MERGE over immutable parquet files — the
   * poor-man's lakehouse the incremental-ingest gate's output needs,
@@ -13,18 +14,40 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   <table>/data/b<version>/…            immutable parquet batches
-  *   <table>/_versions/v<version>.manifest  one data-file path per line
+  *   <table>/data/b<version>/…             immutable parquet batches
+  *   <table>/_versions/v<version>.manifest  PARQUET manifest directory
+  *                                          (one `f` path per row);
+  *                                          legacy text files readable
+  *   <table>/_versions/v<version>.schema    table schema as JSON
+  *   <table>/_versions/v<version>.dv        deletion vector (parquet,
+  *                                          (file_name, row_index))
   * }}}
   *
   *  - '''Commit = manifest rename.''' A writer stages its new data
   *    files, writes the next manifest to a temp name, and renames it
-  *    into place. Readers resolve "current" as the highest committed
-  *    manifest and read exactly the files it lists — so a reader that
-  *    resolved version N keeps a consistent snapshot forever (its
-  *    files are never mutated or deleted until [[vacuum]]), and a
-  *    half-crashed writer leaves only unreferenced stage files, never
-  *    a torn table.
+  *    into place (directory rename — namenode-atomic on HDFS, POSIX
+  *    rename locally). Readers resolve "current" as the highest
+  *    committed manifest and read exactly the files it lists — so a
+  *    reader that resolved version N keeps a consistent snapshot
+  *    forever (its files are never mutated or deleted until
+  *    [[vacuum]]), and a half-crashed writer leaves only unreferenced
+  *    stage files, never a torn table.
+  *  - '''Manifest as data.''' The manifest is itself parquet, written
+  *    and read through the engine where cardinality matters: a
+  *    partition-scoped MERGE's carried file set flows from old
+  *    manifest to new manifest as a DataFrame — the million-file
+  *    table's untouched entries are never materialized on the driver
+  *    (the Iceberg manifest-list shape). Driver-side collects happen
+  *    only where Spark's scan API itself needs an explicit path list,
+  *    i.e. proportional to the files actually being READ or REWRITTEN.
+  *    Small collected manifests go through a direct parquet
+  *    reader/writer (no job) plus an immutability-keyed cache.
+  *  - '''Schema in the log, not the footers.''' Every commit publishes
+  *    the table schema (`v<N>.schema`); reads project files through it,
+  *    so a file written before a column existed reads as NULL without
+  *    any per-scan footer-merge pass — additive schema evolution, the
+  *    Delta/Iceberg upgrade path that never rewrites history (see
+  *    [[merge]]'s `evolveSchema`).
   *  - '''Optimistic concurrency.''' Version N+1 is claimed by an
   *    EXCLUSIVE CREATE of a `.v<N+1>.lock` marker (O_CREAT|O_EXCL on
   *    local disks, namenode-atomic `create(overwrite=false)` on
@@ -39,6 +62,14 @@ import org.apache.spark.sql.functions._
   *    days, not the table). Within touched partitions the surviving
   *    target rows and the source rows are one anti-join + union,
   *    shuffling only those partitions' data.
+  *  - '''Merge-on-read deletes.''' [[deleteVectored]] commits a
+  *    DELETE as a deletion vector — (file, row position) pairs stored
+  *    beside the manifest — rewriting ZERO data files; readers
+  *    anti-join the (broadcast-sized) vector; [[compact]]
+  *    materializes and drops it. [[delete]] remains the copy-on-write
+  *    path. At 100 TB with frequent small erasures, vectored delete is
+  *    the right amortization: O(deleted rows) write now, one bounded
+  *    rewrite at the next compaction.
   *
   * MERGE semantics (whole-row, the standard upsert):
   * source row matches target on `keys` → source version wins
@@ -56,6 +87,14 @@ object Versioned {
   private def manifestPath(path: String, v: Long) =
     new Path(manifestDir(path), s"v$v.manifest")
 
+  private def schemaPath(path: String, v: Long) =
+    new Path(manifestDir(path), s"v$v.schema")
+
+  private def dvPath(path: String, v: Long) =
+    new Path(manifestDir(path), s"v$v.dv")
+
+  private def lastSeg(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+
   /** Highest committed version, or None for an uninitialized table. */
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
     val f = fs(spark, path)
@@ -69,21 +108,154 @@ object Versioned {
     }
   }
 
+  private def resolve(spark: SparkSession, path: String,
+      version: Option[Long]): Long =
+    version.orElse(currentVersion(spark, path))
+      .getOrElse(sys.error(s"uninitialized versioned table: $path"))
+
+  // ---------------------------------------------------------------- //
+  // manifest I/O                                                     //
+  // ---------------------------------------------------------------- //
+
+  /** Manifests and schemas are IMMUTABLE once committed (vacuum only
+    * ever deletes them), so (path, version) keys can be cached for the
+    * life of the JVM; [[vacuum]] invalidates its table's entries. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[StructType]]()
+
+  private def invalidate(path: String): Unit = {
+    manifestCache.keySet.removeIf(_._1 == path)
+    schemaCache.keySet.removeIf(_._1 == path)
+  }
+
+  private val manifestFields = StructType(Seq(StructField("f", StringType)))
+
+  /** Driver-side manifest read: parquet directory (current) or text
+    * file (legacy), through a direct columnar reader — no Spark job,
+    * because the scan path needs the list as explicit paths anyway —
+    * behind the immutability cache. */
   private def readManifest(spark: SparkSession, path: String,
       v: Long): Seq[String] = {
-    val in = fs(spark, path).open(manifestPath(path, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-    finally in.close()
+    val k = (path, v)
+    val hit = manifestCache.get(k)
+    if (hit != null) return hit
+    val f = fs(spark, path)
+    val p = manifestPath(path, v)
+    val st = f.getFileStatus(p) // throws FileNotFound for vacuumed/absent
+    val r: Seq[String] =
+      if (st.isDirectory) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val parts = f.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val out = Seq.newBuilder[String]
+        parts.foreach { part =>
+          val rd = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              part)
+            .withConf(conf).build()
+          try {
+            var g = rd.read()
+            while (g != null) { out += g.getString("f", 0); g = rd.read() }
+          } finally rd.close()
+        }
+        out.result()
+      } else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    if (manifestCache.size > 256) manifestCache.clear()
+    manifestCache.put(k, r)
+    r
+  }
+
+  /** The manifest as a DataFrame (column `f`) — the distributed path
+    * for set operations whose cardinality is O(table files), e.g. the
+    * carried side of a partition-scoped [[merge]]. */
+  private def manifestDf(spark: SparkSession, path: String,
+      v: Long): DataFrame = {
+    val p = manifestPath(path, v)
+    if (fs(spark, path).getFileStatus(p).isDirectory)
+      spark.read.schema(manifestFields).parquet(p.toString)
+    else // legacy text manifest: tiny by construction
+      spark.createDataset(readManifest(spark, path, v))(Encoders.STRING)
+        .toDF("f")
+  }
+
+  /** Direct single-file parquet write of a small, already-collected
+    * manifest — the common init/compact/delete/clone commit stays a
+    * metadata-speed driver write instead of a Spark job. */
+  private def writeManifestDirect(spark: SparkSession, file: Path,
+      fileList: Seq[String]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.MessageTypeParser
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mt = MessageTypeParser.parseMessageType(
+      "message manifest { required binary f (UTF8); }")
+    val w = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf).withType(mt).build()
+    try fileList.foreach { s =>
+      val g = new SimpleGroup(mt)
+      g.append("f", s)
+      w.write(g)
+    } finally w.close()
   }
 
   /** The files of version `v` (default: current). */
   def files(spark: SparkSession, path: String,
-      version: Option[Long] = None): Seq[String] = {
-    val v = version.orElse(currentVersion(spark, path))
-      .getOrElse(sys.error(s"uninitialized versioned table: $path"))
-    readManifest(spark, path, v)
+      version: Option[Long] = None): Seq[String] =
+    readManifest(spark, path, resolve(spark, path, version))
+
+  /** The committed table schema of version `v` (default: current);
+    * None for legacy tables committed before schemas were logged. */
+  def tableSchema(spark: SparkSession, path: String,
+      version: Option[Long] = None): Option[StructType] = {
+    val v = resolve(spark, path, version)
+    val k = (path, v)
+    val hit = schemaCache.get(k)
+    if (hit != null) return hit
+    val f = fs(spark, path)
+    val p = schemaPath(path, v)
+    val r =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(DataType.fromJson(txt).asInstanceOf[StructType])
+      }
+    if (schemaCache.size > 256) schemaCache.clear()
+    schemaCache.put(k, r)
+    r
   }
+
+  /** The deletion vector of version `v` (default: current), as a
+    * DataFrame of (f = file name, pos = row index) — None when the
+    * version has no outstanding vectored deletes. */
+  def deletionVector(spark: SparkSession, path: String,
+      version: Option[Long] = None): Option[DataFrame] = {
+    val v = resolve(spark, path, version)
+    val p = dvPath(path, v)
+    if (!fs(spark, path).exists(p)) None
+    else Some(spark.read.schema(dvFields).parquet(p.toString))
+  }
+
+  private val dvFields = StructType(Seq(
+    StructField("f", StringType),
+    StructField("pos", org.apache.spark.sql.types.LongType)))
+
+  // deletion vectors key rows by (file NAME, row position): part-file
+  // names embed the write-job UUID, so they are globally unique and
+  // immune to scheme/URI-encoding mismatches between manifest entries
+  // and `_metadata.file_path` renderings
+  private val metaF = "__graft_dv_f"
+  private val metaP = "__graft_dv_pos"
 
   /** Batch-level directory name, partition-style (`gbatch=<v>`) so a
     * manifest mixing files from several batches still presents ONE
@@ -97,24 +269,63 @@ object Versioned {
     * by their data root (the `…/data` prefix before the batch
     * directory), read each group against its own root so partition
     * columns reconstruct identically, and union. The common
-    * single-root case stays one scan. */
+    * single-root case stays one scan. When the version logged a
+    * schema, project every file through it (absent columns read as
+    * NULL — additive evolution without a footer-merge pass); `meta`
+    * additionally surfaces the (file, row position) identity the
+    * deletion-vector anti-join keys on. */
   private def readFiles(spark: SparkSession, path: String,
-      fileList: Seq[String]): DataFrame = {
+      fileList: Seq[String], schemaOpt: Option[StructType],
+      meta: Boolean): DataFrame = {
     def root(f: String): String = {
       val i = f.lastIndexOf(s"/data/$batchCol=")
       require(i > 0, s"manifest entry outside a data root: $f")
       f.substring(0, i + "/data".length)
     }
-    fileList.groupBy(root).toSeq.sortBy(_._1).map { case (base, fs) =>
-      spark.read.option("basePath", base).parquet(fs: _*).drop(batchCol)
+    require(fileList.nonEmpty,
+      s"empty manifest for $path — a versioned table must always " +
+        "reference at least one (possibly schema-only) data file")
+    fileList.groupBy(root).toSeq.sortBy(_._1).map { case (base, fps) =>
+      val rdr0 = spark.read.option("basePath", base)
+      val rdr = schemaOpt.fold(rdr0) { s0 =>
+        rdr0.schema(StructType(s0.fields :+ StructField(batchCol, StringType)))
+      }
+      val df0 = rdr.parquet(fps: _*)
+      val df1 =
+        if (meta) df0.select(col("*"),
+          col("_metadata.file_name").as(metaF),
+          col("_metadata.row_index").as(metaP))
+        else df0
+      df1.drop(batchCol)
     }.reduce(_ unionByName _)
   }
 
-  /** Read a snapshot (default: current). `basePath` keeps partition
-    * columns recoverable from the directory layout. */
+  /** The LIVE rows of version `v` over `subset` (default: all its
+    * files): manifest scan through the logged schema, minus the
+    * version's deletion vector (a broadcast anti-join on file + row
+    * position — the vector holds deleted rows only, small by
+    * construction). */
+  private def readLive(spark: SparkSession, path: String, v: Long,
+      subset: Option[Seq[String]], keepMeta: Boolean): DataFrame = {
+    val fl = subset.getOrElse(readManifest(spark, path, v))
+    val dv = deletionVector(spark, path, Some(v))
+    val schemaOpt = tableSchema(spark, path, Some(v))
+    val needMeta = keepMeta || dv.nonEmpty
+    val base = readFiles(spark, path, fl, schemaOpt, needMeta)
+    val live = dv.fold(base) { d =>
+      base.join(
+        broadcast(d.select(col("f").as(metaF), col("pos").as(metaP))),
+        Seq(metaF, metaP), "left_anti")
+    }
+    if (keepMeta || !needMeta) live else live.drop(metaF, metaP)
+  }
+
+  /** Read a snapshot (default: current): the manifest's files through
+    * the version's logged schema, minus its deletion vector. */
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame =
-    readFiles(spark, path, files(spark, path, version))
+    readLive(spark, path, resolve(spark, path, version), None,
+      keepMeta = false)
 
   /** Stage a batch's rows as immutable files under a UNIQUE
     * `data/gbatch=<v>-<uuid>/` directory and return (dir, paths). The
@@ -142,17 +353,55 @@ object Versioned {
     (dir, out.result())
   }
 
-  /** Atomically commit `fileList` as version `v`. True iff this writer
-    * won the race for `v`.
+  /** Dynamic-partition writes of an EMPTY DataFrame create zero files
+    * (the writer materializes partition directories lazily), so a
+    * delete/merge/compact that empties the table would otherwise
+    * commit an empty manifest and leave the table unreadable. When
+    * the candidate manifest would be empty, re-stage one
+    * NON-partitioned schema-only parquet file (Spark writes a
+    * metadata-bearing part file even for zero rows) so the empty
+    * table keeps its schema; the partition column survives as a
+    * regular column, which stays consistent because this file is only
+    * ever the manifest's SOLE entry — and [[merge]] always rewrites
+    * files that sit outside a partition directory, so it can never
+    * later share a manifest with partitioned files. */
+  private def ensureManifestNonEmpty(df: DataFrame, path: String,
+      stagedDir: Path, staged: Seq[String],
+      carriedNonEmpty: Boolean): Seq[String] = {
+    if (staged.nonEmpty || carriedNonEmpty) staged
+    else {
+      df.limit(0).coalesce(1).write.mode("overwrite")
+        .parquet(stagedDir.toString)
+      val f = fs(df.sparkSession, path)
+      val it = f.listFiles(stagedDir, true)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          out += s.getPath.toString
+      }
+      out.result()
+    }
+  }
+
+  /** Atomically commit a file list as version `v`, together with the
+    * version's schema and (optionally) its deletion vector. True iff
+    * this writer won the race for `v`.
     *
     * The lock is an EXCLUSIVE CREATE of `.v<v>.lock` — on a local
     * filesystem that is a real O_CREAT|O_EXCL via java.nio (POSIX
     * rename would silently overwrite, so exists()+rename is
     * check-then-act there); on HDFS `create(overwrite = false)` is
-    * namenode-atomic. Only the lock winner writes the manifest, still
-    * via tmp+rename so readers never observe a torn file list. */
+    * namenode-atomic. Only the lock winner writes schema, vector and
+    * manifest; the manifest DIRECTORY rename is the publish point, so
+    * readers never observe a torn version. A `Left` (collected) list
+    * is written by the direct parquet writer — no job; a `Right`
+    * DataFrame (the partition-scoped merge's carried set) is written
+    * by the engine and NEVER materialized on the driver. */
   private def commit(spark: SparkSession, path: String, v: Long,
-      fileList: Seq[String]): Boolean = {
+      fileList: Either[Seq[String], DataFrame],
+      schema: Option[StructType] = None,
+      dv: Option[DataFrame] = None): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val lock = new Path(manifestDir(path), s".v$v.lock")
@@ -173,12 +422,25 @@ object Versioned {
         catch { case _: java.io.IOException => false }
       }
     if (!won) return false
+    schema.foreach { s0 =>
+      val out = f.create(schemaPath(path, v), true)
+      try out.write(s0.json.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    dv.foreach { d =>
+      d.select(col("f"), col("pos")).coalesce(16).write
+        .mode("overwrite").parquet(dvPath(path, v).toString)
+    }
     val tmp = new Path(manifestDir(path),
       s".v$v.manifest.tmp.${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write((fileList.mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    fileList match {
+      case Left(seq) =>
+        f.mkdirs(tmp)
+        writeManifestDirect(spark, new Path(tmp, "part-00000.parquet"), seq)
+        manifestCache.put((path, v), seq.toList)
+      case Right(df) =>
+        df.select(col("f")).write.mode("overwrite").parquet(tmp.toString)
+    }
     f.rename(tmp, manifestPath(path, v))
   }
 
@@ -189,25 +451,33 @@ object Versioned {
     require(currentVersion(spark, path).isEmpty,
       s"table already initialized: $path")
     val (_, staged) = stage(df, path, 1L, partitionCol)
-    require(commit(spark, path, 1L, staged), s"init lost a commit race: $path")
+    require(commit(spark, path, 1L, Left(staged), Some(df.schema)),
+      s"init lost a commit race: $path")
     1L
   }
 
   /** MERGE `source` into the table (semantics in the object doc).
-    * Returns the committed version. */
+    * Returns the committed version.
+    *
+    * `evolveSchema = true` turns on ADDITIVE schema evolution: source
+    * columns the target lacks are appended to the table schema (carried
+    * files surface NULL for them through the logged-schema read — no
+    * history rewrite), and target columns the source lacks are
+    * NULL-filled on insert. The default stays strict: the source must
+    * carry every target column and extras are dropped, so an
+    * accidental extra column cannot silently change the table. */
   def merge(source: DataFrame, path: String, keys: Seq[String],
       partitionCol: Option[String] = None,
-      deleteCol: Option[String] = None, maxRetries: Int = 5): Long = {
+      deleteCol: Option[String] = None, maxRetries: Int = 5,
+      evolveSchema: Boolean = false): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = source.sparkSession
     var attempt = 0
     while (attempt <= maxRetries) {
-      val cur = currentVersion(spark, path)
-        .getOrElse(sys.error(s"uninitialized versioned table: $path"))
+      val cur = resolve(spark, path, None)
       val next = cur + 1
-      val curFiles = readManifest(spark, path, cur)
 
-      val (carried, rewriteDf) = partitionCol match {
+      val (carriedDf, hitList, rewriteDf) = partitionCol match {
         case Some(pc) =>
           // untouched partitions carry over BY REFERENCE. Match against
           // the HIVE-ESCAPED directory name (specials are %-encoded on
@@ -225,28 +495,83 @@ object Versioned {
             .collect().map { r =>
               ExternalCatalogUtils.getPartitionPathString(pc,
                 if (r.isNullAt(0)) null else r.getString(0))
-            }.toSet
-          val (hit, keep) = curFiles.partition(f =>
-            touched.exists(t => f.contains(s"/$t/")))
+            }.toSeq
+          // manifest set-split runs through the engine: only the HIT
+          // side (bounded by the batch's partition footprint) is ever
+          // collected; the carried side flows manifest→manifest as a
+          // DataFrame. Files outside any `pc=` directory (the
+          // schema-only file a table-emptying commit leaves behind)
+          // are ALWAYS rewritten: they can't be attributed to an
+          // untouched partition, and carrying them next to partitioned
+          // files would present an inconsistent directory structure to
+          // partition discovery.
+          val seg = regexp_extract(col("f"),
+            "/(" + java.util.regex.Pattern.quote(pc) + "=[^/]*)/", 1)
+          val touchedDf = spark.createDataset(touched)(Encoders.STRING)
+            .toDF("seg")
+          val withSeg = manifestDf(spark, path, cur).withColumn("seg", seg)
+          val hit = withSeg.filter(col("seg") === lit("")).unionByName(
+            withSeg.filter(col("seg") =!= lit(""))
+              .join(touchedDf, Seq("seg"), "left_semi"))
+            .select("f").collect().map(_.getString(0)).toSeq
+          val keepDf = withSeg.filter(col("seg") =!= lit(""))
+            .join(touchedDf, Seq("seg"), "left_anti").select("f")
           val hitDf =
-            if (hit.isEmpty) spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              read(spark, path, Some(cur)).schema)
-            else readFiles(spark, path, hit)
-          (keep, hitDf)
-        case None => (Seq.empty[String], read(spark, path, Some(cur)))
+            if (hit.isEmpty) {
+              val schema = tableSchema(spark, path, Some(cur))
+                .getOrElse(read(spark, path, Some(cur)).schema)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row], schema)
+            } else readLive(spark, path, cur, Some(hit), keepMeta = false)
+          (Some(keepDf), hit, hitDf)
+        case None =>
+          (None, Seq.empty[String],
+            readLive(spark, path, cur, None, keepMeta = false))
       }
 
-      val srcCols = rewriteDf.columns.toSeq
-      val inserts = deleteCol.fold(source)(d =>
-        source.filter(!coalesce(col(d), lit(false))))
-        .select(srcCols.map(col): _*)
+      val tgtCols = rewriteDf.columns.toSeq
+      val srcClean = deleteCol match {
+        case Some(d) if !tgtCols.contains(d) =>
+          source.filter(!coalesce(col(d), lit(false))).drop(d)
+        case Some(d) => source.filter(!coalesce(col(d), lit(false)))
+        case None => source
+      }
+      val inserts =
+        if (evolveSchema) srcClean else srcClean.select(tgtCols.map(col): _*)
       val survivors = rewriteDf.join(
         source.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      val merged = survivors.unionByName(inserts)
+      val merged = survivors.unionByName(inserts,
+        allowMissingColumns = evolveSchema)
 
-      val (stagedDir, staged) = stage(merged, path, next, partitionCol)
-      if (commit(spark, path, next, carried ++ staged)) return next
+      // deletion vectors on rewritten files are materialized by the
+      // rewrite; vectors on carried files carry with them (full
+      // rewrite → no carried files → vector dropped entirely)
+      val dvCarried = carriedDf match {
+        case None => None
+        case Some(_) =>
+          deletionVector(spark, path, Some(cur)).flatMap { d =>
+            val hitNames = hitList.map(lastSeg)
+            val rest =
+              if (hitNames.isEmpty) d
+              else d.filter(!col("f").isin(hitNames: _*))
+            if (rest.isEmpty) None else Some(rest)
+          }
+      }
+
+      val (stagedDir, staged0) = stage(merged, path, next, partitionCol)
+      val carriedNonEmpty = carriedDf match {
+        case None => false
+        case Some(k) => if (staged0.nonEmpty) true else !k.isEmpty
+      }
+      val staged = ensureManifestNonEmpty(merged, path, stagedDir,
+        staged0, carriedNonEmpty)
+      val filesArg: Either[Seq[String], DataFrame] = carriedDf match {
+        case None => Left(staged)
+        case Some(k) => Right(k.unionByName(
+          spark.createDataset(staged)(Encoders.STRING).toDF("f")))
+      }
+      if (commit(spark, path, next, filesArg, Some(merged.schema), dvCarried))
+        return next
       // lost the race: another writer committed `next` — clean up OUR
       // OWN staging directory only (uuid-suffixed, so the winner's
       // files are untouchable by construction) and re-merge against
@@ -259,14 +584,15 @@ object Versioned {
   }
 
   /** ZERO-COPY shallow clone: publish `src`'s current snapshot as
-    * version 1 of a new table at `dst` by copying the MANIFEST only —
-    * the data files are shared by reference, so cloning a 100 TB table
-    * costs one small metadata write (the Delta/Iceberg shallow-clone
-    * shape: dev/test sandboxes, WAP staging branches, reproducible
-    * experiment pins). Writes to the clone stage their own files under
-    * the clone's directory and never touch the source; the clone's
-    * first full rewrite (merge without partitionCol, or compact) ends
-    * the sharing entirely.
+    * version 1 of a new table at `dst` by copying the MANIFEST (plus
+    * logged schema and deletion vector) only — the data files are
+    * shared by reference, so cloning a 100 TB table costs one small
+    * metadata write (the Delta/Iceberg shallow-clone shape: dev/test
+    * sandboxes, WAP staging branches, reproducible experiment pins).
+    * Writes to the clone stage their own files under the clone's
+    * directory and never touch the source; the clone's first full
+    * rewrite (merge without partitionCol, or compact) ends the
+    * sharing entirely.
     *
     * Caveat shared with every shallow-clone design: [[vacuum]] is
     * table-local reference counting, so vacuuming the SOURCE may
@@ -276,8 +602,10 @@ object Versioned {
   def clone(spark: SparkSession, src: String, dst: String): Long = {
     require(currentVersion(spark, dst).isEmpty,
       s"clone target already initialized: $dst")
-    val fileList = files(spark, src)
-    require(commit(spark, dst, 1L, fileList),
+    val v = resolve(spark, src, None)
+    require(commit(spark, dst, 1L, Left(readManifest(spark, src, v)),
+      tableSchema(spark, src, Some(v)),
+      deletionVector(spark, src, Some(v))),
       s"clone lost a commit race: $dst")
     1L
   }
@@ -285,23 +613,26 @@ object Versioned {
   /** Compact the current snapshot into `targetFiles` files and commit
     * the rewrite as a new version — data-identical by construction
     * (the plan is read → round-robin repartition → write; no filter,
-    * no projection). The small-file problem this solves is the
-    * steady-state of any merge-maintained lake: every MERGE stages a
-    * fresh batch directory, so the file count grows with commit count
-    * while file SIZE shrinks toward the per-task sliver, and at 100 TB
-    * the scan's task-scheduling + footer overhead comes to dominate.
-    * Compaction trades one bounded rewrite for a scan-optimal layout;
-    * readers of older versions are untouched (their files stay until
-    * [[vacuum]]).
+    * no projection), with any outstanding deletion vector MATERIALIZED
+    * by the rewrite and dropped from the new version. The small-file
+    * problem this solves is the steady-state of any merge-maintained
+    * lake: every MERGE stages a fresh batch directory, so the file
+    * count grows with commit count while file SIZE shrinks toward the
+    * per-task sliver, and at 100 TB the scan's task-scheduling +
+    * footer overhead comes to dominate. Compaction trades one bounded
+    * rewrite for a scan-optimal layout; readers of older versions are
+    * untouched (their files stay until [[vacuum]]).
     *
     * Without `partitionCol` the rewrite is a round-robin
     * `repartition(targetFiles)`, so the new version has EXACTLY
     * `targetFiles` files whenever rows ≥ targetFiles (round-robin
     * spreads rows evenly — no empty tasks). With `partitionCol` the
-    * data is clustered by partition value first (`repartition(n, pc)`)
-    * and written `partitionBy(pc)`, giving at most `targetFiles` files
-    * per partition value and preserving partition-scoped [[merge]]
-    * carry-over semantics for subsequent commits.
+    * data is clustered by partition value first (`repartition(n, pc)`
+    * hash-routes ALL rows of one value into one task) and written
+    * `partitionBy(pc)`, giving ONE file per partition value —
+    * scan-optimal when partitions are date-grain sized — and
+    * preserving partition-scoped [[merge]] carry-over semantics for
+    * subsequent commits.
     *
     * Concurrency: same optimistic loop as [[merge]] — losing a commit
     * race re-reads the new current (which may contain rows the raced
@@ -312,16 +643,18 @@ object Versioned {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     var attempt = 0
     while (attempt <= maxRetries) {
-      val cur = currentVersion(spark, path)
-        .getOrElse(sys.error(s"uninitialized versioned table: $path"))
+      val cur = resolve(spark, path, None)
       val next = cur + 1
-      val snap = read(spark, path, Some(cur))
+      val snap = readLive(spark, path, cur, None, keepMeta = false)
       val laidOut = partitionCol match {
         case Some(pc) => snap.repartition(targetFiles, col(pc))
         case None     => snap.repartition(targetFiles)
       }
-      val (stagedDir, staged) = stage(laidOut, path, next, partitionCol)
-      if (commit(spark, path, next, staged)) return next
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(snap.schema)
+      val (stagedDir, staged0) = stage(laidOut, path, next, partitionCol)
+      val staged = ensureManifestNonEmpty(laidOut, path, stagedDir,
+        staged0, carriedNonEmpty = false)
+      if (commit(spark, path, next, Left(staged), Some(schema))) return next
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
     }
@@ -329,27 +662,28 @@ object Versioned {
       s"(1 attempt + $maxRetries retries): $path")
   }
 
-  /** Receipt of a [[delete]]: the committed version, how many files
-    * were rewritten vs carried by reference, and the matched row
-    * count. `version == -1` means the predicate matched nothing and
-    * no new version was committed (a no-op DELETE, like Delta's). */
+  /** Receipt of a [[delete]] / [[deleteVectored]]: the committed
+    * version, how many files were rewritten vs carried by reference,
+    * and the matched row count. `version == -1` means the predicate
+    * matched nothing and no new version was committed (a no-op
+    * DELETE, like Delta's). A vectored delete always reports
+    * `rewritten == 0`. */
   final case class Erasure(version: Long, rewritten: Int, carried: Int,
     deletedRows: Long)
 
-  /** Scheme-stripped, decoded filesystem path — the common coordinate
-    * between manifest entries (`FileStatus.getPath.toString`) and
-    * `input_file_name()` (URL-encoded URI). */
-  private def uriPath(f: String): String = new Path(f).toUri.getPath
-
-  /** DELETE every row matching `pred`, rewriting ONLY the files that
-    * contain at least one matching row; all other files carry into the
-    * new manifest BY REFERENCE. This is the Delta `DELETE` shape and
+  /** DELETE every row matching `pred` (copy-on-write), rewriting ONLY
+    * the files that contain at least one matching LIVE row; all other
+    * files carry into the new manifest BY REFERENCE, as do their
+    * deletion-vector entries. This is the Delta `DELETE` shape and
     * the right-to-be-forgotten primitive: erasing one user from a
     * 100 TB table costs I/O proportional to that user's FILE FOOTPRINT
     * (find pass reads only the predicate's columns; rewrite pass reads
     * only the hit files), not to the table — and if ingest clustered
     * the table on the erasure key ([[compact]] with a key layout), the
-    * footprint is a handful of files.
+    * footprint is a handful of files. Rows where `pred` evaluates NULL
+    * are RETAINED (SQL DELETE erases only where the predicate IS
+    * TRUE). For frequent small erasures prefer [[deleteVectored]]
+    * (merge-on-read) and amortize the rewrite into [[compact]].
     *
     * Tables initialized/maintained with a `partitionCol` must pass the
     * same column here so the rewrite preserves the directory layout
@@ -364,26 +698,40 @@ object Versioned {
       maxRetries: Int = 5): Erasure = {
     var attempt = 0
     while (attempt <= maxRetries) {
-      val cur = currentVersion(spark, path)
-        .getOrElse(sys.error(s"uninitialized versioned table: $path"))
+      val cur = resolve(spark, path, None)
       val next = cur + 1
       val curFiles = readManifest(spark, path, cur)
-      // find pass: which files hold matching rows? Column-pruned scan
-      // (only the predicate's inputs are read); result cardinality is
-      // bounded by the FILE count, so the collect is manifest-scale.
-      val hitPaths = readFiles(spark, path, curFiles).filter(pred)
-        .select(input_file_name().as("f")).distinct()
-        .collect().map(r => uriPath(r.getString(0))).toSet
-      val (hit, keep) = curFiles.partition(f => hitPaths.contains(uriPath(f)))
-      require(hit.length == hitPaths.size,
+      // find pass: which files hold matching LIVE rows? Column-pruned
+      // scan (only the predicate's inputs are read); result
+      // cardinality is bounded by the FILE count, so the collect is
+      // manifest-scale.
+      val liveMeta = readLive(spark, path, cur, None, keepMeta = true)
+      val hitNames = liveMeta.filter(pred).select(col(metaF)).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (hit, keep) = curFiles.partition(f => hitNames.contains(lastSeg(f)))
+      require(hit.length == hitNames.size,
         s"delete find-pass returned files outside the manifest: " +
-          s"${hitPaths.size} scanned vs ${hit.length} matched in $path")
+          s"${hitNames.size} scanned vs ${hit.length} matched in $path")
       if (hit.isEmpty) return Erasure(-1L, 0, curFiles.length, 0L)
-      val hitDf = readFiles(spark, path, hit)
-      val deletedRows = hitDf.filter(pred).count()
-      val survivors = hitDf.filter(!pred)
-      val (stagedDir, staged) = stage(survivors, path, next, partitionCol)
-      if (commit(spark, path, next, keep ++ staged))
+      val hitLive = readLive(spark, path, cur, Some(hit), keepMeta = false)
+      val deletedRows = hitLive.filter(pred).count()
+      // SQL DELETE removes rows where pred IS TRUE; under three-valued
+      // logic `!pred` also drops NULL-evaluating rows, which must be
+      // RETAINED — coalesce pins NULL to "not deleted"
+      val survivors = hitLive.filter(!coalesce(pred, lit(false)))
+      val (stagedDir, staged0) = stage(survivors, path, next, partitionCol)
+      val staged = ensureManifestNonEmpty(survivors, path, stagedDir,
+        staged0, keep.nonEmpty)
+      val dvCarried = deletionVector(spark, path, Some(cur)).flatMap { d =>
+        val rest =
+          if (hitNames.isEmpty) d
+          else d.filter(!col("f").isin(hitNames.toSeq: _*))
+        if (rest.isEmpty) None else Some(rest)
+      }
+      val schema = tableSchema(spark, path, Some(cur))
+        .getOrElse(survivors.schema)
+      if (commit(spark, path, next, Left(keep ++ staged), Some(schema),
+          dvCarried))
         return Erasure(next, hit.length, keep.length, deletedRows)
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
@@ -392,9 +740,50 @@ object Versioned {
       s"(1 attempt + $maxRetries retries): $path")
   }
 
+  /** DELETE every row matching `pred` as a MERGE-ON-READ deletion
+    * vector: commit a new version whose file list is IDENTICAL to the
+    * current one, plus a (file, row position) vector of the matched
+    * live rows; [[read]] anti-joins the vector, [[compact]]
+    * materializes and drops it, [[merge]]/[[delete]] carry it for
+    * files they don't rewrite. Write cost is O(deleted rows) — zero
+    * data-file rewrite — which is the right amortization for frequent
+    * small erasures on a 100 TB table (Delta/Iceberg v2 deletion
+    * vectors); read cost is one broadcast anti-join until the next
+    * compaction. Successive vectored deletes accumulate by UNION.
+    * Rows where `pred` evaluates NULL are retained, as in [[delete]].
+    *
+    * Concurrency: the same optimistic loop — the vector is computed
+    * against the version it commits on top of. */
+  def deleteVectored(spark: SparkSession, path: String, pred: Column,
+      maxRetries: Int = 5): Erasure = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      val curFiles = readManifest(spark, path, cur)
+      val live = readLive(spark, path, cur, None, keepMeta = true)
+      val newDv = live.filter(pred)
+        .select(col(metaF).as("f"), col(metaP).as("pos"))
+      val deletedRows = newDv.count()
+      if (deletedRows == 0L) return Erasure(-1L, 0, curFiles.length, 0L)
+      val combined = deletionVector(spark, path, Some(cur))
+        .fold(newDv)(prev => prev.unionByName(newDv))
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(
+        StructType(live.schema.filterNot(f =>
+          f.name == metaF || f.name == metaP)))
+      if (commit(spark, path, next, Left(curFiles), Some(schema),
+          Some(combined)))
+        return Erasure(next, 0, curFiles.length, deletedRows)
+      attempt += 1
+    }
+    sys.error(s"deleteVectored lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
   /** Delete data files referenced by NO surviving manifest and drop
-    * all but the last `keepLast` manifests. Returns deleted file
-    * count. Readers of retained versions are unaffected. */
+    * all but the last `keepLast` manifests (with their schema and
+    * deletion-vector sidecars). Returns deleted file count. Readers
+    * of retained versions are unaffected. */
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the current version")
     val f = fs(spark, path)
@@ -419,9 +808,12 @@ object Versioned {
       dead.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
     drop.foreach { v =>
-      f.delete(manifestPath(path, v), false)
+      f.delete(manifestPath(path, v), true)
+      f.delete(schemaPath(path, v), false)
+      f.delete(dvPath(path, v), true)
       f.delete(new Path(dir, s".v$v.lock"), false)
     }
+    invalidate(path)
     deleted
   }
 }

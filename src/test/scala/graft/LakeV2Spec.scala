@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Versioned
+
+/** Round-9 lake upgrades: merge-on-read deletion vectors (read
+  * equivalence with the copy-on-write path, zero-rewrite commit,
+  * carry/materialize rules, compact clears), additive schema
+  * evolution on MERGE (carried files surface NULL through the logged
+  * schema; time travel keeps the old shape), and the parquet manifest
+  * (directory layout, many-file carry-over without driver
+  * materialization of the carried side). */
+class LakeV2Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_lakev2").toString
+
+  private def rm(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private val base = Seq(
+    (1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"), (4L, "four", "b"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("deleteVectored: zero files rewritten, read-equivalent to " +
+      "copy-on-write delete, history intact") {
+    val cow = tmp(); val mor = tmp()
+    try {
+      Versioned.init(base.toDF("k", "v", "p").repartition(2), cow)
+      Versioned.init(base.toDF("k", "v", "p").repartition(2), mor)
+      val ec = Versioned.delete(spark, cow, col("k") === 2L)
+      val ev = Versioned.deleteVectored(spark, mor, col("k") === 2L)
+      assert(ev.rewritten == 0, "vectored delete must rewrite nothing")
+      assert(ev.deletedRows == 1L && ec.deletedRows == 1L)
+      assert(Versioned.files(spark, mor, Some(2L)) ==
+        Versioned.files(spark, mor, Some(1L)),
+        "vectored delete must commit the IDENTICAL file list")
+      assert(rows(Versioned.read(spark, mor)) ==
+        rows(Versioned.read(spark, cow)),
+        "merge-on-read and copy-on-write must read identically")
+      assert(rows(Versioned.read(spark, mor, Some(1L))) ==
+        base.toSet.map((t: (Long, String, String)) => t),
+        "time travel must see the pre-delete snapshot")
+      assert(Versioned.deletionVector(spark, mor).nonEmpty)
+      assert(Versioned.deletionVector(spark, mor, Some(1L)).isEmpty)
+    } finally { rm(cow); rm(mor) }
+  }
+
+  test("deleteVectored accumulates across commits; NULL predicate " +
+      "rows are retained") {
+    val dir = tmp()
+    try {
+      val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(20L)),
+        (4L, Some(30L))).toDF("k", "v")
+      Versioned.init(withNull.coalesce(1), dir)
+      assert(Versioned.deleteVectored(spark, dir, col("v") > 25).deletedRows
+        == 1L)
+      // second vector on top of the first; v IS NULL (k=2) must survive
+      assert(Versioned.deleteVectored(spark, dir, col("v") > 10).deletedRows
+        == 1L, "already-deleted rows must not be re-counted")
+      val kept = Versioned.read(spark, dir).select("k").as[Long]
+        .collect().toSet
+      assert(kept == Set(1L, 2L), s"expected {1,2}, got $kept")
+      val dv = Versioned.deletionVector(spark, dir).get
+      assert(dv.count() == 2L, "vectors must accumulate by union")
+    } finally rm(dir)
+  }
+
+  test("compact materializes the deletion vector and drops it") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "v", "p").repartition(4), dir)
+      Versioned.deleteVectored(spark, dir, col("k") === 1L)
+      val before = rows(Versioned.read(spark, dir))
+      Versioned.compact(spark, dir, targetFiles = 2)
+      assert(Versioned.deletionVector(spark, dir).isEmpty,
+        "compaction must clear the vector")
+      assert(rows(Versioned.read(spark, dir)) == before,
+        "materialization must be read-identical")
+    } finally rm(dir)
+  }
+
+  test("partition-scoped merge carries vectors on carried files and " +
+      "materializes them on rewritten files") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "v", "p"), dir, partitionCol = Some("p"))
+      // one vectored delete in each partition
+      Versioned.deleteVectored(spark, dir, col("k").isin(1L, 3L))
+      // merge touches only partition a → partition a's vector entries
+      // materialize in the rewrite; partition b's carry
+      Versioned.merge(Seq((5L, "five", "a")).toDF("k", "v", "p"),
+        dir, Seq("k"), partitionCol = Some("p"))
+      assert(rows(Versioned.read(spark, dir)) == Set(
+        (2L, "two", "a"), (4L, "four", "b"), (5L, "five", "a")),
+        "deleted rows must stay deleted through the merge")
+      val dv = Versioned.deletionVector(spark, dir)
+      assert(dv.nonEmpty && dv.get.count() == 1L,
+        "only the carried partition's vector entry may remain")
+      // full rewrite drops the vector entirely
+      Versioned.compact(spark, dir, targetFiles = 1,
+        partitionCol = Some("p"))
+      assert(Versioned.deletionVector(spark, dir).isEmpty)
+      assert(rows(Versioned.read(spark, dir)) == Set(
+        (2L, "two", "a"), (4L, "four", "b"), (5L, "five", "a")))
+    } finally rm(dir)
+  }
+
+  test("clone propagates the deletion vector") {
+    val dir = tmp(); val src = s"$dir/src"; val dst = s"$dir/dst"
+    try {
+      Versioned.init(base.toDF("k", "v", "p").repartition(2), src)
+      Versioned.deleteVectored(spark, src, col("k") === 4L)
+      Versioned.clone(spark, src, dst)
+      assert(rows(Versioned.read(spark, dst)) ==
+        rows(Versioned.read(spark, src)),
+        "a clone of a vectored table must not resurrect deleted rows")
+    } finally rm(dir)
+  }
+
+  test("evolveSchema merge: new column NULL-fills carried files; time " +
+      "travel keeps the old shape; strict mode still drops extras") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "v", "p"), dir)
+      // strict (default): extra column is dropped, schema unchanged
+      Versioned.merge(Seq((5L, "five", "a", "EXTRA")).toDF("k", "v", "p", "x"),
+        dir, Seq("k"))
+      assert(Versioned.read(spark, dir).columns.toSeq == Seq("k", "v", "p"),
+        "default merge must not evolve the schema")
+      // evolving: the new column lands; old rows read NULL
+      Versioned.merge(
+        Seq((6L, "six", "b", 0.9)).toDF("k", "v", "p", "score"),
+        dir, Seq("k"), evolveSchema = true)
+      val cur = Versioned.read(spark, dir)
+      assert(cur.columns.toSeq == Seq("k", "v", "p", "score"))
+      val scores = cur.select("k", "score").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some(r.getDouble(1)))).toMap
+      assert(scores(6L).contains(0.9))
+      assert(Seq(1L, 2L, 3L, 4L, 5L).forall(scores(_).isEmpty),
+        "carried files must surface NULL for the added column")
+      // time travel: pre-evolution versions keep the old schema
+      assert(Versioned.read(spark, dir, Some(2L)).columns.toSeq ==
+        Seq("k", "v", "p"))
+      // and evolution composes with upsert semantics on a later merge
+      Versioned.merge(Seq((1L, "ONE", "a", 0.5)).toDF("k", "v", "p", "score"),
+        dir, Seq("k"), evolveSchema = true)
+      val one = Versioned.read(spark, dir).filter(col("k") === 1L)
+        .select("v", "score").head()
+      assert(one.getString(0) == "ONE" && one.getDouble(1) == 0.5)
+    } finally rm(dir)
+  }
+
+  test("evolveSchema also NULL-fills target columns the source lacks") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "v", "p"), dir)
+      Versioned.merge(Seq((7L, "b")).toDF("k", "p"), dir, Seq("k"),
+        evolveSchema = true)
+      val r = Versioned.read(spark, dir).filter(col("k") === 7L).head()
+      assert(r.isNullAt(r.fieldIndex("v")),
+        "missing source column must insert as NULL under evolution")
+    } finally rm(dir)
+  }
+
+  test("manifest is parquet-as-data: directory layout, and a many-file " +
+      "partition merge carries the untouched set by reference") {
+    val dir = tmp()
+    try {
+      // 100 partitions → 100 files; touch ONE partition
+      val wide = (1L to 1000L).map(i => (i, s"v$i", (i % 100).toString))
+      Versioned.init(wide.toDF("k", "v", "p").repartition(8), dir,
+        partitionCol = Some("p"))
+      val v1Files = Versioned.files(spark, dir, Some(1L))
+      assert(v1Files.length >= 100)
+      val f = new org.apache.hadoop.fs.Path(s"$dir/_versions/v1.manifest")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(f.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/_versions/v1.manifest")).isDirectory,
+        "the manifest must be a parquet directory, not a text file")
+      Versioned.merge(Seq((7L, "SEVEN", "7")).toDF("k", "v", "p"),
+        dir, Seq("k"), partitionCol = Some("p"))
+      val v2Files = Versioned.files(spark, dir, Some(2L)).toSet
+      val untouched = v1Files.filterNot(_.contains("/p=7/"))
+      assert(untouched.nonEmpty && untouched.forall(v2Files.contains),
+        "all untouched partitions must carry by file reference")
+      assert(v1Files.filter(_.contains("/p=7/")).forall(!v2Files.contains(_)),
+        "the touched partition must be fully rewritten")
+      val got = Versioned.read(spark, dir).filter(col("k") === 7L)
+        .select("v").head().getString(0)
+      assert(got == "SEVEN")
+      assert(Versioned.read(spark, dir).count() == 1000L)
+    } finally rm(dir)
+  }
+}

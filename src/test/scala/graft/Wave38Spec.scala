@@ -62,4 +62,53 @@ class Wave38Spec extends SparkSuite {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("delete: NULL-evaluating predicate rows are RETAINED, not dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_null3vl").toString
+    try {
+      // v is NULL for k=2 → `v > 10` evaluates NULL there; SQL DELETE
+      // must keep that row (delete only where pred IS TRUE)
+      val base = Seq((1L, Some(5L)), (2L, None), (3L, Some(20L)))
+        .toDF("k", "v")
+      Versioned.init(base.coalesce(1), dir)
+      val e = Versioned.delete(spark, dir, col("v") > 10)
+      assert(e.deletedRows == 1L)
+      val kept = Versioned.read(spark, dir).select("k").as[Long]
+        .collect().toSet
+      assert(kept == Set(1L, 2L),
+        s"NULL-predicate row k=2 must survive the delete: $kept")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("delete everything on a partitioned table leaves a readable " +
+      "empty table that a later merge repopulates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delall").toString
+    try {
+      val base = Seq((1L, "one", "a"), (2L, "two", "b")).toDF("k", "v", "p")
+      Versioned.init(base, dir, partitionCol = Some("p"))
+      val e = Versioned.delete(spark, dir, lit(true),
+        partitionCol = Some("p"))
+      assert(e.deletedRows == 2L && e.carried == 0)
+      val empty = Versioned.read(spark, dir)
+      assert(empty.count() == 0L, "delete-everything must leave zero rows")
+      assert(empty.columns.toSet == Set("k", "v", "p"),
+        "the empty table must keep its schema")
+      // the schema-only file must be rewritten (not carried beside
+      // partitioned files) when data comes back
+      Versioned.merge(Seq((3L, "three", "a")).toDF("k", "v", "p"),
+        dir, Seq("k"), partitionCol = Some("p"))
+      val back = Versioned.read(spark, dir)
+      assert(back.select("k").as[Long].collect().toSeq == Seq(3L))
+      assert(Versioned.files(spark, dir).forall(_.contains("/p=")),
+        "repopulated manifest must be purely partition-layout files")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
