@@ -98,6 +98,67 @@ object ExternalLog {
       .parquet(files.map(f => new Path(path, f).toString): _*)
   }
 
+  /** EXPORT a [[graft.ops.Versioned]] table's commit history as this
+    * external `_log` layout at the SAME table root — the write half of
+    * open-table-format interop. After export, any engine that reads
+    * the add/remove JSON-lines convention sees the same table, version
+    * for version (Versioned version N = log version N−1), with ZERO
+    * data copied: each log commit references the table's own immutable
+    * parquet files by table-relative path, so the export cost is
+    * O(total files) metadata lines, independent of data size — the
+    * shallow-clone economics, aimed outward.
+    *
+    * Incremental and idempotent: log versions already present are
+    * skipped, so `export` after every few commits appends only the new
+    * tail. A version carrying a DELETION VECTOR cannot be expressed as
+    * an add/remove live set (the reader would resurrect its deleted
+    * rows), so it is SKIPPED — the log keeps a numbering gap at that
+    * version, and the next vector-free version (e.g. the
+    * [[graft.ops.Versioned.compact]] that materializes the vector)
+    * diffs against the last exported one, so the exported history is
+    * always exactly the expressible snapshots. Exporting a table whose
+    * CURRENT version carries a vector therefore publishes only its
+    * pre-vector history — compact to publish the erasure. One loud
+    * failure remains: a file rooted OUTSIDE the table (a shallow
+    * clone's by-reference source files) cannot be written as a
+    * relative path — compact to localize, then export.
+    *
+    * Returns the highest log version written or found, -1 if none was
+    * expressible. */
+  def export(spark: SparkSession, path: String): Long = {
+    import graft.ops.Versioned
+    val cur = Versioned.currentVersion(spark, path)
+      .getOrElse(sys.error(s"uninitialized versioned table: $path"))
+    val root = new Path(path).toUri.getPath.stripSuffix("/")
+    def rel(f: String): String = {
+      val p = new Path(f).toUri.getPath
+      require(p.startsWith(root + "/"),
+        s"cannot export externally-rooted file (shallow clone?): $f — " +
+          "compact first to localize the data, then export")
+      p.stripPrefix(root + "/")
+    }
+    val already = versions(spark, path).toSet
+    var prevExported = Seq.empty[String]
+    var latest = -1L
+    (1L to cur).foreach { v =>
+      val lv = v - 1
+      if (already.contains(lv)) {
+        prevExported = Versioned.files(spark, path, Some(v))
+        latest = math.max(latest, lv)
+      } else if (Versioned.deletionVector(spark, path, Some(v)).isEmpty) {
+        val fileList = Versioned.files(spark, path, Some(v))
+        val prevSet = prevExported.toSet
+        val curSet = fileList.toSet
+        commit(spark, path, lv,
+          adds = fileList.filterNot(prevSet.contains).map(rel),
+          removes = prevExported.filterNot(curSet.contains).map(rel))
+        prevExported = fileList
+        latest = lv
+      } // else: deletion-vector version — inexpressible, leave a gap
+    }
+    latest
+  }
+
   /** Append a commit (exclusive-create on the log file — a racing
     * duplicate version fails loudly rather than silently replacing,
     * the [[graft.ops.Versioned]] lock discipline). Fixture/test writer

@@ -77,6 +77,51 @@ class ExternalLogSpec extends SparkSuite {
     assert(!plain.columns.contains("extra") || plain.columns.length == 3)
   }
 
+  test("export: a Versioned table's history round-trips through the " +
+      "log, version for version, with zero data copy") {
+    import graft.ops.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    Versioned.init(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(2), dir)
+    Versioned.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), dir, Seq("id"))
+    assert(ExternalLog.export(spark, dir) == 1L)
+    // per-version identity: log v == versioned v+1
+    (1L to 2L).foreach { v =>
+      val native = Versioned.read(spark, dir, Some(v))
+        .orderBy("id").collect().toSeq
+      val ext = ExternalLog.read(spark, dir, Some(v - 1))
+        .orderBy("id").collect().toSeq
+      assert(native == ext, s"version $v mismatch")
+    }
+    // the exported adds are relative paths into the table's own data
+    assert(ExternalLog.liveFiles(spark, dir).forall(_.startsWith("data/")))
+    // incremental: another merge, re-export appends only the tail
+    Versioned.merge(Seq((4L, "d")).toDF("id", "v"), dir, Seq("id"))
+    assert(ExternalLog.export(spark, dir) == 2L)
+    assert(ExternalLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(ExternalLog.read(spark, dir).orderBy("id")
+      .select("id").as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("export skips inexpressible deletion-vector versions and " +
+      "publishes the materializing compact against the last export") {
+    import graft.ops.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_exdv").toString
+    Versioned.init(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dir)
+    Versioned.deleteVectored(spark, dir, col("id") === 1L)
+    // current version carries a vector: only the pre-vector history
+    // is expressible
+    assert(ExternalLog.export(spark, dir) == 0L)
+    assert(ExternalLog.versions(spark, dir) == Seq(0L))
+    Versioned.compact(spark, dir, targetFiles = 1)
+    assert(ExternalLog.export(spark, dir) == 2L)
+    assert(ExternalLog.versions(spark, dir) == Seq(0L, 2L),
+      "the vector version must stay a numbering gap")
+    assert(ExternalLog.read(spark, dir).select("id").as[Long]
+      .collect().toSeq == Seq(2L),
+      "the exported snapshot must reflect the materialized delete")
+  }
+
   test("snapshot scan opens only the live files") {
     val dir = freshTable()
     ExternalLog.commit(spark, dir, 0L, adds = Seq("d0", "d1"))
