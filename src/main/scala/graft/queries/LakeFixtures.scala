@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Versioned
+
+/** SHARED, IMMUTABLE base lakes for the registry's lake queries.
+  *
+  * Every lake query used to rebuild its own scratch lake from the
+  * orders table on every invocation — at bench time that is two full
+  * init writes per query (warm-up + timed) for a fixture that is
+  * byte-identical across queries. Instead, each base shape is built
+  * ONCE per JVM per scale-factor directory, and queries obtain their
+  * own isolated table via [[Versioned.clone]] — a zero-copy metadata
+  * commit (one small manifest write), which is exactly the
+  * shallow-clone economics the lake itself advertises: dev/test
+  * sandboxes against a production table that nobody copies.
+  *
+  * Isolation contract (why sharing is sound):
+  *  - the base is NEVER written, compacted, or vacuumed — queries
+  *    only clone it; every mutation (merge/delete/compact/vacuum)
+  *    runs on the clone and stages files under the CLONE's directory;
+  *  - [[Versioned.vacuum]] on a clone cannot touch base files: its
+  *    data sweep walks only the clone's own `data/` directory, and
+  *    shared files live under the base's;
+  *  - queries whose semantics REQUIRE self-rooted files (e.g.
+  *    [[graft.io.ExternalLog.export]]'s relative-path contract) keep
+  *    building their own lake and must not use these fixtures.
+  */
+object LakeFixtures {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The shared (k, c, st, p) orders projection the lake queries use. */
+  def ordersBase(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("p"))
+
+  private def build(key: String, prefix: String)(init: String => Unit): String =
+    cache.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+      init(dir)
+      dir
+    })
+
+  /** Full orders, range-clustered on the customer key into 16 files —
+    * the erasure-locality layout (one customer ⇒ one file). */
+  def ordersRange16(s: SparkSession, d: String): String =
+    build(s"r16|$d", "graft_base_r16") { dir =>
+      Versioned.init(ordersBase(s, d).repartitionByRange(16, col("c")), dir)
+    }
+
+  /** Even order keys in 16 round-robin files — the wave-25/32
+    * merge-round base. */
+  def ordersEvens16(s: SparkSession, d: String): String =
+    build(s"e16|$d", "graft_base_e16") { dir =>
+      Versioned.init(ordersBase(s, d).filter(col("k") % 2 === 0)
+        .repartition(16), dir)
+    }
+
+  /** (o_orderkey, o_orderstatus, o_totalprice) partitioned by status —
+    * the partition-scoped merge base. */
+  def ordersByStatus(s: SparkSession, d: String): String =
+    build(s"st|$d", "graft_base_st") { dir =>
+      Versioned.init(Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        dir, partitionCol = Some("o_orderstatus"))
+    }
+
+  /** A fresh isolated clone of `base` in its own temp directory; the
+    * caller owns (and should delete) the returned directory. */
+  def cloneOf(s: SparkSession, base: String, prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+      .resolve("t").toString
+    Versioned.clone(s, base, dir)
+    dir
+  }
+}

@@ -91,20 +91,28 @@ object Wave19Queries {
     * per doc), a bounded 100-node model; every iteration joins the
     * ≤ vocab² edge table against a broadcast 100-row rank vector. */
   def qTextrankKeywords(s: SparkSession, d: String): DataFrame = {
+    // adjacency is computed ROW-LOCALLY: filter the token array, then
+    // zip it against itself shifted by one. The naive shape (posexplode
+    // → lead over a (doc_id, pos) window) shuffles EVERY token of the
+    // corpus once just to find its neighbor; the array zip finds the
+    // same neighbor inside the row, so the first shuffle the plan sees
+    // is already the bounded (wa, wb) pair aggregate.
+    val arr = filter(
+      graft.text.TextStats.tokens(lower(coalesce(col("text"), lit("")))),
+      t => t.rlike("^[a-z]{3,}$"))
     val toks = docs(s, d)
-      .select(col("doc_id"),
-        posexplode(graft.text.TextStats.tokens(lower(coalesce(col("text"),
-          lit(""))))).as(Seq("pos", "tok")))
-      .filter(col("tok").rlike("^[a-z]{3,}$"))
+      .select(explode(arr).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("c").desc, col("tok"))))
       .filter(col("rn") <= trVocab)
       .select(col("tok"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val pairs = toks
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+    val pairs = docs(s, d)
+      .select(explode(arrays_zip(
+        slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))))).as("pr"))
+      .select(col("pr.0").as("tok"), col("pr.1").as("nxt"))
+      .filter(col("tok") =!= col("nxt"))
       .join(broadcast(vocab), "tok")
       .join(broadcast(vocab.select(col("tok").as("nxt"))), "nxt")
       .select(least(col("tok"), col("nxt")).as("wa"),
@@ -115,9 +123,15 @@ object Wave19Queries {
       .unionByName(undirected
         .select(col("wb").as("src"), col("wa").as("dst"), col("w")))
       .cache()
+    // out-degree normalization and the node set are loop INVARIANTS:
+    // computed and cached once, so each damped iteration is exactly
+    // one broadcast join + one bounded aggregate — not a re-run of the
+    // degree shuffle
     val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
     val weighted = edges.join(wout, "src")
-    val nodes = edges.select(col("src").as("node")).distinct()
+      .select(col("dst"), col("src"),
+        (col("w") / col("wout")).as("ratio")).cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
     val nFrame = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
@@ -125,7 +139,7 @@ object Wave19Queries {
       val contrib = weighted
         .join(broadcast(pr), col("src") === col("node"))
         .select(col("dst"), col("src"),
-          ((col("w") / col("wout")) * col("pr")).as("c"))
+          (col("ratio") * col("pr")).as("c"))
       val summed = contrib.groupBy("dst")
         .agg(sort_array(collect_list(struct(col("src"), col("c"))))
           .as("cs"))

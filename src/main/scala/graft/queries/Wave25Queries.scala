@@ -56,7 +56,12 @@ object Wave25Queries {
       .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
         col("o_orderstatus").as("st"), col("o_totalprice").as("p"))
     val lake = base.filter(col("k") % 2 === 0)
-    Versioned.init(lake.repartition(16), dir)
+    // v1 = zero-copy clone of the shared immutable evens-16 base
+    // ([[LakeFixtures]]): the merge/compact rounds stage THEIR files
+    // under this table's own directory, so vacuum's data sweep (which
+    // walks only this directory) reclaims exactly the superseded
+    // staged files and can never touch the shared base
+    Versioned.clone(s, LakeFixtures.ordersEvens16(s, d), dir)
     val updates = lake.filter(col("k") % 3 === 0)
       .withColumn("p", col("p") + lit(10.0))
       .withColumn("is_delete", lit(false))

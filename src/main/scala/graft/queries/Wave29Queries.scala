@@ -54,9 +54,15 @@ object Wave29Queries {
         .select(lit(round).as("round"), col("n_surviving"), col("xor_nodes"))
     rounds += receipt(0, surv)
     for (r <- 1 to kRounds) {
+      // surv is checkpoint-truncated (size stats unknown to the
+      // planner), so without the explicit broadcast both semi-joins
+      // sort-merge — shuffling the full edge list twice PER ROUND;
+      // broadcast keeps each round map-side up to the degree aggregate
       val deg = ed
-        .join(surv.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(surv.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .join(broadcast(surv.withColumnRenamed("node", "src")),
+          Seq("src"), "left_semi")
+        .join(broadcast(surv.withColumnRenamed("node", "dst")),
+          Seq("dst"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("n"))
       surv = Dedup.truncate(
         deg.filter(col("n") >= kCore).select(col("src").as("node")))

@@ -31,14 +31,16 @@ object Wave32Queries {
 
   def qShallowClone(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_clone")
-    val src = root.resolve("src").toString
     val dst = root.resolve("dst").toString
+    // the "production" source IS the shared immutable base — cloning
+    // it is the exact scenario the fixture registry models; the clone
+    // diverges under its own directory and the source is never written
+    val src = LakeFixtures.ordersEvens16(s, d)
     try {
       val base = Tables.load(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
           col("o_orderstatus").as("st"), col("o_totalprice").as("p"))
       val lake = base.filter(col("k") % 2 === 0)
-      Versioned.init(lake.repartition(16), src)
       Versioned.clone(s, src, dst)
       val srcFiles = Versioned.files(s, src).toSet
       val sharedBefore = Versioned.files(s, dst).count(srcFiles.contains)

@@ -41,14 +41,13 @@ object Wave38Queries {
         floor(col("p") * lit(100.0) + lit(0.5)).cast("long"))), 4))
 
   def qGdprDelete(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_gdpr").toString
+    // range-clustered on the erasure key (every row of one customer in
+    // exactly one of 16 range files), obtained as a zero-copy clone of
+    // the shared immutable base — the erasure rewrites against the
+    // clone, staging its files under the clone's own directory
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.ordersRange16(s, d), "graft_gdpr")
     try {
-      val base = Tables.load(s, d, "orders")
-        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
-          col("o_orderstatus").as("st"), col("o_totalprice").as("p"))
-      // range-cluster on the erasure key: every row of one customer
-      // lands in exactly one of the 16 range files
-      Versioned.init(base.repartitionByRange(16, col("c")), dir)
       val nFilesV1 = Versioned.files(s, dir, Some(1L)).length
       val e = Versioned.delete(s, dir, col("c") === 1L)
       val v1Match = Versioned.read(s, dir, Some(1L))

@@ -56,9 +56,12 @@ object Wave39Queries {
         col("o_orderstatus").as("st"), col("o_totalprice").as("p"))
 
   def qDeleteVectors(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    // zero-copy clone of the shared range-clustered base (see
+    // [[LakeFixtures]]): the vector commit and the materializing
+    // compact stage everything under the clone's own directory
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.ordersRange16(s, d), "graft_dv")
     try {
-      Versioned.init(ordersBase(s, d).repartitionByRange(16, col("c")), dir)
       val v1Files = Versioned.files(s, dir, Some(1L))
       val e = Versioned.deleteVectored(s, dir, col("c") === 1L)
       val filesIdentical =
@@ -98,10 +101,11 @@ object Wave39Queries {
   }
 
   def qLakeSchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_evo2").toString
+    // the evolving merge is a full rewrite (no partitionCol), so the
+    // base's physical layout is irrelevant — share the range-16 clone
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.ordersRange16(s, d), "graft_evo2")
     try {
-      val base = ordersBase(s, d)
-      Versioned.init(base.repartition(8), dir)
       val batch = Tables.load(s, d, "orders")
         .filter(col("o_custkey") % 10 === 3)
         .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),

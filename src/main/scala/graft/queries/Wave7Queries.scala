@@ -108,9 +108,12 @@ object Wave7Queries {
     import s.implicits._
     val orders = Tables.load(s, d, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_merge_q").toString
+    // zero-copy clone of the shared status-partitioned base
+    // ([[LakeFixtures]]); the merge's touched-partition rewrite stages
+    // under the clone, untouched partitions keep referencing the base
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.ordersByStatus(s, d), "graft_merge_q")
     try {
-      Versioned.init(orders, dir, partitionCol = Some("o_orderstatus"))
       val f = orders.filter(col("o_orderstatus") === "F")
       val batch =
         f.filter(col("o_orderkey") % 7 === 3)
