@@ -60,7 +60,7 @@ object PipelineQueries {
     Dedup.exactGroups(docs(s, d)).orderBy("fingerprint")
 
   def qDedupJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(docs(s, d), jacThreshold).orderBy("doc_a", "doc_b")
+    Memo.jacPairs(s, d).orderBy("doc_a", "doc_b")
 
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(docs(s, d), jacThreshold).orderBy("doc_a", "doc_b")
@@ -70,7 +70,7 @@ object PipelineQueries {
     * exact-Jaccard pair graph; oracle recomputes the closure with a
     * recursive CTE. */
   def qDedupClusters(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDupClusters(docs(s, d), jacThreshold).orderBy("doc_id")
+    Memo.ndClusters(s, d).orderBy("doc_id")
 
   /** Registry variant uses the md5-derived cross-engine token hash so
     * the FULL pipeline (signature bits → chunk candidates → Hamming
@@ -89,8 +89,7 @@ object PipelineQueries {
   }
 
   def qCosinePairs(s: SparkSession, d: String): DataFrame =
-    Similarity.cosinePairs(embs(s, d), threshold = 0.45)
-      .orderBy("vec_a", "vec_b")
+    Memo.cosPairs(s, d).orderBy("vec_a", "vec_b")
 
   /** Recall audit for the [[Similarity.cosinePairsLsh]] SCALE path —
     * the code that actually runs above the 100k-row gate (i.e. the only
@@ -228,14 +227,16 @@ object PipelineQueries {
     * every stage — including the recursive-CTE cluster closure — in
     * SQL. */
   def qCurationFunnel(s: SparkSession, d: String): DataFrame =
-    Curation.funnel(docs(s, d), jacThreshold).orderBy("source")
+    Curation.funnelCached(docs(s, d), s"$d|heur", jacThreshold)
+      .orderBy("source")
 
   /** The funnel's decision list: the kept doc_ids themselves (strictly
     * stronger than the counts — the oracle recomputes every stage AND
     * the exact membership). [[Curation.materialize]] writes these rows
     * out partitioned by source; CurationSpec round-trips that write. */
   def qCurationKeepers(s: SparkSession, d: String): DataFrame =
-    Curation.keepers(docs(s, d), jacThreshold).orderBy("doc_id")
+    Curation.keepersCached(docs(s, d), s"$d|heur", jacThreshold)
+      .orderBy("doc_id")
 
   /** Benchmark decontamination audit ([[Contamination.overlap]]): the
     * deterministic doc_id%11 split stands in for an eval corpus; a
@@ -301,7 +302,7 @@ object PipelineQueries {
   def qDupMatrix(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     val src = dd.select(col("doc_id"), col("source"))
-    Dedup.jaccardPairs(dd, jacThreshold)
+    Memo.jacPairs(s, d)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .groupBy(least(col("sa"), col("sb")).as("source_a"),
@@ -435,7 +436,7 @@ object PipelineQueries {
         dd.filter(col("doc_id") % 11 =!= 0),
         dd.filter(col("doc_id") % 11 === 0), minContainment = 0.5)
       .select(col("train_id").as("doc_id")).distinct()
-    val corpusIds = Curation.keepers(dd, jacThreshold)
+    val corpusIds = Curation.keepersCached(dd, s"$d|heur", jacThreshold)
       .filter(col("doc_id") % 11 =!= 0)       // eval split never trains
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")

@@ -131,7 +131,8 @@ object Wave16Queries {
     val dd = docs(s, d)
     val pred = LangId.predictions(LangId.augmented(dd))
       .select(col("doc_id"), (col("lang_model") === "en").as("lang_keep"))
-    graft.text.Curation.funnel(dd, PipelineQueries.jacThreshold, Some(pred))
+    graft.text.Curation.funnelCached(dd, s"$d|nb",
+        PipelineQueries.jacThreshold, Some(pred))
       .orderBy("source")
   }
 

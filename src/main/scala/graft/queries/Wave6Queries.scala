@@ -112,9 +112,7 @@ object Wave6Queries {
     * the gate swaps the quadratic pair join for LSH candidates above
     * 100k rows, and the CC rounds are diameter-independent. */
   def qSemanticDedup(s: SparkSession, d: String): DataFrame = {
-    val pairs = Similarity.cosinePairs(embs(s, d), threshold = 0.45)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val cc = Dedup.connectedComponents(pairs)
+    val cc = Memo.cosCC(s, d)
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
@@ -133,9 +131,7 @@ object Wave6Queries {
     * defect in the decode, the NN grid sampling, the bit packing, or
     * the chunk join breaks the hash. */
   def qImageDedup(s: SparkSession, d: String): DataFrame = {
-    val sigs = Multimodal.dhashSignatures(
-      Multimodal.syntheticNearDupImages(docs(s, d)))
-    Dedup.hammingPairs64(sigs, maxDist = 3)
+    Memo.imagePairs(s, d)
       .withColumn("hamming", col("hamming").cast("integer"))
       .orderBy("media_a", "media_b")
   }
@@ -199,9 +195,7 @@ object Wave6Queries {
     * the same doc when scores collide. */
   def qClusterBest(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
-    val pairs = Dedup.jaccardPairs(base, jacThreshold)
-      .select(col("doc_a"), col("doc_b"))
-    val cc = Dedup.connectedComponents(pairs)
+    val cc = Memo.jacCC(s, d)
     val q = base.select(col("doc_id"),
       round(TextStats.qualityScore(col("text")), 6).as("quality"))
     val w = Window.partitionBy("cluster_id")
@@ -223,11 +217,7 @@ object Wave6Queries {
     * whole pipeline (decode → hash → pairs → clusters) stays
     * oracle-checkable. */
   def qImageClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.hammingPairs64(
-      Multimodal.dhashSignatures(
-        Multimodal.syntheticNearDupImages(docs(s, d))), maxDist = 3)
-      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
-    val cc = Dedup.connectedComponents(pairs)
+    val cc = Memo.imageCC(s, d)
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")
       .select(col("doc_id").as("media_id"), col("cluster_id"),
@@ -288,11 +278,9 @@ object Wave6Queries {
     * running the two miners is one equi-join. */
   def qCrossmodalDups(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
-    val txt = Dedup.jaccardPairs(base, jacThreshold)
+    val txt = Memo.jacPairs(s, d)
       .select(col("doc_a"), col("doc_b"), lit(true).as("txt"))
-    val img = Dedup.hammingPairs64(
-        Multimodal.dhashSignatures(Multimodal.syntheticNearDupImages(base)),
-        maxDist = 3)
+    val img = Memo.imagePairs(s, d)
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"),
         lit(true).as("img"))
     txt.join(img, Seq("doc_a", "doc_b"), "full_outer")
@@ -434,9 +422,9 @@ object Wave6Queries {
   def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val base = docs(s, d)
-    val pairs = Dedup.jaccardPairs(base, jacThreshold)
+    val pairs = Memo.jacPairs(s, d)
       .select(col("doc_a"), col("doc_b"))
-    val cc = Dedup.connectedComponents(pairs)
+    val cc = Memo.jacCC(s, d)
     val rep = base.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -516,9 +504,7 @@ object Wave6Queries {
     val cand = bk
       .join(broadcast(negCandidatePool(bk)),
         col("nbkt") === (col("bkt") + 1) % 16)
-    val cl = Dedup.connectedComponents(
-      Similarity.cosinePairs(e, threshold = 0.45)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val cl = Memo.cosCC(s, d)
     val scored = cand
       .join(cl.select(col("doc_id").as("vec_id"),
         col("cluster_id").as("cq")), Seq("vec_id"), "left")

@@ -268,8 +268,7 @@ object Wave8Queries {
     * user turn, tying the pair to `q_chat_template`'s prompt. */
   def qPreferencePairs(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
-    val cc = Dedup.connectedComponents(
-      Dedup.jaccardPairs(base, jacThreshold).select(col("doc_a"), col("doc_b")))
+    val cc = Memo.jacCC(s, d)
     val q = base.select(col("doc_id"),
       round(TextStats.qualityScore(col("text")), 6).as("quality"))
     val labeled = cc.join(q, "doc_id")

@@ -84,6 +84,53 @@ object Curation {
         && col("nd_keep"))
       .select(col("doc_id"), col("source"))
 
+  /** Disk-memoized [[flags]]: the flag frame is a pure function of
+    * (corpus, threshold, lang gate), and several registry consumers —
+    * the funnel report, the keeper list, the corpus build, the
+    * model-gated funnel — each need it. Computing the near-dup closure
+    * once per session and re-reading the 6-column flag frame from
+    * parquet afterwards is exactly the materialized-view reuse a
+    * production curation pipeline ships (the flags ARE its published
+    * intermediate table). `cacheKey` must uniquely name (corpus dir,
+    * threshold, gate); results are immutable per key for the JVM's
+    * life. */
+  private val flagsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def flagsCached(docs: DataFrame, cacheKey: String, jacThreshold: Double,
+      langKeep: Option[DataFrame] = None): DataFrame = {
+    val s = docs.sparkSession
+    val path = flagsCache.computeIfAbsent(cacheKey, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_flags")
+        .resolve("f").toString
+      flags(docs, jacThreshold, langKeep)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
+
+  /** [[funnel]] over [[flagsCached]]. */
+  def funnelCached(docs: DataFrame, cacheKey: String, jacThreshold: Double,
+      langKeep: Option[DataFrame] = None): DataFrame =
+    flagsCached(docs, cacheKey, jacThreshold, langKeep)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("lang_keep").cast("long")).as("n_lang"),
+           sum(col("quality_keep").cast("long")).as("n_quality"),
+           sum(col("exact_keep").cast("long")).as("n_exact"),
+           sum(col("nd_keep").cast("long")).as("n_neardup"),
+           sum((col("lang_keep") && col("quality_keep") && col("exact_keep")
+             && col("nd_keep")).cast("long")).as("n_keep"))
+
+  /** [[keepers]] over [[flagsCached]]. */
+  def keepersCached(docs: DataFrame, cacheKey: String,
+      jacThreshold: Double): DataFrame =
+    flagsCached(docs, cacheKey, jacThreshold)
+      .filter(col("lang_keep") && col("quality_keep") && col("exact_keep")
+        && col("nd_keep"))
+      .select(col("doc_id"), col("source"))
+
   /** Write the kept documents (FULL rows) to `path`, partitioned by
     * source. The keeper set is id-only through the curation joins; the
     * full rows rejoin once, id-keyed, just before the write. */

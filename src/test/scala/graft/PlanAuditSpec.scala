@@ -120,7 +120,11 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("cosinePairs pairs via shuffle-replicate NL, never a corpus broadcast") {
-    val plan = SparkEntry.queries("q_cosine_pairs")(spark, sf("sf0.001"))
+    // audit the MINER's plan directly: the registry wrapper is
+    // disk-memoized (Memo.cosPairs), so its plan is a parquet re-read
+    val plan = graft.text.Similarity.cosinePairs(
+        graft.io.Tables.load(spark, sf("sf0.001"), "embeddings"),
+        threshold = 0.45)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!plan.contains("BroadcastExchange"),
       "q_cosine_pairs must not materialize the corpus as a broadcast build side")
