@@ -93,7 +93,6 @@ object Versioned {
   private def dvPath(path: String, v: Long) =
     new Path(manifestDir(path), s"v$v.dv")
 
-  private def lastSeg(f: String): String = f.substring(f.lastIndexOf('/') + 1)
 
   /** Highest committed version, or None for an uninitialized table. */
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
@@ -121,7 +120,8 @@ object Versioned {
     * ever deletes them), so (path, version) keys can be cached for the
     * life of the JVM; [[vacuum]] invalidates its table's entries. */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      Seq[(String, Option[String])]]()
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[StructType]]()
 
@@ -130,26 +130,34 @@ object Versioned {
     schemaCache.keySet.removeIf(_._1 == path)
   }
 
-  private val manifestFields = StructType(Seq(StructField("f", StringType)))
+  /** Manifest rows are (file path, optional per-file column stats as
+    * canonical JSON). Stats ride IN the manifest — metadata as data,
+    * the Iceberg shape — so file pruning is a filter over the manifest
+    * scan, and carrying a file by reference carries its stats for
+    * free (no recomputation, no footer reads at plan time). */
+  private val manifestFields = StructType(Seq(
+    StructField("f", StringType),
+    StructField("stats_json", StringType)))
 
-  /** Driver-side manifest read: parquet directory (current) or text
-    * file (legacy), through a direct columnar reader — no Spark job,
-    * because the scan path needs the list as explicit paths anyway —
-    * behind the immutability cache. */
-  private def readManifest(spark: SparkSession, path: String,
-      v: Long): Seq[String] = {
+  /** Driver-side manifest read — (path, stats) entries — from the
+    * parquet directory (current) or text file (legacy), through a
+    * direct columnar reader: no Spark job, because the scan path needs
+    * the list as explicit paths anyway — behind the immutability
+    * cache. */
+  private def readManifestEntries(spark: SparkSession, path: String,
+      v: Long): Seq[(String, Option[String])] = {
     val k = (path, v)
     val hit = manifestCache.get(k)
     if (hit != null) return hit
     val f = fs(spark, path)
     val p = manifestPath(path, v)
     val st = f.getFileStatus(p) // throws FileNotFound for vacuumed/absent
-    val r: Seq[String] =
+    val r: Seq[(String, Option[String])] =
       if (st.isDirectory) {
         val conf = spark.sparkContext.hadoopConfiguration
         val parts = f.listStatus(p).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        val out = Seq.newBuilder[String]
+        val out = Seq.newBuilder[(String, Option[String])]
         parts.foreach { part =>
           val rd = org.apache.parquet.hadoop.ParquetReader
             .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
@@ -157,20 +165,32 @@ object Versioned {
             .withConf(conf).build()
           try {
             var g = rd.read()
-            while (g != null) { out += g.getString("f", 0); g = rd.read() }
+            while (g != null) {
+              val sj =
+                if (g.getType.containsField("stats_json") &&
+                  g.getFieldRepetitionCount("stats_json") > 0)
+                  Some(g.getString("stats_json", 0))
+                else None
+              out += ((g.getString("f", 0), sj))
+              g = rd.read()
+            }
           } finally rd.close()
         }
         out.result()
       } else {
         val in = f.open(p)
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).toList
+          .filter(_.nonEmpty).map(l => (l, Option.empty[String])).toList
         finally in.close()
       }
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(k, r)
     r
   }
+
+  private def readManifest(spark: SparkSession, path: String,
+      v: Long): Seq[String] =
+    readManifestEntries(spark, path, v).map(_._1)
 
   /** The manifest as a DataFrame (column `f`) — the distributed path
     * for set operations whose cardinality is O(table files), e.g. the
@@ -182,28 +202,110 @@ object Versioned {
       spark.read.schema(manifestFields).parquet(p.toString)
     else // legacy text manifest: tiny by construction
       spark.createDataset(readManifest(spark, path, v))(Encoders.STRING)
-        .toDF("f")
+        .toDF("f").withColumn("stats_json", lit(null).cast("string"))
   }
+
+  private def entriesDf(spark: SparkSession,
+      entries: Seq[(String, Option[String])]): DataFrame =
+    spark.createDataset(entries.map { case (f0, sj) => (f0, sj.orNull) })(
+      Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .toDF("f", "stats_json")
 
   /** Direct single-file parquet write of a small, already-collected
     * manifest — the common init/compact/delete/clone commit stays a
     * metadata-speed driver write instead of a Spark job. */
   private def writeManifestDirect(spark: SparkSession, file: Path,
-      fileList: Seq[String]): Unit = {
+      entries: Seq[(String, Option[String])]): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroup
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.hadoop.util.HadoopOutputFile
     import org.apache.parquet.schema.MessageTypeParser
     val conf = spark.sparkContext.hadoopConfiguration
     val mt = MessageTypeParser.parseMessageType(
-      "message manifest { required binary f (UTF8); }")
+      "message manifest { required binary f (UTF8); " +
+        "optional binary stats_json (UTF8); }")
     val w = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(file, conf))
       .withConf(conf).withType(mt).build()
-    try fileList.foreach { s =>
+    try entries.foreach { case (s, sj) =>
       val g = new SimpleGroup(mt)
       g.append("f", s)
+      sj.foreach(g.append("stats_json", _))
       w.write(g)
     } finally w.close()
+  }
+
+  // ------------------------------------------------------------------
+  // per-file column statistics (data skipping inside the manifest)
+  // ------------------------------------------------------------------
+
+  private def statsColsPath(path: String) =
+    new Path(manifestDir(path), "statscols")
+
+  /** The table's registered stats columns (set at [[init]]); every
+    * commit computes min/max for ITS staged files over these, carried
+    * files keep their manifest stats untouched. */
+  def statsColumns(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = statsColsPath(path)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Exact per-staged-file min/max of the registered stats columns —
+    * ONE bounded aggregate over the just-staged batch (not the
+    * table), grouped by file. Long-family columns render as
+    * {"t":"l","mnl":…,"mxl":…}, double-family as
+    * {"t":"d","mnd":…,"mxd":…}; other types carry no stats (never
+    * pruned — conservative and exact). All-NULL columns carry no
+    * entry either (kept on probe; their rows can't match a range
+    * anyway). Returned map is keyed by file NAME. */
+  private def statsJsonFor(spark: SparkSession, path: String,
+      staged: Seq[String], cols: Seq[String]): Map[String, String] = {
+    if (cols.isEmpty || staged.isEmpty) return Map.empty
+    val df = readFiles(spark, path, staged, None, meta = true)
+    val schema = df.schema
+    val present = cols.filter(c => schema.fieldNames.contains(c))
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val rows = df.groupBy(col(metaF)).agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      val parts = present.flatMap { c =>
+        val mnI = r.fieldIndex(s"mn_$c")
+        val mxI = r.fieldIndex(s"mx_$c")
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+        else schema(c).dataType match {
+          case org.apache.spark.sql.types.LongType |
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.ByteType =>
+            val mn = r.getAs[Number](mnI).longValue()
+            val mx = r.getAs[Number](mxI).longValue()
+            Some(s""""$c":{"t":"l","mnl":$mn,"mxl":$mx}""")
+          case org.apache.spark.sql.types.DoubleType |
+              org.apache.spark.sql.types.FloatType =>
+            val mn = r.getAs[Number](mnI).doubleValue()
+            val mx = r.getAs[Number](mxI).doubleValue()
+            Some(s""""$c":{"t":"d","mnd":$mn,"mxd":$mx}""")
+          case _ => None
+        }
+      }
+      if (parts.isEmpty) None
+      else Some(r.getString(r.fieldIndex(metaF)) -> parts.mkString("{", ",", "}"))
+    }.toMap
+  }
+
+  /** Staged paths → manifest entries carrying freshly computed stats
+    * (when the table registered stats columns). */
+  private def stagedEntries(spark: SparkSession, path: String,
+      staged: Seq[String]): Seq[(String, Option[String])] = {
+    val stats = statsJsonFor(spark, path, staged, statsColumns(spark, path))
+    staged.map(p => (p, stats.get(fileKey(p))))
   }
 
   /** The files of version `v` (default: current). */
@@ -250,12 +352,29 @@ object Versioned {
     StructField("f", StringType),
     StructField("pos", org.apache.spark.sql.types.LongType)))
 
-  // deletion vectors key rows by (file NAME, row position): part-file
-  // names embed the write-job UUID, so they are globally unique and
-  // immune to scheme/URI-encoding mismatches between manifest entries
-  // and `_metadata.file_path` renderings
+  // Deletion vectors and per-file stats key rows by (file KEY, row
+  // position), where the key is the path RELATIVE to its data root:
+  // `gbatch=<uuid>/…/part-….parquet`. A bare file NAME would NOT be
+  // unique — a dynamic-partition write reuses one task's part name
+  // across every partition directory it touches — while the batch
+  // uuid + inner path is unique across jobs and clone roots alike.
+  // In-plan the key comes from `_metadata.file_path` URL-DECODED
+  // once: Spark renders the path URI-encoded (a hive-escaped `%3A`
+  // on disk becomes `%253A`), whereas manifest entries carry the raw
+  // on-disk form; one decode maps the former onto the latter.
   private val metaF = "__graft_dv_f"
   private val metaP = "__graft_dv_pos"
+
+  private val metaKeyCol =
+    regexp_extract(url_decode(col("_metadata.file_path")),
+      "/data/(gbatch=.*)$", 1)
+
+  /** The manifest-side rendering of the same key. */
+  private def fileKey(f: String): String = {
+    val i = f.lastIndexOf(s"/data/$batchCol=")
+    require(i > 0, s"manifest entry outside a data root: $f")
+    f.substring(i + "/data/".length)
+  }
 
   /** Batch-level directory name, partition-style (`gbatch=<v>`) so a
     * manifest mixing files from several batches still presents ONE
@@ -293,7 +412,7 @@ object Versioned {
       val df0 = rdr.parquet(fps: _*)
       val df1 =
         if (meta) df0.select(col("*"),
-          col("_metadata.file_name").as(metaF),
+          metaKeyCol.as(metaF),
           col("_metadata.row_index").as(metaP))
         else df0
       df1.drop(batchCol)
@@ -399,7 +518,7 @@ object Versioned {
     * DataFrame (the partition-scoped merge's carried set) is written
     * by the engine and NEVER materialized on the driver. */
   private def commit(spark: SparkSession, path: String, v: Long,
-      fileList: Either[Seq[String], DataFrame],
+      fileList: Either[Seq[(String, Option[String])], DataFrame],
       schema: Option[StructType] = None,
       dv: Option[DataFrame] = None): Boolean = {
     val f = fs(spark, path)
@@ -439,19 +558,36 @@ object Versioned {
         writeManifestDirect(spark, new Path(tmp, "part-00000.parquet"), seq)
         manifestCache.put((path, v), seq.toList)
       case Right(df) =>
-        df.select(col("f")).write.mode("overwrite").parquet(tmp.toString)
+        df.select(col("f"), col("stats_json"))
+          .write.mode("overwrite").parquet(tmp.toString)
     }
     f.rename(tmp, manifestPath(path, v))
   }
 
-  /** Initialize the table with `df` as version 1. */
+  /** Initialize the table with `df` as version 1. `statsCols`
+    * registers per-file min/max statistics columns: every commit from
+    * then on computes exact stats for ITS staged files (one bounded
+    * aggregate over the batch), carried files keep theirs in the
+    * manifest, and [[readRange]] prunes file reads by interval
+    * overlap — the Delta/Iceberg data-skipping mechanic, living in
+    * the manifest where a million-file table wants it. */
   def init(df: DataFrame, path: String,
-      partitionCol: Option[String] = None): Long = {
+      partitionCol: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     require(currentVersion(spark, path).isEmpty,
       s"table already initialized: $path")
+    if (statsCols.nonEmpty) {
+      val f = fs(spark, path)
+      f.mkdirs(manifestDir(path))
+      val out = f.create(statsColsPath(path), true)
+      try out.write((statsCols.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val (_, staged) = stage(df, path, 1L, partitionCol)
-    require(commit(spark, path, 1L, Left(staged), Some(df.schema)),
+    require(commit(spark, path, 1L,
+      Left(stagedEntries(spark, path, staged)), Some(df.schema)),
       s"init lost a commit race: $path")
     1L
   }
@@ -515,7 +651,8 @@ object Versioned {
               .join(touchedDf, Seq("seg"), "left_semi"))
             .select("f").collect().map(_.getString(0)).toSeq
           val keepDf = withSeg.filter(col("seg") =!= lit(""))
-            .join(touchedDf, Seq("seg"), "left_anti").select("f")
+            .join(touchedDf, Seq("seg"), "left_anti")
+            .select("f", "stats_json")
           val hitDf =
             if (hit.isEmpty) {
               val schema = tableSchema(spark, path, Some(cur))
@@ -550,7 +687,7 @@ object Versioned {
         case None => None
         case Some(_) =>
           deletionVector(spark, path, Some(cur)).flatMap { d =>
-            val hitNames = hitList.map(lastSeg)
+            val hitNames = hitList.map(fileKey)
             val rest =
               if (hitNames.isEmpty) d
               else d.filter(!col("f").isin(hitNames: _*))
@@ -565,11 +702,12 @@ object Versioned {
       }
       val staged = ensureManifestNonEmpty(merged, path, stagedDir,
         staged0, carriedNonEmpty)
-      val filesArg: Either[Seq[String], DataFrame] = carriedDf match {
-        case None => Left(staged)
-        case Some(k) => Right(k.unionByName(
-          spark.createDataset(staged)(Encoders.STRING).toDF("f")))
-      }
+      val stagedE = stagedEntries(spark, path, staged)
+      val filesArg: Either[Seq[(String, Option[String])], DataFrame] =
+        carriedDf match {
+          case None => Left(stagedE)
+          case Some(k) => Right(k.unionByName(entriesDf(spark, stagedE)))
+        }
       if (commit(spark, path, next, filesArg, Some(merged.schema), dvCarried))
         return next
       // lost the race: another writer committed `next` — clean up OUR
@@ -603,7 +741,17 @@ object Versioned {
     require(currentVersion(spark, dst).isEmpty,
       s"clone target already initialized: $dst")
     val v = resolve(spark, src, None)
-    require(commit(spark, dst, 1L, Left(readManifest(spark, src, v)),
+    val scols = statsColumns(spark, src)
+    if (scols.nonEmpty) {
+      val f = fs(spark, dst)
+      f.mkdirs(manifestDir(dst))
+      val out = f.create(statsColsPath(dst), true)
+      try out.write((scols.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    require(commit(spark, dst, 1L,
+      Left(readManifestEntries(spark, src, v)),
       tableSchema(spark, src, Some(v)),
       deletionVector(spark, src, Some(v))),
       s"clone lost a commit race: $dst")
@@ -654,7 +802,8 @@ object Versioned {
       val (stagedDir, staged0) = stage(laidOut, path, next, partitionCol)
       val staged = ensureManifestNonEmpty(laidOut, path, stagedDir,
         staged0, carriedNonEmpty = false)
-      if (commit(spark, path, next, Left(staged), Some(schema))) return next
+      if (commit(spark, path, next,
+        Left(stagedEntries(spark, path, staged)), Some(schema))) return next
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
     }
@@ -700,7 +849,7 @@ object Versioned {
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
       val next = cur + 1
-      val curFiles = readManifest(spark, path, cur)
+      val curEntries = readManifestEntries(spark, path, cur)
       // find pass: which files hold matching LIVE rows? Column-pruned
       // scan (only the predicate's inputs are read); result
       // cardinality is bounded by the FILE count, so the collect is
@@ -708,11 +857,13 @@ object Versioned {
       val liveMeta = readLive(spark, path, cur, None, keepMeta = true)
       val hitNames = liveMeta.filter(pred).select(col(metaF)).distinct()
         .collect().map(_.getString(0)).toSet
-      val (hit, keep) = curFiles.partition(f => hitNames.contains(lastSeg(f)))
+      val (hitE, keepE) = curEntries.partition(e =>
+        hitNames.contains(fileKey(e._1)))
+      val hit = hitE.map(_._1)
       require(hit.length == hitNames.size,
         s"delete find-pass returned files outside the manifest: " +
           s"${hitNames.size} scanned vs ${hit.length} matched in $path")
-      if (hit.isEmpty) return Erasure(-1L, 0, curFiles.length, 0L)
+      if (hit.isEmpty) return Erasure(-1L, 0, curEntries.length, 0L)
       val hitLive = readLive(spark, path, cur, Some(hit), keepMeta = false)
       val deletedRows = hitLive.filter(pred).count()
       // SQL DELETE removes rows where pred IS TRUE; under three-valued
@@ -721,7 +872,7 @@ object Versioned {
       val survivors = hitLive.filter(!coalesce(pred, lit(false)))
       val (stagedDir, staged0) = stage(survivors, path, next, partitionCol)
       val staged = ensureManifestNonEmpty(survivors, path, stagedDir,
-        staged0, keep.nonEmpty)
+        staged0, keepE.nonEmpty)
       val dvCarried = deletionVector(spark, path, Some(cur)).flatMap { d =>
         val rest =
           if (hitNames.isEmpty) d
@@ -730,9 +881,10 @@ object Versioned {
       }
       val schema = tableSchema(spark, path, Some(cur))
         .getOrElse(survivors.schema)
-      if (commit(spark, path, next, Left(keep ++ staged), Some(schema),
+      if (commit(spark, path, next,
+          Left(keepE ++ stagedEntries(spark, path, staged)), Some(schema),
           dvCarried))
-        return Erasure(next, hit.length, keep.length, deletedRows)
+        return Erasure(next, hit.length, keepE.length, deletedRows)
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
     }
@@ -760,23 +912,125 @@ object Versioned {
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
       val next = cur + 1
-      val curFiles = readManifest(spark, path, cur)
+      val curEntries = readManifestEntries(spark, path, cur)
       val live = readLive(spark, path, cur, None, keepMeta = true)
       val newDv = live.filter(pred)
         .select(col(metaF).as("f"), col(metaP).as("pos"))
       val deletedRows = newDv.count()
-      if (deletedRows == 0L) return Erasure(-1L, 0, curFiles.length, 0L)
+      if (deletedRows == 0L) return Erasure(-1L, 0, curEntries.length, 0L)
       val combined = deletionVector(spark, path, Some(cur))
         .fold(newDv)(prev => prev.unionByName(newDv))
       val schema = tableSchema(spark, path, Some(cur)).getOrElse(
         StructType(live.schema.filterNot(f =>
           f.name == metaF || f.name == metaP)))
-      if (commit(spark, path, next, Left(curFiles), Some(schema),
+      if (commit(spark, path, next, Left(curEntries), Some(schema),
           Some(combined)))
-        return Erasure(next, 0, curFiles.length, deletedRows)
+        return Erasure(next, 0, curEntries.length, deletedRows)
       attempt += 1
     }
     sys.error(s"deleteVectored lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** Receipt of a [[readRange]]: the live rows of the kept files, and
+    * the prune arithmetic. The caller still applies its exact
+    * predicate — stats pruning is a file-superset guarantee, never a
+    * row filter. */
+  final case class Pruned(df: DataFrame, filesRead: Int, filesTotal: Int)
+
+  private val statsSchema = org.apache.spark.sql.types.MapType(StringType,
+    StructType(Seq(
+      StructField("t", StringType),
+      StructField("mnl", org.apache.spark.sql.types.LongType),
+      StructField("mxl", org.apache.spark.sql.types.LongType),
+      StructField("mnd", org.apache.spark.sql.types.DoubleType),
+      StructField("mxd", org.apache.spark.sql.types.DoubleType))))
+
+  /** Read the snapshot OPENING ONLY the files whose [min, max] stats
+    * interval for `column` overlaps [lo, hi] — the Delta/Iceberg
+    * data-skipping scan. Files without stats (legacy commits,
+    * unregistered or unsupported columns) are always kept, so the
+    * result is a superset of the matching rows whatever the table's
+    * history; apply the exact predicate on `df`. The prune decision is
+    * a distributed filter over the manifest scan (manifest-as-data:
+    * at a million files the decision itself is a Spark job, not a
+    * driver loop), and when the table was clustered on `column`
+    * ([[compact]] or a range-layout [[init]]), the files read shrink
+    * to the predicate's true footprint. */
+  def readRange(spark: SparkSession, path: String, column: String,
+      lo: Double, hi: Double, version: Option[Long] = None): Pruned = {
+    val v = resolve(spark, path, version)
+    val total = readManifestEntries(spark, path, v).length
+    val e = element_at(from_json(col("stats_json"), statsSchema), column)
+    val keepCond = col("stats_json").isNull || e.isNull ||
+      when(e("t") === "l",
+        e("mnl").cast("double") <= lit(hi) &&
+          e("mxl").cast("double") >= lit(lo))
+      .when(e("t") === "d", e("mnd") <= lit(hi) && e("mxd") >= lit(lo))
+      .otherwise(lit(true))
+    val kept = manifestDf(spark, path, v).filter(keepCond)
+      .select("f").collect().map(_.getString(0)).toSeq
+    if (kept.isEmpty) {
+      val schema = tableSchema(spark, path, Some(v))
+        .getOrElse(read(spark, path, Some(v)).schema)
+      Pruned(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        0, total)
+    } else
+      Pruned(readLive(spark, path, v, Some(kept), keepMeta = false),
+        kept.length, total)
+  }
+
+  /** Receipt of an [[updateVectored]]: committed version, carried file
+    * count (always the WHOLE prior manifest — update rewrites
+    * nothing), updated row count. `version == -1` = no row matched,
+    * nothing committed. */
+  final case class Updated(version: Long, carried: Int, updatedRows: Long)
+
+  /** UPDATE every row matching `pred` as MERGE-ON-READ: the matched
+    * live rows join the deletion vector (their files are NOT
+    * rewritten) and their updated copies — `set` expressions applied
+    * over the old row, every other column carried — are staged as a
+    * new batch appended to the SAME manifest. Write cost is O(updated
+    * rows); readers see old-row-out/new-row-in atomically at the
+    * manifest swap; [[compact]] later folds the vector away. Rows
+    * where `pred` evaluates NULL are untouched (SQL UPDATE semantics).
+    * `set` values are cast back to each column's declared type so the
+    * staged batch can never fork the physical schema. */
+  def updateVectored(spark: SparkSession, path: String, pred: Column,
+      set: Map[String, Column], partitionCol: Option[String] = None,
+      maxRetries: Int = 5): Updated = {
+    require(set.nonEmpty, "updateVectored needs at least one SET column")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      val curEntries = readManifestEntries(spark, path, cur)
+      val live = readLive(spark, path, cur, None, keepMeta = true)
+      val tableCols = live.columns.filterNot(c => c == metaF || c == metaP)
+      require(set.keySet.subsetOf(tableCols.toSet),
+        s"SET columns outside the table schema: " +
+          s"${set.keySet -- tableCols.toSet}")
+      val hits = live.filter(pred)
+      val newDv = hits.select(col(metaF).as("f"), col(metaP).as("pos"))
+      val updatedRows = newDv.count()
+      if (updatedRows == 0L) return Updated(-1L, curEntries.length, 0L)
+      val schemaMap = live.schema.map(f => f.name -> f.dataType).toMap
+      val updated = hits.select(tableCols.map(c =>
+        set.get(c).map(_.cast(schemaMap(c)).as(c)).getOrElse(col(c))): _*)
+      val (stagedDir, staged) = stage(updated, path, next, partitionCol)
+      val combined = deletionVector(spark, path, Some(cur))
+        .fold(newDv)(prev => prev.unionByName(newDv))
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(
+        StructType(live.schema.filterNot(f =>
+          f.name == metaF || f.name == metaP)))
+      if (commit(spark, path, next,
+          Left(curEntries ++ stagedEntries(spark, path, staged)),
+          Some(schema), Some(combined)))
+        return Updated(next, curEntries.length, updatedRows)
+      fs(spark, path).delete(stagedDir, true)
+      attempt += 1
+    }
+    sys.error(s"updateVectored lost ${maxRetries + 1} commit races " +
       s"(1 attempt + $maxRetries retries): $path")
   }
 

@@ -114,6 +114,30 @@ class LakeV2Spec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("deletion-vector keys survive part-file NAME collisions across " +
+      "partition directories (regression: dynamic-partition writes " +
+      "reuse one task's part name in every directory it touches)") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      // repartition(1): ONE task writes BOTH partition dirs → the two
+      // files share a part name and differ only in their directory
+      val base = Seq((1L, "a"), (2L, "b")).toDF("k", "p").repartition(1)
+      Versioned.init(base, dir, partitionCol = Some("p"))
+      val names = Versioned.files(spark, dir)
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).distinct
+      assert(names.length == 1,
+        s"fixture must produce colliding part names, got $names")
+      // delete row 0 of partition a ONLY; row 0 of partition b (same
+      // file name, same row position) must survive
+      Versioned.deleteVectored(spark, dir, col("k") === 1L)
+      val kept = Versioned.read(spark, dir).select("k").as[Long]
+        .collect().toSet
+      assert(kept == Set(2L),
+        s"same-name/same-position row in the other partition died: $kept")
+    } finally rm(dir)
+  }
+
   test("clone propagates the deletion vector") {
     val dir = tmp(); val src = s"$dir/src"; val dst = s"$dir/dst"
     try {
@@ -169,6 +193,71 @@ class LakeV2Spec extends SparkSuite {
       val r = Versioned.read(spark, dir).filter(col("k") === 7L).head()
       assert(r.isNullAt(r.fieldIndex("v")),
         "missing source column must insert as NULL under evolution")
+    } finally rm(dir)
+  }
+
+  test("manifest stats: readRange opens only overlapping files, stats " +
+      "carry by reference through merge, and stay exact after compact") {
+    val dir = tmp()
+    try {
+      // 4 disjoint ranges of k, one file each, stats on k
+      val wide = (1L to 400L).map(i => (i, s"v$i", (i / 101).toString))
+      Versioned.init(wide.toDF("k", "v", "p").repartition(4, col("p")), dir,
+        statsCols = Seq("k"))
+      val pr = Versioned.readRange(spark, dir, "k", 150d, 160d)
+      assert(pr.filesTotal >= 3, s"expected several files, got ${pr.filesTotal}")
+      assert(pr.filesRead < pr.filesTotal,
+        "a narrow range must prune at least one file")
+      assert(pr.df.filter(col("k").between(150, 160)).count() == 11L)
+      // a superset guarantee: every matching row is in the pruned read
+      assert(pr.df.filter(col("k").between(150, 160)).count() ==
+        Versioned.read(spark, dir).filter(col("k").between(150, 160)).count())
+      // merge another range-batch: carried files keep their stats (the
+      // probe still prunes), staged files gain theirs
+      Versioned.merge(Seq((500L, "x", "9")).toDF("k", "v", "p"),
+        dir, Seq("k"))
+      val pr2 = Versioned.readRange(spark, dir, "k", 500d, 500d)
+      assert(pr2.filesRead < pr2.filesTotal,
+        "post-merge probe must still prune via carried stats")
+      assert(pr2.df.filter(col("k") === 500L).count() == 1L)
+      // compact recomputes stats for the rewritten layout
+      Versioned.compact(spark, dir, targetFiles = 2)
+      val pr3 = Versioned.readRange(spark, dir, "k", -5d, -1d)
+      assert(pr3.filesRead == 0 && pr3.df.count() == 0L,
+        "an out-of-range probe after compact must open zero files")
+    } finally rm(dir)
+  }
+
+  test("updateVectored: zero rewrite, SQL UPDATE semantics, compact folds") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      val base = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"))
+        .toDF("k", "n", "p")
+      Versioned.init(base.repartition(2), dir)
+      val u = Versioned.updateVectored(spark, dir, col("k") >= 2L,
+        Map("n" -> (col("n") + 100)))
+      assert(u.updatedRows == 2L && u.version == 2L)
+      val got = Versioned.read(spark, dir).select("k", "n").as[(Long, Long)]
+        .collect().toMap
+      assert(got == Map(1L -> 10L, 2L -> 120L, 3L -> 130L), got.toString)
+      // time travel: v1 still has the old values
+      assert(Versioned.read(spark, dir, Some(1L)).filter(col("k") === 2L)
+        .select("n").as[Long].head() == 20L)
+      // a second update composes on the updated values
+      Versioned.updateVectored(spark, dir, col("k") === 2L,
+        Map("n" -> (col("n") * 2)))
+      assert(Versioned.read(spark, dir).filter(col("k") === 2L)
+        .select("n").as[Long].head() == 240L)
+      // no-match update commits nothing
+      assert(Versioned.updateVectored(spark, dir, col("k") === 99L,
+        Map("n" -> lit(0L))).version == -1L)
+      val before = Versioned.read(spark, dir).select("k", "n")
+        .as[(Long, Long)].collect().toSet
+      Versioned.compact(spark, dir, targetFiles = 1)
+      assert(Versioned.deletionVector(spark, dir).isEmpty)
+      assert(Versioned.read(spark, dir).select("k", "n")
+        .as[(Long, Long)].collect().toSet == before)
     } finally rm(dir)
   }
 
