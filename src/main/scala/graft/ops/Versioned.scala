@@ -787,16 +787,27 @@ object Versioned {
     * merge just added) and re-compacts, so a compaction can never
     * silently undo a concurrent writer's committed rows. */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
-      partitionCol: Option[String] = None, maxRetries: Int = 5): Long = {
+      partitionCol: Option[String] = None, maxRetries: Int = 5,
+      clusterBy: Seq[String] = Seq.empty): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(partitionCol.isEmpty || clusterBy.isEmpty,
+      "clusterBy and partitionCol are alternative layouts — pick one")
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
       val next = cur + 1
       val snap = readLive(spark, path, cur, None, keepMeta = false)
-      val laidOut = partitionCol match {
-        case Some(pc) => snap.repartition(targetFiles, col(pc))
-        case None     => snap.repartition(targetFiles)
+      // clusterBy: range-partition + sort on the cluster key(s), so
+      // each compacted file covers a narrow key interval — the layout
+      // that makes the manifest's min/max stats (and [[readRange]])
+      // bite: a selective probe after a clustered compact opens the
+      // predicate's true file footprint
+      val laidOut = (partitionCol, clusterBy) match {
+        case (Some(pc), _) => snap.repartition(targetFiles, col(pc))
+        case (None, cs) if cs.nonEmpty =>
+          snap.repartitionByRange(targetFiles, cs.map(col): _*)
+            .sortWithinPartitions(cs.map(col): _*)
+        case _ => snap.repartition(targetFiles)
       }
       val schema = tableSchema(spark, path, Some(cur)).getOrElse(snap.schema)
       val (stagedDir, staged0) = stage(laidOut, path, next, partitionCol)
@@ -930,6 +941,97 @@ object Versioned {
     }
     sys.error(s"deleteVectored lost ${maxRetries + 1} commit races " +
       s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** Resolve the newest version whose COMMIT TIME (the manifest's
+    * filesystem mtime — set by the atomic publish rename, immutable
+    * afterwards) is ≤ `tsMillis`, or None if the table didn't exist
+    * yet. Timestamp-based time travel: "the table as the 03:00 job
+    * saw it" without bookkeeping version numbers. */
+  def versionAsOf(spark: SparkSession, path: String,
+      tsMillis: Long): Option[Long] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return None
+    val vs = f.listStatus(dir)
+      .filter(s => s.getPath.getName.startsWith("v") &&
+        s.getPath.getName.endsWith(".manifest"))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** [[read]] at [[versionAsOf]] `tsMillis`; fails loudly when the
+    * table has no version that old. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAsOf(spark, path, tsMillis)
+      .getOrElse(sys.error(
+        s"no version of $path existed at t=$tsMillis"))))
+
+  /** Receipt of [[changes]]: the row-level diff plus the file-pruning
+    * arithmetic — how many files the diff OPENED vs the union of both
+    * manifests. Carried files are never read: immutable files shared
+    * by both versions contribute identical rows to both sides. */
+  final case class ChangeFeed(df: DataFrame, filesOpened: Int,
+    filesUnion: Int)
+
+  /** Row-level change feed `fromV` → `toV` as a whole-row bag diff:
+    * op='D' rows present at `fromV` but gone at `toV`, op='I' rows new
+    * at `toV` — computed by reading ONLY the files the two manifests
+    * DON'T share (plus deletion-vector deltas on carried files), so a
+    * partition-scoped merge's feed costs the touched partitions, not
+    * the table. This is incremental consumption for downstream
+    * maintenance (the Delta CDF economics without change files): at
+    * 100 TB a daily delta's consumers read the delta's footprint.
+    *
+    * A row that merely MOVED files unchanged (compaction) cancels in
+    * the bag diff and does not appear. */
+  def changes(spark: SparkSession, path: String, fromV: Long,
+      toV: Long): ChangeFeed = {
+    require(fromV <= toV, s"changes needs fromV <= toV, got $fromV > $toV")
+    val oldE = readManifestEntries(spark, path, fromV).map(_._1)
+    val newE = readManifestEntries(spark, path, toV).map(_._1)
+    val oldSet = oldE.toSet
+    val newSet = newE.toSet
+    val removed = oldE.filterNot(newSet.contains)
+    val added = newE.filterNot(oldSet.contains)
+    // deletion-vector delta on CARRIED files: rows vectored away
+    // between the two versions changed without their file changing
+    val dvOld = deletionVector(spark, path, Some(fromV))
+    val dvNew = deletionVector(spark, path, Some(toV))
+    val carriedKeys = oldE.filter(newSet.contains).map(fileKey).toSet
+    val dvDeltaFiles: Seq[String] = (dvOld, dvNew) match {
+      case (_, None) => Seq.empty
+      case (o, Some(n)) =>
+        val delta = o.fold(n)(od => n.exceptAll(od))
+        delta.select("f").distinct().collect().map(_.getString(0))
+          .filter(carriedKeys.contains)
+          .map(k => oldE.find(f => fileKey(f) == k).get)
+    }
+    val openOld = removed ++ dvDeltaFiles
+    val openNew = added ++ dvDeltaFiles
+    def side(v: Long, subset: Seq[String]): DataFrame =
+      if (subset.isEmpty) {
+        val schema = tableSchema(spark, path, Some(v))
+          .getOrElse(read(spark, path, Some(v)).schema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      } else readLive(spark, path, v, Some(subset), keepMeta = false)
+    val o0 = side(fromV, openOld)
+    val n = side(toV, openNew)
+    // under additive schema evolution the newer side is a superset:
+    // align the old side through it (absent columns read as NULL, the
+    // same view a logged-schema read of the old files would give)
+    val o =
+      if (o0.columns.sameElements(n.columns)) o0
+      else n.schema.fields.foldLeft(o0) { (df, fld) =>
+        if (df.columns.contains(fld.name)) df
+        else df.withColumn(fld.name, lit(null).cast(fld.dataType))
+      }.select(n.columns.map(col): _*)
+    val dels = o.exceptAll(n).withColumn("op", lit("D"))
+    val ins = n.exceptAll(o).withColumn("op", lit("I"))
+    ChangeFeed(dels.unionByName(ins),
+      (openOld ++ openNew).distinct.length,
+      (oldSet ++ newSet).size)
   }
 
   /** Receipt of a [[readRange]]: the live rows of the kept files, and

@@ -261,6 +261,79 @@ class LakeV2Spec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("changes(): whole-row diff reads only unshared files; carried " +
+      "files and compaction moves contribute nothing; DV deltas appear") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      val base = Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"),
+        (4L, "four", "b")).toDF("k", "v", "p")
+      Versioned.init(base, dir, partitionCol = Some("p"))
+      // touch only partition a
+      Versioned.merge(Seq((2L, "TWO", "a"), (5L, "five", "a"))
+        .toDF("k", "v", "p"), dir, Seq("k"), partitionCol = Some("p"))
+      val cf = Versioned.changes(spark, dir, 1L, 2L)
+      val got = cf.df.select("op", "k", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == Set(("D", 2L, "two"), ("I", 2L, "TWO"),
+        ("I", 5L, "five")), got.toString)
+      assert(cf.filesOpened < cf.filesUnion,
+        "the untouched partition's carried files must not be opened")
+      // a pure compaction produces an EMPTY feed (rows only moved)
+      Versioned.compact(spark, dir, targetFiles = 1,
+        partitionCol = Some("p"))
+      assert(Versioned.changes(spark, dir, 2L, 3L).df.count() == 0L)
+      // a vectored delete on carried files surfaces as a D via the
+      // deletion-vector delta
+      Versioned.deleteVectored(spark, dir, col("k") === 4L)
+      val cf2 = Versioned.changes(spark, dir, 3L, 4L)
+      assert(cf2.df.select("op", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("D", 4L)), "dv-delta rows must appear as deletes")
+    } finally rm(dir)
+  }
+
+  test("readAsOf resolves by commit time and fails before the table existed") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "v", "p"), dir)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(20)
+      Versioned.merge(Seq((1L, "ONE", "a")).toDF("k", "v", "p"),
+        dir, Seq("k"))
+      assert(Versioned.versionAsOf(spark, dir, t1).contains(1L))
+      assert(rows(Versioned.readAsOf(spark, dir, t1)) ==
+        rows(Versioned.read(spark, dir, Some(1L))))
+      assert(Versioned.versionAsOf(spark, dir, System.currentTimeMillis())
+        .contains(2L))
+      intercept[RuntimeException] { Versioned.readAsOf(spark, dir, 1000L) }
+    } finally rm(dir)
+  }
+
+  test("clusterBy compact: a selective range probe opens fewer files " +
+      "after clustering, identical data") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      // shuffled init: every file spans the whole key range
+      val wide = (1L to 4000L).map(i => (i, s"v$i"))
+      Versioned.init(wide.toDF("k", "v").repartition(8), dir,
+        statsCols = Seq("k"))
+      val before = Versioned.readRange(spark, dir, "k", 100d, 120d)
+      assert(before.filesRead == before.filesTotal,
+        "round-robin layout must not prune (every file spans the range)")
+      val all = Versioned.read(spark, dir).select("k").as[Long]
+        .collect().toSet
+      Versioned.compact(spark, dir, targetFiles = 8, clusterBy = Seq("k"))
+      val after = Versioned.readRange(spark, dir, "k", 100d, 120d)
+      assert(after.filesRead < after.filesTotal,
+        s"clustered layout must prune: ${after.filesRead}/${after.filesTotal}")
+      assert(Versioned.read(spark, dir).select("k").as[Long]
+        .collect().toSet == all, "clustering must be data-identical")
+      assert(after.df.filter(col("k").between(100, 120)).count() == 21L)
+    } finally rm(dir)
+  }
+
   test("manifest is parquet-as-data: directory layout, and a many-file " +
       "partition merge carries the untouched set by reference") {
     val dir = tmp()
