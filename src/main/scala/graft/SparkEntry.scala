@@ -64,7 +64,8 @@ object SparkEntry {
     graft.queries.Wave38Queries.queries ++
     graft.queries.Wave39Queries.queries ++
     graft.queries.Wave40Queries.queries ++
-    graft.queries.Wave41Queries.queries
+    graft.queries.Wave41Queries.queries ++
+    graft.queries.Wave42Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -115,5 +116,6 @@ object SparkEntry {
     graft.queries.Wave38Queries.oracles ++
     graft.queries.Wave39Queries.oracles ++
     graft.queries.Wave40Queries.oracles ++
-    graft.queries.Wave41Queries.oracles
+    graft.queries.Wave41Queries.oracles ++
+    graft.queries.Wave42Queries.oracles
 }

@@ -822,6 +822,66 @@ object Versioned {
       s"(1 attempt + $maxRetries retries): $path")
   }
 
+  /** Receipt of a [[compactSmall]]: the committed version, how many
+    * small files were coalesced vs large files carried by reference.
+    * `version == -1` = fewer than two small files, nothing to gain,
+    * nothing committed. */
+  final case class Compaction(version: Long, coalesced: Int, carried: Int)
+
+  /** OPTIMIZE-style SELECTIVE compaction: coalesce only the files
+    * smaller than `minBytes` into `targetFiles` files; every
+    * already-well-sized file carries into the new manifest BY
+    * REFERENCE (with its stats untouched). This is the steady-state
+    * maintenance shape for a merge-fed lake: each incremental commit
+    * leaves a sliver batch, and periodic compaction should pay for
+    * the SLIVERS, not rewrite the accumulated well-formed bulk —
+    * at 100 TB, full [[compact]] is a table rewrite, `compactSmall`
+    * is a rounding error. Deletion-vector entries on the coalesced
+    * files are materialized by the rewrite; entries on carried files
+    * carry. Sizes come from a filesystem stat of the manifest's files
+    * (O(small manifest) driver calls — a maintenance-time cost). */
+  def compactSmall(spark: SparkSession, path: String, minBytes: Long,
+      targetFiles: Int, partitionCol: Option[String] = None,
+      maxRetries: Int = 5): Compaction = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      val curEntries = readManifestEntries(spark, path, cur)
+      val f = fs(spark, path)
+      val (smallE, bigE) = curEntries.partition { case (p, _) =>
+        f.getFileStatus(new Path(p)).getLen < minBytes
+      }
+      if (smallE.length <= 1)
+        return Compaction(-1L, 0, curEntries.length)
+      val small = smallE.map(_._1)
+      val smallKeys = small.map(fileKey).toSet
+      val rows = readLive(spark, path, cur, Some(small), keepMeta = false)
+      val laidOut = partitionCol match {
+        case Some(pc) => rows.repartition(targetFiles, col(pc))
+        case None     => rows.repartition(targetFiles)
+      }
+      val (stagedDir, staged0) =
+        stage(laidOut, path, next, partitionCol)
+      val staged = ensureManifestNonEmpty(rows, path, stagedDir,
+        staged0, bigE.nonEmpty)
+      val dvCarried = deletionVector(spark, path, Some(cur)).flatMap { d =>
+        val rest = d.filter(!col("f").isin(smallKeys.toSeq: _*))
+        if (rest.isEmpty) None else Some(rest)
+      }
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(rows.schema)
+      if (commit(spark, path, next,
+          Left(bigE ++ stagedEntries(spark, path, staged)), Some(schema),
+          dvCarried))
+        return Compaction(next, smallE.length, bigE.length)
+      fs(spark, path).delete(stagedDir, true)
+      attempt += 1
+    }
+    sys.error(s"compactSmall lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
   /** Receipt of a [[delete]] / [[deleteVectored]]: the committed
     * version, how many files were rewritten vs carried by reference,
     * and the matched row count. `version == -1` means the predicate

@@ -334,6 +334,77 @@ class LakeV2Spec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("compactSmall coalesces only sub-threshold sliver files, " +
+      "carries the bulk by reference, keeps bulk vector entries") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      Versioned.init((1L to 4000L).map(i => (i, i * 10L)).toDF("k", "n")
+        .coalesce(1), dir)
+      // three O(1-row) update commits: each appends a sliver file and
+      // vectors the old row
+      (1L to 3L).foreach { i =>
+        Versioned.updateVectored(spark, dir, col("k") === i,
+          Map("n" -> (col("n") + 1)))
+      }
+      val nFiles = Versioned.files(spark, dir).length
+      assert(nFiles == 4, s"expected bulk + 3 slivers, got $nFiles")
+      val before = Versioned.read(spark, dir).select("k", "n")
+        .as[(Long, Long)].collect().toSet
+      val c = Versioned.compactSmall(spark, dir, minBytes = 10000L,
+        targetFiles = 1)
+      assert(c.coalesced == 3 && c.carried == 1,
+        s"must coalesce the 3 slivers and carry the bulk: $c")
+      val bulk = Versioned.files(spark, dir, Some(1L)).head
+      assert(Versioned.files(spark, dir).contains(bulk),
+        "the bulk file must carry by REFERENCE (same path)")
+      assert(Versioned.read(spark, dir).select("k", "n")
+        .as[(Long, Long)].collect().toSet == before,
+        "selective compaction must be read-identical")
+      // vector entries for the coalesced slivers materialized; the
+      // bulk file's entries (old updated rows) must survive
+      val dv = Versioned.deletionVector(spark, dir)
+      assert(dv.nonEmpty && dv.get.count() == 3L,
+        "bulk-file vector entries must carry through compactSmall")
+      // a second pass finds at most one small file -> no-op
+      assert(Versioned.compactSmall(spark, dir, 10000L, 1).version == -1L)
+    } finally rm(dir)
+  }
+
+  test("optimistic concurrency: racing writers all land, every row " +
+      "survives, versions are dense") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      Versioned.init(Seq((0L, "base")).toDF("k", "v").coalesce(1), dir)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = (1 to 4).map { t =>
+        scala.concurrent.Future {
+          (1 to 2).map { i =>
+            val k = t * 100L + i
+            Versioned.merge(Seq((k, s"w$t-$i")).toDF("k", "v"),
+              dir, Seq("k"), maxRetries = 20)
+          }
+        }
+      }
+      val versions = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(120, "s")).flatten
+      pool.shutdown()
+      assert(versions.distinct.length == 8,
+        s"every commit must claim a distinct version: $versions")
+      assert(versions.toSet == (2L to 9L).toSet,
+        s"versions must be dense 2..9: $versions")
+      val keys = Versioned.read(spark, dir).select("k").as[Long]
+        .collect().toSet
+      assert(keys == Set(0L) ++ (1 to 4).flatMap(t =>
+        (1 to 2).map(i => t * 100L + i)).toSet,
+        s"a racing writer lost rows: $keys")
+    } finally rm(dir)
+  }
+
   test("manifest is parquet-as-data: directory layout, and a many-file " +
       "partition merge carries the untouched set by reference") {
     val dir = tmp()
