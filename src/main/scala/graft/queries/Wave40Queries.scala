@@ -50,7 +50,7 @@ object Wave40Queries {
       // partition by it — every bucket value lands in exactly one task
       Versioned.init(base.repartition(col("bkt")), dir,
         partitionCol = Some("bkt"), statsCols = Seq("c"))
-      val (lo, hi) = (205d, 390d)
+      val (lo, hi) = (20d, 90d)
       val pr = Versioned.readRange(s, dir, "c", lo, hi)
       val r = pr.df.filter(col("c").between(lo, hi))
         .withColumn("fp", fpCol(col("k"), col("c"),
@@ -123,13 +123,13 @@ object Wave40Queries {
          |      CAST(c AS VARCHAR) || '#' ||
          |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
          |      >> 4 AS fp
-         |  FROM b WHERE c BETWEEN 205 AND 390),
+         |  FROM b WHERE c BETWEEN 20 AND 90),
          |bk AS (SELECT bkt, min(c) AS mn, max(c) AS mx FROM b GROUP BY 1)
          |SELECT (SELECT count(*) FROM hit) AS n_rows,
          |  (SELECT ${Q.DSUM("p")} FROM hit) AS sum_price,
          |  (SELECT CAST(bit_xor(fp) AS BIGINT) FROM hit) AS xor_fp,
          |  (SELECT CAST(count(*) AS INTEGER) FROM bk
-         |     WHERE mn <= 390 AND mx >= 205) AS files_read,
+         |     WHERE mn <= 90 AND mx >= 20) AS files_read,
          |  (SELECT CAST(count(*) AS INTEGER) FROM bk) AS files_total,
          |  1 AS superset_ok""".stripMargin,
     "q_update_vectored" ->
