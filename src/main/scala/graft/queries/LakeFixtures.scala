@@ -71,6 +71,19 @@ object LakeFixtures {
         dir, partitionCol = Some("o_orderstatus"))
     }
 
+  /** (k, c, p, bkt = c DIV 100) bucket-clustered one file per bucket,
+    * per-file min/max stats registered on c — the data-skipping
+    * probe's read-only layout. */
+  def ordersBuckets(s: SparkSession, d: String): String =
+    build(s"bkt|$d", "graft_base_bkt") { dir =>
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("o_totalprice").as("p"))
+        .withColumn("bkt", (col("c") / 100).cast("long"))
+      Versioned.init(base.repartition(col("bkt")), dir,
+        partitionCol = Some("bkt"), statsCols = Seq("c"))
+    }
+
   /** A fresh isolated clone of `base` in its own temp directory; the
     * caller owns (and should delete) the returned directory. */
   def cloneOf(s: SparkSession, base: String, prefix: String): String = {

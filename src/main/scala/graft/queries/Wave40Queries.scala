@@ -40,16 +40,10 @@ object Wave40Queries {
     shiftrightunsigned(Dedup.md5Hash64(concat_ws("#", cols: _*)), 4)
 
   def qLakeSkipping(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
-    try {
-      val base = Tables.load(s, d, "orders")
-        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
-          col("o_totalprice").as("p"))
-        .withColumn("bkt", (col("c") / 100).cast("long"))
-      // one file per bucket: cluster by bucket, then directory-
-      // partition by it — every bucket value lands in exactly one task
-      Versioned.init(base.repartition(col("bkt")), dir,
-        partitionCol = Some("bkt"), statsCols = Seq("c"))
+    // READ-ONLY probe over the shared bucket-clustered base (one file
+    // per `c DIV 100` bucket, stats on c) — no clone needed
+    val dir = LakeFixtures.ordersBuckets(s, d)
+    locally {
       val (lo, hi) = (20d, 90d)
       val pr = Versioned.readRange(s, dir, "c", lo, hi)
       val r = pr.df.filter(col("c").between(lo, hi))
@@ -66,9 +60,6 @@ object Wave40Queries {
           if (r.getLong(0) == full) 1 else 0))
         .toDF("n_rows", "sum_price", "xor_fp", "files_read", "files_total",
           "superset_ok")
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
