@@ -65,7 +65,8 @@ object SparkEntry {
     graft.queries.Wave39Queries.queries ++
     graft.queries.Wave40Queries.queries ++
     graft.queries.Wave41Queries.queries ++
-    graft.queries.Wave42Queries.queries
+    graft.queries.Wave42Queries.queries ++
+    graft.queries.Wave43Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -117,5 +118,6 @@ object SparkEntry {
     graft.queries.Wave39Queries.oracles ++
     graft.queries.Wave40Queries.oracles ++
     graft.queries.Wave41Queries.oracles ++
-    graft.queries.Wave42Queries.oracles
+    graft.queries.Wave42Queries.oracles ++
+    graft.queries.Wave43Queries.oracles
 }

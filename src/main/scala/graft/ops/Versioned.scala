@@ -243,8 +243,19 @@ object Versioned {
 
   /** The table's registered stats columns (set at [[init]]); every
     * commit computes min/max for ITS staged files over these, carried
-    * files keep their manifest stats untouched. */
-  def statsColumns(spark: SparkSession, path: String): Seq[String] = {
+    * files keep their manifest stats untouched. Lines prefixed
+    * `bloom:` register per-file BLOOM sidecars instead (see
+    * [[readPoint]]). */
+  def statsColumns(spark: SparkSession, path: String): Seq[String] =
+    registeredCols(spark, path).filterNot(_.startsWith("bloom:"))
+
+  /** Columns with per-file Bloom membership sidecars. */
+  def bloomColumns(spark: SparkSession, path: String): Seq[String] =
+    registeredCols(spark, path).collect {
+      case c if c.startsWith("bloom:") => c.stripPrefix("bloom:") }
+
+  private def registeredCols(spark: SparkSession,
+      path: String): Seq[String] = {
     val f = fs(spark, path)
     val p = statsColsPath(path)
     if (!f.exists(p)) Seq.empty
@@ -256,6 +267,12 @@ object Versioned {
     }
   }
 
+  /** Per-file Bloom budget: sized for the expected rows of one
+    * well-formed file. ~20 KB serialized per (file, column) — manifest
+    * metadata, amortized by point lookups that then open ONE file. */
+  private val bloomExpected = 20000L
+  private val bloomBits = 160000L
+
   /** Exact per-staged-file min/max of the registered stats columns —
     * ONE bounded aggregate over the just-staged batch (not the
     * table), grouped by file. Long-family columns render as
@@ -265,17 +282,33 @@ object Versioned {
     * entry either (kept on probe; their rows can't match a range
     * anyway). Returned map is keyed by file NAME. */
   private def statsJsonFor(spark: SparkSession, path: String,
-      staged: Seq[String], cols: Seq[String]): Map[String, String] = {
-    if (cols.isEmpty || staged.isEmpty) return Map.empty
+      staged: Seq[String], cols: Seq[String],
+      bloomCols: Seq[String]): Map[String, String] = {
+    if ((cols.isEmpty && bloomCols.isEmpty) || staged.isEmpty)
+      return Map.empty
     val df = readFiles(spark, path, staged, None, meta = true)
     val schema = df.schema
     val present = cols.filter(c => schema.fieldNames.contains(c))
-    if (present.isEmpty) return Map.empty
+    val bloomPresent = bloomCols.filter(c => schema.fieldNames.contains(c))
     val aggs = present.flatMap(c =>
-      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
+      bloomPresent.map(c =>
+        // Spark's base64 chunks with CR/LF (MIME) — illegal inside a
+        // JSON string; strip to the continuous RFC4648 form
+        regexp_replace(base64(graft.functions.Bloom.bloomAgg(col(c),
+          bloomExpected, bloomBits)), "[\\r\\n]", "").as(s"bl_$c")) :+
+      count(lit(1)).as("__n")
     val rows = df.groupBy(col(metaF)).agg(aggs.head, aggs.tail: _*).collect()
     rows.flatMap { r =>
-      val parts = present.flatMap { c =>
+      val rowCount = r.getLong(r.fieldIndex("__n"))
+      val extras =
+        Seq(s""""#rows":{"t":"l","mnl":$rowCount,"mxl":$rowCount}""") ++
+        bloomPresent.flatMap { c =>
+          val i = r.fieldIndex(s"bl_$c")
+          if (r.isNullAt(i)) None
+          else Some(s""""#bloom:$c":{"t":"b","b":"${r.getString(i)}"}""")
+        }
+      val parts = extras ++ present.flatMap { c =>
         val mnI = r.fieldIndex(s"mn_$c")
         val mxI = r.fieldIndex(s"mx_$c")
         if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
@@ -304,7 +337,8 @@ object Versioned {
     * (when the table registered stats columns). */
   private def stagedEntries(spark: SparkSession, path: String,
       staged: Seq[String]): Seq[(String, Option[String])] = {
-    val stats = statsJsonFor(spark, path, staged, statsColumns(spark, path))
+    val stats = statsJsonFor(spark, path, staged,
+      statsColumns(spark, path), bloomColumns(spark, path))
     staged.map(p => (p, stats.get(fileKey(p))))
   }
 
@@ -573,15 +607,17 @@ object Versioned {
     * the manifest where a million-file table wants it. */
   def init(df: DataFrame, path: String,
       partitionCol: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     require(currentVersion(spark, path).isEmpty,
       s"table already initialized: $path")
-    if (statsCols.nonEmpty) {
+    if (statsCols.nonEmpty || bloomCols.nonEmpty) {
       val f = fs(spark, path)
       f.mkdirs(manifestDir(path))
+      val lines = statsCols ++ bloomCols.map("bloom:" + _)
       val out = f.create(statsColsPath(path), true)
-      try out.write((statsCols.mkString("\n") + "\n")
+      try out.write((lines.mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -741,7 +777,7 @@ object Versioned {
     require(currentVersion(spark, dst).isEmpty,
       s"clone target already initialized: $dst")
     val v = resolve(spark, src, None)
-    val scols = statsColumns(spark, src)
+    val scols = registeredCols(spark, src)
     if (scols.nonEmpty) {
       val f = fs(spark, dst)
       f.mkdirs(manifestDir(dst))
@@ -1140,6 +1176,83 @@ object Versioned {
     } else
       Pruned(readLive(spark, path, v, Some(kept), keepMeta = false),
         kept.length, total)
+  }
+
+  /** Metadata-only aggregate over `column`: exact row COUNT and
+    * min/max answered entirely FROM THE MANIFEST — zero data files
+    * opened (the Iceberg metadata-tables economics: counting a 100 TB
+    * table costs one manifest scan). Requires every file to carry
+    * stats for the column (commits since registration) and the
+    * version to be deletion-vector-free — vectored rows would make
+    * manifest counts and extrema stale, so this fails LOUDLY with a
+    * compact-first hint rather than return bounds as answers. */
+  final case class MetaStats(rows: Long, min: Double, max: Double,
+    files: Int)
+
+  def metadataStats(spark: SparkSession, path: String, column: String,
+      version: Option[Long] = None): MetaStats = {
+    val v = resolve(spark, path, version)
+    require(deletionVector(spark, path, Some(v)).isEmpty,
+      s"metadataStats needs a deletion-vector-free version — compact " +
+        s"$path first to materialize outstanding vectors")
+    val st = from_json(col("stats_json"), statsSchema)
+    val e = element_at(st, column)
+    val n = element_at(st, "#rows")
+    val agg = manifestDf(spark, path, v).agg(
+      sum(n("mnl")).as("rows"),
+      count(lit(1)).as("files"),
+      sum(when(n("mnl").isNull, 1).otherwise(0)).as("no_count"),
+      sum(when(col("stats_json").isNotNull && e.isNull, 1).otherwise(0))
+        .as("no_stats"),
+      min(when(e("t") === "l", e("mnl").cast("double"))
+        .otherwise(e("mnd"))).as("mn"),
+      max(when(e("t") === "l", e("mxl").cast("double"))
+        .otherwise(e("mxd"))).as("mx")).head()
+    require(agg.getLong(2) == 0L && agg.getLong(3) == 0L,
+      s"metadataStats needs stats on every file for '$column' " +
+        s"(files without row counts: ${agg.getLong(2)}, without " +
+        s"column stats: ${agg.getLong(3)}) — compact after registering")
+    MetaStats(agg.getLong(0), agg.getDouble(4), agg.getDouble(5),
+      agg.getLong(1).toInt)
+  }
+
+  /** POINT-LOOKUP read: open only the files whose per-file BLOOM
+    * sidecar for `column` might contain `value` (plus files without a
+    * sidecar — superset guarantee). Min/max stats can't prune a
+    * high-cardinality key that every file's range spans; a Bloom
+    * probe prunes to ~the one file actually holding the key (no false
+    * negatives, so never a lost row; false positives only cost extra
+    * file opens). The probe hashes exactly as the sidecar build
+    * (xxhash64 seed 42, Spark's own runtime-filter hashing). */
+  def readPoint(spark: SparkSession, path: String, column: String,
+      value: Column, version: Option[Long] = None): Pruned = {
+    val v = resolve(spark, path, version)
+    val entries = readManifestEntries(spark, path, v)
+    val hash = spark.range(1).select(xxhash64(value)).head().getLong(0)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val kept = entries.filter { case (_, sj) =>
+      sj match {
+        case None => true
+        case Some(js) =>
+          (JsonMethods.parse(js) \ s"#bloom:$column" \ "b") match {
+            case JString(b64) =>
+              val bytes = java.util.Base64.getMimeDecoder.decode(b64)
+              org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(bytes))
+                .mightContainLong(hash)
+            case _ => true
+          }
+      }
+    }.map(_._1)
+    if (kept.isEmpty) {
+      val schema = tableSchema(spark, path, Some(v))
+        .getOrElse(read(spark, path, Some(v)).schema)
+      Pruned(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        0, entries.length)
+    } else
+      Pruned(readLive(spark, path, v, Some(kept), keepMeta = false),
+        kept.length, entries.length)
   }
 
   /** Receipt of an [[updateVectored]]: committed version, carried file

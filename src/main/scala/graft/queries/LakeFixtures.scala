@@ -72,8 +72,9 @@ object LakeFixtures {
     }
 
   /** (k, c, p, bkt = c DIV 100) bucket-clustered one file per bucket,
-    * per-file min/max stats registered on c — the data-skipping
-    * probe's read-only layout. */
+    * per-file min/max stats registered on c and a per-file Bloom
+    * sidecar on k — the read-only layout for the data-skipping and
+    * point-lookup probes and the metadata-only aggregates. */
   def ordersBuckets(s: SparkSession, d: String): String =
     build(s"bkt|$d", "graft_base_bkt") { dir =>
       val base = Tables.load(s, d, "orders")
@@ -81,7 +82,8 @@ object LakeFixtures {
           col("o_totalprice").as("p"))
         .withColumn("bkt", (col("c") / 100).cast("long"))
       Versioned.init(base.repartition(col("bkt")), dir,
-        partitionCol = Some("bkt"), statsCols = Seq("c"))
+        partitionCol = Some("bkt"), statsCols = Seq("c"),
+        bloomCols = Seq("k"))
     }
 
   /** A fresh isolated clone of `base` in its own temp directory; the

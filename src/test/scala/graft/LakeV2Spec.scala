@@ -405,6 +405,56 @@ class LakeV2Spec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("metadataStats answers count/min/max from the manifest alone " +
+      "and refuses vectored or stats-less versions") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      val wide = (1L to 500L).map(i => (i, i * 2L))
+      Versioned.init(wide.toDF("k", "n").repartition(4), dir,
+        statsCols = Seq("k", "n"))
+      val m = Versioned.metadataStats(spark, dir, "k")
+      assert(m.rows == 500L && m.min == 1d && m.max == 500d && m.files == 4)
+      assert(Versioned.metadataStats(spark, dir, "n").max == 1000d)
+      intercept[IllegalArgumentException] {
+        Versioned.metadataStats(spark, dir, "absent_col")
+      }
+      Versioned.deleteVectored(spark, dir, col("k") === 1L)
+      intercept[IllegalArgumentException] {
+        Versioned.metadataStats(spark, dir, "k")
+      }
+      // the materializing compact restores exactness
+      Versioned.compact(spark, dir, targetFiles = 2)
+      val m2 = Versioned.metadataStats(spark, dir, "k")
+      assert(m2.rows == 499L && m2.min == 2d && m2.files == 2)
+    } finally rm(dir)
+  }
+
+  test("readPoint: bloom sidecars prune a point lookup to ~one file, " +
+      "never lose the row") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      // keys round-robin across files: every file's [min,max] spans
+      // the whole range, so ONLY the bloom can prune
+      val wide = (1L to 4000L).map(i => (i, s"v$i"))
+      Versioned.init(wide.toDF("k", "v").repartition(8), dir,
+        statsCols = Seq("k"), bloomCols = Seq("k"))
+      val rr = Versioned.readRange(spark, dir, "k", 77d, 77d)
+      assert(rr.filesRead == rr.filesTotal,
+        "round-robin min/max must NOT prune a point probe")
+      val pp = Versioned.readPoint(spark, dir, "k", lit(77L))
+      assert(pp.filesRead < pp.filesTotal,
+        s"bloom must prune: ${pp.filesRead}/${pp.filesTotal}")
+      val got = pp.df.filter(col("k") === 77L).select("v").as[String]
+        .collect().toSeq
+      assert(got == Seq("v77"), s"the looked-up row must survive: $got")
+      // a key that exists nowhere: bloom may FP but content is empty
+      assert(Versioned.readPoint(spark, dir, "k", lit(999999L))
+        .df.filter(col("k") === 999999L).count() == 0L)
+    } finally rm(dir)
+  }
+
   test("manifest is parquet-as-data: directory layout, and a many-file " +
       "partition merge carries the untouched set by reference") {
     val dir = tmp()
