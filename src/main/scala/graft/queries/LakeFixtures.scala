@@ -86,6 +86,28 @@ object LakeFixtures {
         bloomCols = Seq("k"))
     }
 
+  /** Even-doc_id documents as (doc_id, source, fp) — the CDC-cadence
+    * lake base shared by the change-feed / incremental-aggregate /
+    * stream-merge / time-travel queries. */
+  def docsEvensFp(s: SparkSession, d: String): String =
+    build(s"defp|$d", "graft_base_defp") { dir =>
+      val all = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.text.TextStats.fingerprint(
+            coalesce(col("text"), lit(""))).as("fp"))
+      Versioned.init(all.filter(col("doc_id") % 2 === 0), dir)
+    }
+
+  /** Even-doc_id documents as (doc_id, source, text) — the payload-
+    * bearing CDC lake base (signature maintenance). */
+  def docsEvensText(s: SparkSession, d: String): String =
+    build(s"detx|$d", "graft_base_detx") { dir =>
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("text"), lit("")).as("text"))
+      Versioned.init(base.filter(col("doc_id") % 2 === 0), dir)
+    }
+
   /** A fresh isolated clone of `base` in its own temp directory; the
     * caller owns (and should delete) the returned directory. */
   def cloneOf(s: SparkSession, base: String, prefix: String): String = {

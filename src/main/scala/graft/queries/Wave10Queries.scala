@@ -75,7 +75,7 @@ object Wave10Queries {
     val lakePath = s"$dir/lake"
     try {
       val all = fpDocs(s, d)
-      Versioned.init(all.filter(col("doc_id") % 2 === 0), lakePath)
+      Versioned.clone(s, LakeFixtures.docsEvensFp(s, d), lakePath)
       val hfs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       (0 to 2).foreach { b =>
@@ -145,10 +145,10 @@ object Wave10Queries {
     * + union" hash-checks that time travel neither leaks v2 rows into
     * v1 nor loses v1 files. */
   def qTimeTravel(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_travel").toString
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.docsEvensFp(s, d), "graft_travel")
     try {
       val all = fpDocs(s, d)
-      Versioned.init(all.filter(col("doc_id") % 2 === 0), dir)
       val w = Window.partitionBy("fp").orderBy(col("doc_id").desc)
       val batch = all.filter(col("doc_id") % 2 === 1)
         .withColumn("rk", row_number().over(w))

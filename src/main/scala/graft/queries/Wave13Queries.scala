@@ -44,12 +44,12 @@ object Wave13Queries {
     * snapshots; at 100 TB both sides prune to the partitions the merge
     * touched. */
   def qChangeFeed(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.docsEvensFp(s, d), "graft_cdc")
     try {
       val all = docs(s, d).select(col("doc_id"), col("source"),
         TextStats.fingerprint(coalesce(col("text"), lit(""))).as("fp"))
       val evens = all.filter(col("doc_id") % 2 === 0)
-      Versioned.init(evens, dir)
       val updates = evens.filter(col("doc_id") % 3 === 0)
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
         .withColumn("is_delete", lit(false))

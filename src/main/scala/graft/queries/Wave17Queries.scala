@@ -143,12 +143,12 @@ object Wave17Queries {
     * exact. Same merge construction as `q_change_feed` (updates shift
     * ids by 1e6, every 7th even doc deletes, every 5th odd inserts). */
   def qIncrAgg(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_incragg").toString
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.docsEvensFp(s, d), "graft_incragg")
     try {
       val all = docs(s, d).select(col("doc_id"), col("source"),
         TextStats.fingerprint(coalesce(col("text"), lit(""))).as("fp"))
       val evens = all.filter(col("doc_id") % 2 === 0)
-      Versioned.init(evens, dir)
       val updates = evens.filter(col("doc_id") % 3 === 0)
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
         .withColumn("is_delete", lit(false))

@@ -27,13 +27,13 @@ object Wave24Queries {
     * revision marker) so the signature genuinely differs; same
     * update/delete/insert cadence as the other CDC queries. */
   def qIncrSigs(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_isig").toString
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.docsEvensText(s, d), "graft_isig")
     try {
       val base = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"),
           coalesce(col("text"), lit("")).as("text"))
       val evens = base.filter(col("doc_id") % 2 === 0)
-      Versioned.init(evens, dir)
       val updates = evens.filter(col("doc_id") % 3 === 0)
         .withColumn("text", concat(col("text"), lit(" rev2")))
         .withColumn("is_delete", lit(false))
