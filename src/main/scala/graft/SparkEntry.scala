@@ -66,7 +66,8 @@ object SparkEntry {
     graft.queries.Wave40Queries.queries ++
     graft.queries.Wave41Queries.queries ++
     graft.queries.Wave42Queries.queries ++
-    graft.queries.Wave43Queries.queries
+    graft.queries.Wave43Queries.queries ++
+    graft.queries.Wave44Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -119,5 +120,6 @@ object SparkEntry {
     graft.queries.Wave40Queries.oracles ++
     graft.queries.Wave41Queries.oracles ++
     graft.queries.Wave42Queries.oracles ++
-    graft.queries.Wave43Queries.oracles
+    graft.queries.Wave43Queries.oracles ++
+    graft.queries.Wave44Queries.oracles
 }

@@ -138,6 +138,25 @@ class LakeV2Spec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("plan shape: a vectored read is ONE broadcast anti-join over " +
+      "the scan — no shuffle, no sort-merge") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      Versioned.init((1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(4), dir)
+      Versioned.deleteVectored(spark, dir, col("k") <= 10L)
+      val plan = Versioned.read(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        "the vector must anti-join as a broadcast build side")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("Exchange hashpartitioning"),
+        s"a vectored read must not shuffle the table:\n$plan")
+    } finally rm(dir)
+  }
+
   test("clone propagates the deletion vector") {
     val dir = tmp(); val src = s"$dir/src"; val dst = s"$dir/dst"
     try {
