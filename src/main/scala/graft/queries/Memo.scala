@@ -87,6 +87,11 @@ object Memo {
       graft.text.Similarity.cosinePairs(
         Tables.load(s, d, "embeddings"), threshold = 0.45))
 
+  /** The BM25 (doc_id, dl) length frame over the documents corpus. */
+  def docLengths(s: SparkSession, d: String): DataFrame =
+    parquet(s, s"bm25dl|$d")(
+      graft.text.Search.docLengths(docs(s, d)))
+
   /** Min-label connected components over [[cosPairs]]. */
   def cosCC(s: SparkSession, d: String): DataFrame =
     parquet(s, s"coscc|$d")(

@@ -51,7 +51,8 @@ object Wave12Queries {
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rk").as("truth_rk"))
     val sys = Search.bm25TopK(docs(s, d),
-        Wave8Queries.bm25Terms.toDF("query_id", "term"), k = evalK)
+        Wave8Queries.bm25Terms.toDF("query_id", "term"), k = evalK,
+        dlOpt = Some(Memo.docLengths(s, d)))
       .select(col("query_id").cast("bigint").as("query_id"),
         col("doc_id"), col("rk").as("sys_rk"))
     val idcg = (1 to evalK).map(i => (evalK + 1 - i)

@@ -22,7 +22,8 @@ object Wave31Queries {
     import s.implicits._
     Search.rm3TopK(Tables.load(s, d, "documents"),
       Wave8Queries.bm25Terms.toDF("query_id", "term"),
-      kFeedback = 10, nExpand = 5, k = 10)
+      kFeedback = 10, nExpand = 5, k = 10,
+      dlOpt = Some(Memo.docLengths(s, d)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -50,7 +50,8 @@ object Wave8Queries {
 
   def qBm25Search(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Search.bm25TopK(docs(s, d), bm25Terms.toDF("query_id", "term"), k = 10)
+    Search.bm25TopK(docs(s, d), bm25Terms.toDF("query_id", "term"), k = 10,
+      dlOpt = Some(Memo.docLengths(s, d)))
   }
 
   // ---- product-quantization ANN ----

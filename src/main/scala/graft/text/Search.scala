@@ -34,13 +34,21 @@ object Search {
   val K1 = 1.2
   val B = 0.75
 
+  /** The (doc_id, dl) token-length frame BM25 normalizes by — a pure
+    * function of the corpus, exposed so callers can compute it once
+    * (or disk-memoize it) and inject it into several scoring passes;
+    * `None` keeps the self-contained behavior. */
+  def docLengths(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      TextStats.tokenCount(col("text")).as("dl"))
+
   /** Top-`k` documents per query by BM25. `queryTerms` rows are
     * (query_id, term); `docsDf` needs (doc_id, text). */
-  def bm25TopK(docsDf: DataFrame, queryTerms: DataFrame, k: Int): DataFrame = {
+  def bm25TopK(docsDf: DataFrame, queryTerms: DataFrame, k: Int,
+      dlOpt: Option[DataFrame] = None): DataFrame = {
     val tok = docsDf.select(col("doc_id"),
       explode(TextStats.tokens(col("text"))).as("term"))
-    val dl = docsDf.select(col("doc_id"),
-      TextStats.tokenCount(col("text")).as("dl"))
+    val dl = dlOpt.getOrElse(docLengths(docsDf))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
 
@@ -95,13 +103,13 @@ object Search {
     * same postings-restriction discipline as the first pass); both
     * BM25 passes keep their no-global-index property. */
   def rm3TopK(docsDf: DataFrame, queryTerms: DataFrame,
-      kFeedback: Int = 10, nExpand: Int = 5, k: Int = 10): DataFrame = {
-    val top = bm25TopK(docsDf, queryTerms, kFeedback)
+      kFeedback: Int = 10, nExpand: Int = 5, k: Int = 10,
+      dlOpt: Option[DataFrame] = None): DataFrame = {
+    val top = bm25TopK(docsDf, queryTerms, kFeedback, dlOpt)
       .select(col("query_id"), col("doc_id"))
     val tok = docsDf.select(col("doc_id"),
       explode(TextStats.tokens(col("text"))).as("term"))
-    val dl = docsDf.select(col("doc_id"),
-      TextStats.tokenCount(col("text")).as("dl"))
+    val dl = dlOpt.getOrElse(docLengths(docsDf))
     val ftf = tok
       .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"),
         "left_semi")
@@ -118,7 +126,7 @@ object Search {
       .filter(col("r") <= lit(nExpand)).select("query_id", "term")
     val q2 = queryTerms.select("query_id", "term")
       .unionByName(expansion).distinct()
-    bm25TopK(docsDf, q2, k)
+    bm25TopK(docsDf, q2, k, dlOpt)
   }
 
   /** Corpus-side CTEs shared by every BM25 replay (query-independent). */
