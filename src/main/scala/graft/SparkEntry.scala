@@ -67,7 +67,8 @@ object SparkEntry {
     graft.queries.Wave41Queries.queries ++
     graft.queries.Wave42Queries.queries ++
     graft.queries.Wave43Queries.queries ++
-    graft.queries.Wave44Queries.queries
+    graft.queries.Wave44Queries.queries ++
+    graft.queries.Wave45Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -121,5 +122,6 @@ object SparkEntry {
     graft.queries.Wave41Queries.oracles ++
     graft.queries.Wave42Queries.oracles ++
     graft.queries.Wave43Queries.oracles ++
-    graft.queries.Wave44Queries.oracles
+    graft.queries.Wave44Queries.oracles ++
+    graft.queries.Wave45Queries.oracles
 }

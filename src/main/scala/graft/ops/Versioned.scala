@@ -1309,6 +1309,72 @@ object Versioned {
       s"(1 attempt + $maxRetries retries): $path")
   }
 
+  // ------------------------------------------------------------------
+  // HIDDEN partitioning (Iceberg-style partition TRANSFORMS)
+  // ------------------------------------------------------------------
+
+  private val gpCol = "__gpart"
+
+  private def transformPath(path: String) =
+    new Path(manifestDir(path), "ptransform")
+
+  /** The table's registered partition transform (an SQL expression
+    * over its columns), or None for explicit/unpartitioned layouts. */
+  def hiddenTransform(spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = transformPath(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Initialize with HIDDEN partitioning: `transformExpr` is an SQL
+    * expression over the table's own columns (e.g. `"c div 100"`,
+    * `"pmod(k, 16)"`, `"to_date(ts)"`), registered as a TABLE
+    * property — the Iceberg insight that Hive-style layouts miss:
+    * writers and readers should never have to repeat (or even know)
+    * the layout. [[mergeHidden]] derives the partition value for each
+    * source row and scopes the rewrite automatically; [[readHidden]]
+    * hides the derived column. The derived value is materialized as a
+    * real (suffixed) column, so deletion vectors, stats, CDC and
+    * time travel all work unchanged on transformed tables. */
+  def initHidden(df: DataFrame, path: String, transformExpr: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    f.mkdirs(manifestDir(path))
+    val out = f.create(transformPath(path), true)
+    try out.write(transformExpr.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    init(df.withColumn(gpCol, expr(transformExpr)), path,
+      partitionCol = Some(gpCol), statsCols = statsCols)
+  }
+
+  /** MERGE into a hidden-partitioned table: the layout is resolved
+    * from the table property and the source batch's partition values
+    * derive IN-PLAN — callers state WHAT to merge, never HOW the
+    * table is laid out. Untouched partitions carry by reference
+    * exactly as with an explicit partition column. */
+  def mergeHidden(source: DataFrame, path: String, keys: Seq[String],
+      deleteCol: Option[String] = None, maxRetries: Int = 5): Long = {
+    val spark = source.sparkSession
+    val t = hiddenTransform(spark, path).getOrElse(sys.error(
+      s"no hidden partition transform registered at $path — " +
+        "use merge() for explicit layouts"))
+    merge(source.withColumn(gpCol, expr(t)), path, keys,
+      partitionCol = Some(gpCol), deleteCol = deleteCol,
+      maxRetries = maxRetries)
+  }
+
+  /** Read a hidden-partitioned snapshot with the derived partition
+    * column hidden again. */
+  def readHidden(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame =
+    read(spark, path, version).drop(gpCol)
+
   /** Delete data files referenced by NO surviving manifest and drop
     * all but the last `keepLast` manifests (with their schema and
     * deletion-vector sidecars). Returns deleted file count. Readers

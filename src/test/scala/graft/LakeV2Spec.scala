@@ -474,6 +474,39 @@ class LakeV2Spec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("hidden partitioning: layout derives from the table property, " +
+      "untouched buckets carry by reference, reads never see it") {
+    import spark.implicits._
+    val dir = tmp()
+    try {
+      val base = (1L to 400L).map(i => (i, i % 40, s"v$i"))
+        .toDF("k", "c", "v")
+      Versioned.initHidden(base, dir, "c div 10")
+      assert(Versioned.hiddenTransform(spark, dir).contains("c div 10"))
+      assert(Versioned.readHidden(spark, dir).columns.toSeq ==
+        Seq("k", "c", "v"), "the derived column must stay hidden")
+      val v1Files = Versioned.files(spark, dir, Some(1L))
+      // the batch touches only bucket 2 (c in 20..29) — the caller
+      // never states that; the transform derives it
+      Versioned.mergeHidden(Seq((21L, 21L, "NEW")).toDF("k", "c", "v"),
+        dir, Seq("k"))
+      val v2Files = Versioned.files(spark, dir, Some(2L)).toSet
+      val untouched = v1Files.filterNot(_.contains("/__gpart=2/"))
+      assert(untouched.nonEmpty && untouched.forall(v2Files.contains),
+        "untouched hidden buckets must carry by file reference")
+      assert(v1Files.filter(_.contains("/__gpart=2/"))
+        .forall(!v2Files.contains(_)),
+        "the touched hidden bucket must be fully rewritten")
+      val got = Versioned.readHidden(spark, dir)
+        .filter(col("k") === 21L).select("v").as[String].head()
+      assert(got == "NEW")
+      assert(Versioned.readHidden(spark, dir).count() == 400L)
+      // deletion vectors compose with the hidden layout
+      Versioned.deleteVectored(spark, dir, col("k") === 1L)
+      assert(Versioned.readHidden(spark, dir).count() == 399L)
+    } finally rm(dir)
+  }
+
   test("manifest is parquet-as-data: directory layout, and a many-file " +
       "partition merge carries the untouched set by reference") {
     val dir = tmp()
