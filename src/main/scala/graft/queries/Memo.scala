@@ -87,6 +87,17 @@ object Memo {
       graft.text.Similarity.cosinePairs(
         Tables.load(s, d, "embeddings"), threshold = 0.45))
 
+  /** The decontamination overlap pairs (train ⊇ probe shingles at the
+    * registry containment threshold over the doc_id%11 split). */
+  def contamination(s: SparkSession, d: String): DataFrame =
+    parquet(s, s"contam|$d") {
+      val dd = docs(s, d)
+      graft.text.Contamination.overlap(
+        dd.filter(col("doc_id") % 11 =!= 0),
+        dd.filter(col("doc_id") % 11 === 0),
+        minContainment = 0.5)
+    }
+
   /** The BM25 (doc_id, dl) length frame over the documents corpus. */
   def docLengths(s: SparkSession, d: String): DataFrame =
     parquet(s, s"bm25dl|$d")(

@@ -245,12 +245,7 @@ object PipelineQueries {
     * Jaccard — an eval question swallowed by a long train doc must
     * still flag. Full SQL oracle recomputes the shingle overlap. */
   def qDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val dd = docs(s, d)
-    Contamination.overlap(
-      dd.filter(col("doc_id") % 11 =!= 0),
-      dd.filter(col("doc_id") % 11 === 0),
-      minContainment = 0.5)
-      .orderBy("train_id", "probe_id")
+    Memo.contamination(s, d).orderBy("train_id", "probe_id")
   }
 
   /** RAG/embedding chunk prep ([[TextStats.chunkDocs]]): 64-token
@@ -432,9 +427,7 @@ object PipelineQueries {
     * arithmetic included, in one SQL statement. */
   def qCorpusBuild(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val contaminated = Contamination.overlap(
-        dd.filter(col("doc_id") % 11 =!= 0),
-        dd.filter(col("doc_id") % 11 === 0), minContainment = 0.5)
+    val contaminated = Memo.contamination(s, d)
       .select(col("train_id").as("doc_id")).distinct()
     val corpusIds = Curation.keepersCached(dd, s"$d|heur", jacThreshold)
       .filter(col("doc_id") % 11 =!= 0)       // eval split never trains
