@@ -786,6 +786,13 @@ object Versioned {
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
+    hiddenTransform(spark, src).foreach { t =>
+      val f = fs(spark, dst)
+      f.mkdirs(manifestDir(dst))
+      val out = f.create(transformPath(dst), true)
+      try out.write(t.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     require(commit(spark, dst, 1L,
       Left(readManifestEntries(spark, src, v)),
       tableSchema(spark, src, Some(v)),

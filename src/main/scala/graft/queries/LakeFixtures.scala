@@ -108,6 +108,16 @@ object LakeFixtures {
       Versioned.init(base.filter(col("doc_id") % 2 === 0), dir)
     }
 
+  /** (k, c, p) orders under the HIDDEN `c div 100` transform — the
+    * hidden-partitioning base. */
+  def ordersHidden(s: SparkSession, d: String): String =
+    build(s"hid|$d", "graft_base_hid") { dir =>
+      Versioned.initHidden(Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("o_totalprice").as("p")),
+        dir, "c div 100")
+    }
+
   /** A fresh isolated clone of `base` in its own temp directory; the
     * caller owns (and should delete) the returned directory. */
   def cloneOf(s: SparkSession, base: String, prefix: String): String = {

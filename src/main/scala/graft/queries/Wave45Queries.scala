@@ -31,12 +31,14 @@ object Wave45Queries {
     shiftrightunsigned(Dedup.md5Hash64(concat_ws("#", cols: _*)), 4)
 
   def qHiddenPartitioning(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_hp").toString
+    // zero-copy clone of the shared hidden-layout base (clone carries
+    // the transform property with it)
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.ordersHidden(s, d), "graft_hp")
     try {
       val base = Tables.load(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
           col("o_totalprice").as("p"))
-      Versioned.initHidden(base, dir, "c div 100")
       val v1Files = Versioned.files(s, dir, Some(1L))
       // the batch touches only customers 20..29 = hidden bucket 0;
       // the caller never names the layout
