@@ -68,7 +68,8 @@ object SparkEntry {
     graft.queries.Wave42Queries.queries ++
     graft.queries.Wave43Queries.queries ++
     graft.queries.Wave44Queries.queries ++
-    graft.queries.Wave45Queries.queries
+    graft.queries.Wave45Queries.queries ++
+    graft.queries.Wave46Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -123,5 +124,6 @@ object SparkEntry {
     graft.queries.Wave42Queries.oracles ++
     graft.queries.Wave43Queries.oracles ++
     graft.queries.Wave44Queries.oracles ++
-    graft.queries.Wave45Queries.oracles
+    graft.queries.Wave45Queries.oracles ++
+    graft.queries.Wave46Queries.oracles
 }

@@ -757,6 +757,105 @@ object Versioned {
       s"(1 attempt + $maxRetries retries): $path")
   }
 
+  /** Receipt of a [[mergeInto]]: the committed version plus per-clause
+    * row counts (SQL MERGE's standard feedback). */
+  final case class MergeStats(version: Long, updated: Long, deleted: Long,
+    inserted: Long)
+
+  /** Multi-clause MERGE INTO — the full SQL/Delta statement, not just
+    * the whole-row upsert [[merge]] implements:
+    *
+    * {{{
+    * MERGE INTO target t USING source s ON <keys equal>
+    *   WHEN MATCHED AND <deleteCond>  THEN DELETE
+    *   WHEN MATCHED AND <updateCond>  THEN UPDATE SET <updateSet>
+    *   WHEN NOT MATCHED AND <insertCond> THEN INSERT *
+    * }}}
+    *
+    * Clause conditions and `updateSet` expressions may reference BOTH
+    * sides through the `t.` / `s.` aliases (e.g.
+    * `"p" -> col("t.p") + col("s.p")` is an additive update). Clause
+    * order is DELETE, then UPDATE, then (for unmatched source rows)
+    * INSERT — a matched pair satisfying both conditions deletes.
+    * Matched target rows satisfying neither clause, and all unmatched
+    * target rows, survive unchanged. A `None` condition means the
+    * clause fires for every (un)matched row; `updateSet` keys must be
+    * target columns, and unnamed target columns keep their value.
+    *
+    * Implementation composes the engine's primitives — the clause
+    * evaluation is ONE inner join of the snapshot against the source
+    * producing the update images and delete keys (source keys must be
+    * unique, enforced like SQL MERGE's cardinality rule), and the
+    * resulting row-image batch feeds [[merge]], which keeps its
+    * partition-scoped carry-over: at 100 TB a MERGE INTO touching two
+    * partitions still rewrites two partitions. The clause pass reads
+    * the CURRENT snapshot; concurrent writers are handled by [[merge]]'s
+    * optimistic commit exactly as Delta handles them — last committer
+    * wins on non-overlapping keys, and the retry re-merges the same
+    * precomputed images (single-logical-writer per key range is the
+    * documented contract, as in every OCC lake).
+    */
+  def mergeInto(source: DataFrame, path: String, keys: Seq[String],
+      updateSet: Map[String, Column],
+      updateCond: Option[Column] = None,
+      deleteCond: Option[Column] = None,
+      insertCond: Option[Column] = None,
+      partitionCol: Option[String] = None): MergeStats = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val spark = source.sparkSession
+    val tgt = read(spark, path).alias("t")
+    val tgtCols = tgt.columns.toSeq
+    require(updateSet.keySet.subsetOf(tgtCols.toSet),
+      s"updateSet names non-target columns: " +
+        s"${updateSet.keySet.diff(tgtCols.toSet).mkString(", ")}")
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      "MERGE INTO source has duplicate keys — each target row may " +
+        "match at most one source row (SQL MERGE cardinality rule)")
+    val src = source.alias("s")
+    // plain equality: SQL ON never matches NULL keys (and [[merge]]'s
+    // key join is EqualTo too — null-safe here would double NULL-key
+    // rows: kept as survivor AND inserted as update image)
+    val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    val matched = tgt.join(src, keyCond, "inner")
+    val del = deleteCond.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val upd = updateCond.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(true))
+    val delFlag = "__graft_mi_del"
+    // delete clause first (SQL clause order); update images rebuild the
+    // full target row with updateSet overrides
+    val deletes = matched.filter(del)
+      .select(keys.map(k => col(s"t.$k").as(k)) :+
+        lit(true).as(delFlag): _*)
+    val updates = matched.filter(!del && upd)
+      .select(tgtCols.map(c =>
+        updateSet.getOrElse(c, col(s"t.$c")).as(c)) :+
+        lit(false).as(delFlag): _*)
+    val unmatched = src.join(tgt, keyCond, "left_anti")
+    val inserts = insertCond.fold(unmatched)(c =>
+        unmatched.filter(coalesce(c, lit(false))))
+      .select(tgtCols.map(c => col(c).as(c)) :+
+        lit(false).as(delFlag): _*)
+    val nDel = deletes.count()
+    val nUpd = updates.count()
+    val nIns = inserts.count()
+    if (nDel + nUpd + nIns == 0)
+      return MergeStats(resolve(spark, path, None), 0L, 0L, 0L)
+    val batch = updates.unionByName(inserts).unionByName(
+      // delete rows only carry keys; merge drops them before insert, so
+      // the non-key columns just need to exist
+      deletes.select(tgtCols.map(c =>
+        (if (keys.contains(c)) col(c)
+         else lit(null).cast(tgt.schema(c).dataType)).as(c)) :+
+        col(delFlag): _*))
+    val v = merge(batch, path, keys, partitionCol,
+      deleteCol = Some(delFlag))
+    MergeStats(v, nUpd, nDel, nIns)
+  }
+
   /** ZERO-COPY shallow clone: publish `src`'s current snapshot as
     * version 1 of a new table at `dst` by copying the MANIFEST (plus
     * logged schema and deletion vector) only — the data files are
@@ -831,10 +930,13 @@ object Versioned {
     * silently undo a concurrent writer's committed rows. */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
       partitionCol: Option[String] = None, maxRetries: Int = 5,
-      clusterBy: Seq[String] = Seq.empty): Long = {
+      clusterBy: Seq[String] = Seq.empty,
+      zOrderBy: Seq[String] = Seq.empty): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    require(partitionCol.isEmpty || clusterBy.isEmpty,
-      "clusterBy and partitionCol are alternative layouts — pick one")
+    require(Seq(partitionCol.nonEmpty, clusterBy.nonEmpty,
+        zOrderBy.nonEmpty).count(identity) <= 1,
+      "partitionCol, clusterBy and zOrderBy are alternative layouts — " +
+        "pick one")
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
@@ -845,11 +947,16 @@ object Versioned {
       // that makes the manifest's min/max stats (and [[readRange]])
       // bite: a selective probe after a clustered compact opens the
       // predicate's true file footprint
-      val laidOut = (partitionCol, clusterBy) match {
-        case (Some(pc), _) => snap.repartition(targetFiles, col(pc))
-        case (None, cs) if cs.nonEmpty =>
+      // zOrderBy: Morton-interleaved multi-dimension clustering — a
+      // range probe on ANY one of the z-ordered columns prunes (linear
+      // clusterBy only prunes its leading column); see [[ZOrder]]
+      val laidOut = (partitionCol, clusterBy, zOrderBy) match {
+        case (Some(pc), _, _) => snap.repartition(targetFiles, col(pc))
+        case (None, cs, _) if cs.nonEmpty =>
           snap.repartitionByRange(targetFiles, cs.map(col): _*)
             .sortWithinPartitions(cs.map(col): _*)
+        case (None, _, zs) if zs.nonEmpty =>
+          ZOrder.layout(snap, targetFiles, zs)
         case _ => snap.repartition(targetFiles)
       }
       val schema = tableSchema(spark, path, Some(cur)).getOrElse(snap.schema)
