@@ -69,7 +69,9 @@ object SparkEntry {
     graft.queries.Wave43Queries.queries ++
     graft.queries.Wave44Queries.queries ++
     graft.queries.Wave45Queries.queries ++
-    graft.queries.Wave46Queries.queries
+    graft.queries.Wave46Queries.queries ++
+    graft.queries.Wave47Queries.queries ++
+    graft.queries.Wave48Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -125,5 +127,7 @@ object SparkEntry {
     graft.queries.Wave43Queries.oracles ++
     graft.queries.Wave44Queries.oracles ++
     graft.queries.Wave45Queries.oracles ++
-    graft.queries.Wave46Queries.oracles
+    graft.queries.Wave46Queries.oracles ++
+    graft.queries.Wave47Queries.oracles ++
+    graft.queries.Wave48Queries.oracles
 }

@@ -93,6 +93,9 @@ object Versioned {
   private def dvPath(path: String, v: Long) =
     new Path(manifestDir(path), s"v$v.dv")
 
+  private def opPath(path: String, v: Long) =
+    new Path(manifestDir(path), s"v$v.op")
+
 
   /** Highest committed version, or None for an uninitialized table. */
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
@@ -554,7 +557,8 @@ object Versioned {
   private def commit(spark: SparkSession, path: String, v: Long,
       fileList: Either[Seq[(String, Option[String])], DataFrame],
       schema: Option[StructType] = None,
-      dv: Option[DataFrame] = None): Boolean = {
+      dv: Option[DataFrame] = None,
+      op: Option[String] = None): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val lock = new Path(manifestDir(path), s".v$v.lock")
@@ -575,6 +579,11 @@ object Versioned {
         catch { case _: java.io.IOException => false }
       }
     if (!won) return false
+    op.foreach { o =>
+      val out = f.create(opPath(path, v), true)
+      try out.write(o.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     schema.foreach { s0 =>
       val out = f.create(schemaPath(path, v), true)
       try out.write(s0.json.getBytes(StandardCharsets.UTF_8))
@@ -623,7 +632,8 @@ object Versioned {
     }
     val (_, staged) = stage(df, path, 1L, partitionCol)
     require(commit(spark, path, 1L,
-      Left(stagedEntries(spark, path, staged)), Some(df.schema)),
+      Left(stagedEntries(spark, path, staged)), Some(df.schema),
+      op = Some("INIT")),
       s"init lost a commit race: $path")
     1L
   }
@@ -641,7 +651,7 @@ object Versioned {
   def merge(source: DataFrame, path: String, keys: Seq[String],
       partitionCol: Option[String] = None,
       deleteCol: Option[String] = None, maxRetries: Int = 5,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false, opName: String = "MERGE"): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = source.sparkSession
     var attempt = 0
@@ -715,6 +725,9 @@ object Versioned {
         source.select(keys.map(col): _*).distinct(), keys, "left_anti")
       val merged = survivors.unionByName(inserts,
         allowMissingColumns = evolveSchema)
+      // CHECK constraints veto the batch BEFORE staging; retries keep
+      // the verdict (the source is unchanged across attempts)
+      if (attempt == 0) enforceConstraints(spark, path, merged)
 
       // deletion vectors on rewritten files are materialized by the
       // rewrite; vectors on carried files carry with them (full
@@ -744,7 +757,8 @@ object Versioned {
           case None => Left(stagedE)
           case Some(k) => Right(k.unionByName(entriesDf(spark, stagedE)))
         }
-      if (commit(spark, path, next, filesArg, Some(merged.schema), dvCarried))
+      if (commit(spark, path, next, filesArg, Some(merged.schema), dvCarried,
+          op = Some(opName)))
         return next
       // lost the race: another writer committed `next` — clean up OUR
       // OWN staging directory only (uuid-suffixed, so the winner's
@@ -852,7 +866,7 @@ object Versioned {
          else lit(null).cast(tgt.schema(c).dataType)).as(c)) :+
         col(delFlag): _*))
     val v = merge(batch, path, keys, partitionCol,
-      deleteCol = Some(delFlag))
+      deleteCol = Some(delFlag), opName = "MERGE_INTO")
     MergeStats(v, nUpd, nDel, nIns)
   }
 
@@ -892,10 +906,14 @@ object Versioned {
       try out.write(t.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
+    // table properties travel with the clone: CHECK constraints too
+    val cons = constraints(spark, src)
+    if (cons.nonEmpty) writeConstraints(spark, dst, cons)
     require(commit(spark, dst, 1L,
       Left(readManifestEntries(spark, src, v)),
       tableSchema(spark, src, Some(v)),
-      deletionVector(spark, src, Some(v))),
+      deletionVector(spark, src, Some(v)),
+      op = Some(s"CLONE")),
       s"clone lost a commit race: $dst")
     1L
   }
@@ -964,7 +982,8 @@ object Versioned {
       val staged = ensureManifestNonEmpty(laidOut, path, stagedDir,
         staged0, carriedNonEmpty = false)
       if (commit(spark, path, next,
-        Left(stagedEntries(spark, path, staged)), Some(schema))) return next
+        Left(stagedEntries(spark, path, staged)), Some(schema),
+        op = Some("COMPACT"))) return next
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
     }
@@ -1023,7 +1042,7 @@ object Versioned {
       val schema = tableSchema(spark, path, Some(cur)).getOrElse(rows.schema)
       if (commit(spark, path, next,
           Left(bigE ++ stagedEntries(spark, path, staged)), Some(schema),
-          dvCarried))
+          dvCarried, op = Some("COMPACT_SMALL")))
         return Compaction(next, smallE.length, bigE.length)
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
@@ -1104,7 +1123,7 @@ object Versioned {
         .getOrElse(survivors.schema)
       if (commit(spark, path, next,
           Left(keepE ++ stagedEntries(spark, path, staged)), Some(schema),
-          dvCarried))
+          dvCarried, op = Some("DELETE")))
         return Erasure(next, hit.length, keepE.length, deletedRows)
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
@@ -1145,7 +1164,7 @@ object Versioned {
         StructType(live.schema.filterNot(f =>
           f.name == metaF || f.name == metaP)))
       if (commit(spark, path, next, Left(curEntries), Some(schema),
-          Some(combined)))
+          Some(combined), op = Some("DELETE_VECTORED")))
         return Erasure(next, 0, curEntries.length, deletedRows)
       attempt += 1
     }
@@ -1406,6 +1425,7 @@ object Versioned {
       val schemaMap = live.schema.map(f => f.name -> f.dataType).toMap
       val updated = hits.select(tableCols.map(c =>
         set.get(c).map(_.cast(schemaMap(c)).as(c)).getOrElse(col(c))): _*)
+      if (attempt == 0) enforceConstraints(spark, path, updated)
       val (stagedDir, staged) = stage(updated, path, next, partitionCol)
       val combined = deletionVector(spark, path, Some(cur))
         .fold(newDv)(prev => prev.unionByName(newDv))
@@ -1414,7 +1434,7 @@ object Versioned {
           f.name == metaF || f.name == metaP)))
       if (commit(spark, path, next,
           Left(curEntries ++ stagedEntries(spark, path, staged)),
-          Some(schema), Some(combined)))
+          Some(schema), Some(combined), op = Some("UPDATE_VECTORED")))
         return Updated(next, curEntries.length, updatedRows)
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
@@ -1493,6 +1513,320 @@ object Versioned {
     * all but the last `keepLast` manifests (with their schema and
     * deletion-vector sidecars). Returns deleted file count. Readers
     * of retained versions are unaffected. */
+  /** RESTORE the table to the content of `toVersion` as a NEW commit
+    * (Delta `RESTORE TABLE … TO VERSION AS OF`): history only moves
+    * forward — the commits being undone stay inspectable and
+    * time-travelable until [[vacuum]] — and the restored version
+    * carries `toVersion`'s manifest entries (files + stats BY
+    * REFERENCE, zero data movement), logged schema, and deletion
+    * vector. The manifest flows manifest→manifest as a DataFrame,
+    * never materialized on the driver, so restoring a million-file
+    * table is a metadata-speed operation. */
+  def restore(spark: SparkSession, path: String, toVersion: Long,
+      maxRetries: Int = 5): Long = {
+    val f = fs(spark, path)
+    require(f.exists(manifestPath(path, toVersion)),
+      s"cannot restore $path to v$toVersion: no such version " +
+        "(never committed, or vacuumed away)")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      if (commit(spark, path, next, Right(manifestDf(spark, path, toVersion)),
+          tableSchema(spark, path, Some(toVersion)),
+          deletionVector(spark, path, Some(toVersion)),
+          op = Some(s"RESTORE(v$toVersion)")))
+        return next
+      attempt += 1
+    }
+    sys.error(s"restore lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** One retained commit of [[history]]. */
+  final case class CommitInfo(version: Long, operation: String,
+    nFiles: Long)
+
+  /** DESCRIBE HISTORY: one row per retained version, oldest first.
+    * The operation label is recorded by the commit winner at commit
+    * time (`v<N>.op` beside the manifest; pre-logging versions read
+    * "UNKNOWN"); the file count is the manifest's entry count.
+    * Introspection/maintenance surface: driver cost is O(versions)
+    * small metadata reads against the per-JVM manifest cache. */
+  def history(spark: SparkSession, path: String): Seq[CommitInfo] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return Seq.empty
+    val vs = f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }.sorted
+    vs.toSeq.map { v =>
+      val opF = opPath(path, v)
+      val op =
+        if (f.exists(opF)) {
+          val in = f.open(opF)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } else "UNKNOWN"
+      CommitInfo(v, op, readManifestEntries(spark, path, v).length.toLong)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints (table-level invariants enforced on write)
+  // ------------------------------------------------------------------
+
+  private def constraintsPath(path: String) =
+    new Path(manifestDir(path), "constraints")
+
+  /** The table's CHECK constraints as (name, SQL predicate), in the
+    * order they were added. */
+  def constraints(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val f = fs(spark, path)
+    val p = constraintsPath(path)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"malformed constraints file for $path: '$line'")
+        (line.substring(0, i), line.substring(i + 1))
+      }.toSeq
+    }
+  }
+
+  private def writeConstraints(spark: SparkSession, path: String,
+      cs: Seq[(String, String)]): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(manifestDir(path))
+    if (cs.isEmpty) { f.delete(constraintsPath(path), false); return }
+    val out = f.create(constraintsPath(path), true)
+    try out.write(cs.map { case (n, p) => s"$n\t$p" }
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Add a CHECK constraint: from now on every write (MERGE / MERGE
+    * INTO / vectored UPDATE) rejects a batch containing a row where
+    * `predicate` evaluates to FALSE (SQL CHECK semantics: NULL
+    * passes). Adding the constraint first validates the CURRENT
+    * snapshot — one filter + limit(1) scan, exactly Delta's `ADD
+    * CONSTRAINT` behavior — so a green constraint is a table-wide
+    * invariant, not a forward-only hope. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      predicate: String): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"bad constraint name: '$name'")
+    require(!predicate.exists(c => c == '\t' || c == '\n'),
+      "constraint predicate must be single-line (no tab/newline)")
+    val existing = constraints(spark, path)
+    require(!existing.exists(_._1 == name),
+      s"constraint '$name' already exists on $path")
+    val bad = read(spark, path).filter(expr(predicate) <=> lit(false))
+      .limit(1).count()
+    require(bad == 0L,
+      s"cannot add CHECK constraint '$name': existing rows violate " +
+        s"($predicate)")
+    writeConstraints(spark, path, existing :+ (name -> predicate))
+  }
+
+  /** Drop a CHECK constraint by name (no-op if absent). */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Unit =
+    writeConstraints(spark, path,
+      constraints(spark, path).filterNot(_._1 == name))
+
+  /** Thrown when a write batch violates a table CHECK constraint; the
+    * offending commit never happens (validation precedes staging). */
+  final class ConstraintViolation(val constraint: String,
+    val predicate: String, table: String)
+    extends RuntimeException(
+      s"CHECK constraint '$constraint' ($predicate) violated by a " +
+        s"write to $table — commit rejected")
+
+  /** Reject `batch` if any registered constraint evaluates FALSE on
+    * any of its rows: one filter + limit(1) pass per constraint over
+    * the batch (bounded by batch size, never the table) BEFORE
+    * anything is staged. */
+  private def enforceConstraints(spark: SparkSession, path: String,
+      batch: DataFrame): Unit =
+    constraints(spark, path).foreach { case (n, p) =>
+      if (batch.filter(expr(p) <=> lit(false)).limit(1).count() > 0)
+        throw new ConstraintViolation(n, p, path)
+    }
+
+  /** Receipt of [[dropPartitions]]. */
+  final case class Dropped(version: Long, droppedFiles: Long,
+    keptFiles: Long)
+
+  /** ALTER TABLE DROP PARTITION as a METADATA-ONLY commit: the new
+    * manifest is the old one minus every file under the dropped
+    * partition directories (matched against the Hive-escaped segment,
+    * like the partition-scoped [[merge]]), and deletion-vector
+    * entries on dropped files go with them. NO data file is read,
+    * rewritten, or deleted (old versions still time-travel; [[vacuum]]
+    * reclaims the bytes later) — at 100 TB this is how retention
+    * actually runs: dropping a day costs two manifest writes, where a
+    * predicate [[delete]] would open every file of the partition just
+    * to discover it matches everything. The manifest split runs
+    * through the engine; only the receipt's two counts are collected. */
+  def dropPartitions(spark: SparkSession, path: String,
+      partitionCol: String, values: Seq[String],
+      maxRetries: Int = 5): Dropped = {
+    require(values.nonEmpty, "dropPartitions needs at least one value")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val segs = values.map(v =>
+      ExternalCatalogUtils.getPartitionPathString(partitionCol, v))
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      val seg = regexp_extract(col("f"),
+        "/(" + java.util.regex.Pattern.quote(partitionCol) + "=[^/]*)/", 1)
+      val segsDf = spark.createDataset(segs)(Encoders.STRING).toDF("seg")
+      val withSeg = manifestDf(spark, path, cur).withColumn("seg", seg)
+      val keepDf = withSeg.join(segsDf, Seq("seg"), "left_anti")
+        .select("f", "stats_json")
+      // receipt counts: one 2-number aggregate over the manifest scan
+      val counts = withSeg.agg(
+        count(lit(1)).as("total"),
+        count(when(col("seg").isInCollection(segs), 1)).as("hit")).head()
+      val (total, hit) = (counts.getLong(0), counts.getLong(1))
+      if (hit == 0L) return Dropped(-1L, 0L, total)
+      val schema = tableSchema(spark, path, Some(cur))
+      val dvKept = deletionVector(spark, path, Some(cur)).flatMap { d =>
+        val dseg = regexp_extract(col("f"),
+          "/(" + java.util.regex.Pattern.quote(partitionCol) + "=[^/]*)/", 1)
+        val rest = d.filter(!dseg.isInCollection(segs))
+        if (rest.isEmpty) None else Some(rest)
+      }
+      val committed =
+        if (hit == total) {
+          // dropping every partition: keep a schema-only file so the
+          // empty table stays readable (same contract as a
+          // table-emptying merge)
+          val s0 = schema.getOrElse(read(spark, path, Some(cur)).schema)
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], s0)
+          val (stagedDir, _) = stage(empty, path, next, None)
+          val staged = ensureManifestNonEmpty(empty, path, stagedDir,
+            Seq.empty, carriedNonEmpty = false)
+          commit(spark, path, next,
+            Left(stagedEntries(spark, path, staged)), schema, None,
+            op = Some(s"DROP_PARTITION($partitionCol)"))
+        } else commit(spark, path, next, Right(keepDf), schema, dvKept,
+          op = Some(s"DROP_PARTITION($partitionCol)"))
+      if (committed) return Dropped(next, hit, total - hit)
+      attempt += 1
+    }
+    sys.error(s"dropPartitions lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  // ------------------------------------------------------------------
+  // tags (named, vacuum-protected snapshots)
+  // ------------------------------------------------------------------
+
+  private def tagPath(path: String, name: String) = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"bad tag name: '$name'")
+    new Path(manifestDir(path), s"tag.$name")
+  }
+
+  /** Tag a version (default: current) with a stable name — `readTag`
+    * resolves it, and [[vacuum]] PROTECTS tagged versions from
+    * retention (the Iceberg ref semantics): an audit snapshot named
+    * `q3-close` survives however many commits and vacuums follow,
+    * until the tag is dropped. */
+  def tag(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None): Long = {
+    val v = resolve(spark, path, version)
+    require(fs(spark, path).exists(manifestPath(path, v)),
+      s"cannot tag $path v$v: no such version")
+    val out = fs(spark, path).create(tagPath(path, name), true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  /** All tags as name → version. */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).map(_.getPath).collect {
+      case p if p.getName.startsWith("tag.") =>
+        val in = f.open(p)
+        val v =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        p.getName.stripPrefix("tag.") -> v
+    }.toMap
+  }
+
+  /** Read the snapshot a tag names. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    read(spark, path, Some(tags(spark, path).getOrElse(name,
+      sys.error(s"no such tag on $path: $name"))))
+
+  /** Drop a tag (the version becomes vacuumable again). */
+  def dropTag(spark: SparkSession, path: String, name: String): Unit =
+    fs(spark, path).delete(tagPath(path, name), false)
+
+  // ------------------------------------------------------------------
+  // checkpointed incremental consumption (follow the commit log)
+  // ------------------------------------------------------------------
+
+  /** Consume the table's commits INCREMENTALLY with a durable
+    * checkpoint: processes every version in `(checkpointed, current]`
+    * in order, feeding `fn` the per-version [[changes]] feed, and
+    * advances the checkpoint file AFTER each successful call — the
+    * Delta-streaming-source contract on a plain filesystem. A crash
+    * between `fn` and the checkpoint write re-delivers exactly that
+    * one version's feed on restart (at-least-once), so an idempotent
+    * apply — any keyed MERGE, including [[merge]] itself — yields
+    * exactly-once EFFECT. Returns the number of versions processed.
+    * The checkpoint file seeds at the table's CURRENT version on
+    * first call with `seedCurrent = true` (consume only future
+    * commits) or at version 1 otherwise (replay history). */
+  def followChanges(spark: SparkSession, path: String, checkpoint: String,
+      seedCurrent: Boolean = false, maxVersions: Int = Int.MaxValue)(
+      fn: (Long, ChangeFeed) => Unit): Int = {
+    val f = fs(spark, path)
+    val cp = new Path(checkpoint)
+    val last: Long =
+      if (f.exists(cp)) {
+        val in = f.open(cp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else {
+        val seed = if (seedCurrent) resolve(spark, path, None) else 1L
+        val out = f.create(cp, true)
+        try out.write(seed.toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        seed
+      }
+    val cur = resolve(spark, path, None)
+    var v = last + 1
+    var n = 0
+    while (v <= cur && n < maxVersions) {
+      require(f.exists(manifestPath(path, v - 1)),
+        s"follow checkpoint at v${v - 1} was vacuumed away on $path — " +
+          "re-seed the consumer (keep vacuum retention above consumer lag)")
+      fn(v, changes(spark, path, v - 1, v))
+      val out = f.create(cp, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      n += 1
+      v += 1
+    }
+    n
+  }
+
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the current version")
     val f = fs(spark, path)
@@ -1520,6 +1854,7 @@ object Versioned {
       f.delete(manifestPath(path, v), true)
       f.delete(schemaPath(path, v), false)
       f.delete(dvPath(path, v), true)
+      f.delete(opPath(path, v), false)
       f.delete(new Path(dir, s".v$v.lock"), false)
     }
     invalidate(path)

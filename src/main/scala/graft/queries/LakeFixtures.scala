@@ -108,6 +108,14 @@ object LakeFixtures {
       Versioned.init(base.filter(col("doc_id") % 2 === 0), dir)
     }
 
+  /** Odd order keys in 8 round-robin files — the second leg of the
+    * multi-table-transaction catalog. */
+  def ordersOdds8(s: SparkSession, d: String): String =
+    build(s"o8|$d", "graft_base_o8") { dir =>
+      Versioned.init(ordersBase(s, d).filter(col("k") % 2 === 1)
+        .repartition(8), dir)
+    }
+
   /** (k, c, p) orders under the HIDDEN `c div 100` transform — the
     * hidden-partitioning base. */
   def ordersHidden(s: SparkSession, d: String): String =
