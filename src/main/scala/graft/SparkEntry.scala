@@ -71,7 +71,8 @@ object SparkEntry {
     graft.queries.Wave45Queries.queries ++
     graft.queries.Wave46Queries.queries ++
     graft.queries.Wave47Queries.queries ++
-    graft.queries.Wave48Queries.queries
+    graft.queries.Wave48Queries.queries ++
+    graft.queries.Wave49Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -129,5 +130,6 @@ object SparkEntry {
     graft.queries.Wave45Queries.oracles ++
     graft.queries.Wave46Queries.oracles ++
     graft.queries.Wave47Queries.oracles ++
-    graft.queries.Wave48Queries.oracles
+    graft.queries.Wave48Queries.oracles ++
+    graft.queries.Wave49Queries.oracles
 }

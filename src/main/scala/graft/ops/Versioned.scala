@@ -1835,7 +1835,12 @@ object Versioned {
     val versions = f.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toLong }.sorted
-    val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepLast))
+    // tagged versions are retention-protected (Iceberg ref semantics)
+    val tagged = tags(spark, path).values.toSet
+    val (drop0, keep0) =
+      versions.splitAt(math.max(0, versions.length - keepLast))
+    val (dropTagged, drop) = drop0.partition(tagged.contains)
+    val keep = (keep0 ++ dropTagged).sorted
     val live = keep.flatMap(v => readManifest(spark, path, v)).toSet
     val dataDir = new Path(path, "data")
     var deleted = 0
