@@ -104,6 +104,11 @@ object Catalog {
   def init(spark: SparkSession, root: String,
       tables: Map[String, String]): Long = {
     require(tables.nonEmpty, "catalog needs at least one table")
+    tables.foreach { case (t, p) =>
+      require(t.nonEmpty && !(t + p).exists(c => c == '\t' || c == '\n'),
+        s"catalog table names and paths must be single-line, tab-free: " +
+          s"'$t' -> '$p'")
+    }
     require(current(spark, root).isEmpty,
       s"catalog already initialized: $root")
     val ents = tables.map { case (t, p) =>
@@ -134,6 +139,10 @@ object Catalog {
       work: Map[String, (String, Long)] => Unit,
       lockWaitMs: Long = 60000L): Long = {
     val f = fs(spark, root)
+    // fail fast BEFORE the lock wait: an uninitialized catalog means
+    // the lock create itself errors (missing directory) in a way the
+    // race-tolerant loop below would misread as a held lock
+    require(current(spark, root).nonEmpty, s"uninitialized catalog: $root")
     val lock = txLock(root)
     // bounded exponential backoff on the exclusive-create tx lock
     var waited = 0L

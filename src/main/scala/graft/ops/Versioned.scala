@@ -96,6 +96,25 @@ object Versioned {
   private def opPath(path: String, v: Long) =
     new Path(manifestDir(path), s"v$v.op")
 
+  /** Small-metadata write that can never be observed torn: write to a
+    * tmp name, rename into place (atomic replace on POSIX; on stores
+    * whose rename won't clobber, fall back to delete+rename — readers
+    * then see old content, briefly nothing, or new content, but never
+    * a partial write). Used for every mutable pointer file (tags,
+    * consumer checkpoints, constraints); manifests have their own
+    * directory-rename publish. */
+  private def atomicWrite(f: FileSystem, target: Path,
+      bytes: Array[Byte]): Unit = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp.${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!f.rename(tmp, target)) {
+      f.delete(target, false)
+      require(f.rename(tmp, target), s"atomic write failed: $target")
+    }
+  }
+
 
   /** Highest committed version, or None for an uninitialized table. */
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
@@ -725,9 +744,22 @@ object Versioned {
         source.select(keys.map(col): _*).distinct(), keys, "left_anti")
       val merged = survivors.unionByName(inserts,
         allowMissingColumns = evolveSchema)
-      // CHECK constraints veto the batch BEFORE staging; retries keep
-      // the verdict (the source is unchanged across attempts)
-      if (attempt == 0) enforceConstraints(spark, path, merged)
+      // CHECK constraints veto the BATCH images before staging —
+      // survivors were validated by the commit that wrote them (or by
+      // addConstraint's snapshot scan), so the cost is O(batch), never
+      // the table; retries keep the verdict (the source is unchanged).
+      // Under additive evolution the images are aligned to the union
+      // schema so a constraint on a carried-only column reads NULL
+      // (passes, SQL semantics) instead of failing analysis.
+      if (attempt == 0) {
+        val images =
+          if (!evolveSchema) inserts
+          else merged.schema.fields.foldLeft(inserts) { (df, fld) =>
+            if (df.columns.contains(fld.name)) df
+            else df.withColumn(fld.name, lit(null).cast(fld.dataType))
+          }
+        enforceConstraints(spark, path, images)
+      }
 
       // deletion vectors on rewritten files are materialized by the
       // rewrite; vectors on carried files carry with them (full
@@ -833,41 +865,54 @@ object Versioned {
     // rows: kept as survivor AND inserted as update image)
     val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
       .reduce(_ && _)
-    val matched = tgt.join(src, keyCond, "inner")
+    // ONE outer join classifies every source row into its clause
+    // (delete first — SQL clause order — then update, then insert for
+    // unmatched rows); the dup-key rule above guarantees ≤1 match per
+    // source row, so the snapshot is scanned once for all three
+    // clauses instead of once per clause + once per count
+    val tExists = "__graft_mi_t"
+    val tgtM = tgt.withColumn(tExists, lit(true)).alias("t")
+    val joined = src.join(tgtM, keyCond, "left_outer")
+    val matchedF = coalesce(col(tExists), lit(false))
     val del = deleteCond.map(c => coalesce(c, lit(false)))
       .getOrElse(lit(false))
     val upd = updateCond.map(c => coalesce(c, lit(false)))
       .getOrElse(lit(true))
+    val ins = insertCond.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(true))
+    val clFlag = "__graft_mi_cl"
     val delFlag = "__graft_mi_del"
-    // delete clause first (SQL clause order); update images rebuild the
-    // full target row with updateSet overrides
-    val deletes = matched.filter(del)
-      .select(keys.map(k => col(s"t.$k").as(k)) :+
-        lit(true).as(delFlag): _*)
-    val updates = matched.filter(!del && upd)
-      .select(tgtCols.map(c =>
-        updateSet.getOrElse(c, col(s"t.$c")).as(c)) :+
-        lit(false).as(delFlag): _*)
-    val unmatched = src.join(tgt, keyCond, "left_anti")
-    val inserts = insertCond.fold(unmatched)(c =>
-        unmatched.filter(coalesce(c, lit(false))))
-      .select(tgtCols.map(c => col(c).as(c)) :+
-        lit(false).as(delFlag): _*)
-    val nDel = deletes.count()
-    val nUpd = updates.count()
-    val nIns = inserts.count()
-    if (nDel + nUpd + nIns == 0)
-      return MergeStats(resolve(spark, path, None), 0L, 0L, 0L)
-    val batch = updates.unionByName(inserts).unionByName(
-      // delete rows only carry keys; merge drops them before insert, so
-      // the non-key columns just need to exist
-      deletes.select(tgtCols.map(c =>
-        (if (keys.contains(c)) col(c)
-         else lit(null).cast(tgt.schema(c).dataType)).as(c)) :+
-        col(delFlag): _*))
-    val v = merge(batch, path, keys, partitionCol,
-      deleteCol = Some(delFlag), opName = "MERGE_INTO")
-    MergeStats(v, nUpd, nDel, nIns)
+    // clause images: update rows rebuild the full target row with the
+    // updateSet overrides, insert rows take the source's target
+    // columns, delete rows carry keys only (merge drops them before
+    // insert, so the non-key columns just need to exist)
+    val images = joined
+      .withColumn(clFlag,
+        when(matchedF && del, "D").when(matchedF && upd, "U")
+          .when(!matchedF && ins, "I").otherwise("N"))
+      .filter(col(clFlag) =!= "N")
+      .select(tgtCols.map { c =>
+        val up = updateSet.getOrElse(c, col(s"t.$c"))
+        when(col(clFlag) === "U", up)
+          .when(col(clFlag) === "I", col(s"s.$c"))
+          .otherwise(if (keys.contains(c)) col(s"s.$c")
+            else lit(null).cast(tgt.schema(c).dataType))
+          .as(c)
+      } :+ (col(clFlag) === "D").as(delFlag) :+ col(clFlag): _*)
+      .persist()
+    try {
+      val counts = images.agg(
+        count(when(col(clFlag) === "U", 1)).as("u"),
+        count(when(col(clFlag) === "D", 1)).as("d"),
+        count(when(col(clFlag) === "I", 1)).as("i")).head()
+      val (nUpd, nDel, nIns) =
+        (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+      if (nDel + nUpd + nIns == 0)
+        return MergeStats(resolve(spark, path, None), 0L, 0L, 0L)
+      val v = merge(images.drop(clFlag), path, keys, partitionCol,
+        deleteCol = Some(delFlag), opName = "MERGE_INTO")
+      MergeStats(v, nUpd, nDel, nIns)
+    } finally images.unpersist()
   }
 
   /** ZERO-COPY shallow clone: publish `src`'s current snapshot as
@@ -1509,10 +1554,6 @@ object Versioned {
       version: Option[Long] = None): DataFrame =
     read(spark, path, version).drop(gpCol)
 
-  /** Delete data files referenced by NO surviving manifest and drop
-    * all but the last `keepLast` manifests (with their schema and
-    * deletion-vector sidecars). Returns deleted file count. Readers
-    * of retained versions are unaffected. */
   /** RESTORE the table to the content of `toVersion` as a NEW commit
     * (Delta `RESTORE TABLE … TO VERSION AS OF`): history only moves
     * forward — the commits being undone stay inspectable and
@@ -1528,6 +1569,11 @@ object Versioned {
     require(f.exists(manifestPath(path, toVersion)),
       s"cannot restore $path to v$toVersion: no such version " +
         "(never committed, or vacuumed away)")
+    // constraints added AFTER toVersion was written may not hold on
+    // its rows; a restore must not smuggle violations past the write
+    // gate (one filter + limit(1) scan per constraint — restore is a
+    // maintenance-time statement)
+    enforceConstraints(spark, path, read(spark, path, Some(toVersion)))
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
@@ -1603,10 +1649,9 @@ object Versioned {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     if (cs.isEmpty) { f.delete(constraintsPath(path), false); return }
-    val out = f.create(constraintsPath(path), true)
-    try out.write(cs.map { case (n, p) => s"$n\t$p" }
-      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    atomicWrite(f, constraintsPath(path),
+      cs.map { case (n, p) => s"$n\t$p" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
   }
 
   /** Add a CHECK constraint: from now on every write (MERGE / MERGE
@@ -1747,9 +1792,8 @@ object Versioned {
     val v = resolve(spark, path, version)
     require(fs(spark, path).exists(manifestPath(path, v)),
       s"cannot tag $path v$v: no such version")
-    val out = fs(spark, path).create(tagPath(path, name), true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    atomicWrite(fs(spark, path), tagPath(path, name),
+      v.toString.getBytes(StandardCharsets.UTF_8))
     v
   }
 
@@ -1805,28 +1849,33 @@ object Versioned {
         finally in.close()
       } else {
         val seed = if (seedCurrent) resolve(spark, path, None) else 1L
-        val out = f.create(cp, true)
-        try out.write(seed.toString.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        atomicWrite(f, cp, seed.toString.getBytes(StandardCharsets.UTF_8))
         seed
       }
     val cur = resolve(spark, path, None)
     var v = last + 1
     var n = 0
     while (v <= cur && n < maxVersions) {
-      require(f.exists(manifestPath(path, v - 1)),
-        s"follow checkpoint at v${v - 1} was vacuumed away on $path — " +
+      // both feed endpoints must still exist — a tagged survivor below
+      // a vacuumed gap would otherwise surface a raw read failure
+      require(f.exists(manifestPath(path, v - 1)) &&
+          f.exists(manifestPath(path, v)),
+        s"follow checkpoint at v${v - 1} was vacuumed past on $path — " +
           "re-seed the consumer (keep vacuum retention above consumer lag)")
       fn(v, changes(spark, path, v - 1, v))
-      val out = f.create(cp, true)
-      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      atomicWrite(f, cp, v.toString.getBytes(StandardCharsets.UTF_8))
       n += 1
       v += 1
     }
     n
   }
 
+  /** Delete data files referenced by NO surviving manifest and drop
+    * all but the last `keepLast` manifests (with their schema,
+    * deletion-vector, and operation sidecars) — except versions a
+    * [[tag]] protects, which are retained with their files until the
+    * tag is dropped. Returns deleted file count. Readers of retained
+    * versions are unaffected. */
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the current version")
     val f = fs(spark, path)

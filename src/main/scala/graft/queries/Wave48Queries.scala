@@ -33,6 +33,9 @@ object Wave48Queries {
 
   def qTpchQ1(s: SparkSession, d: String): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // canonical Q1 cuts at 1998-09-02 over 1992-1998 shipdates; the
+    // synthetic tables span 1995-2001, so the cutoff shifts to
+    // 2000-09-02 to keep the date predicate selective (same shape)
     Tables.load(s, d, "lineitem")
       .filter(to_date(col("l_shipdate")) <= lit("2000-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))

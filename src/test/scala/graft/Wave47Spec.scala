@@ -94,6 +94,28 @@ class Wave47Spec extends SparkSuite {
     assert(Versioned.currentVersion(spark, dir).contains(2L))
   }
 
+  test("restore refuses to resurrect rows that violate a constraint " +
+      "added after the target version") {
+    val dir = tmp("graft_ckr")
+    Versioned.init(Seq((1L, -5.0), (2L, 2.0)).toDF("k", "p"), dir)
+    Versioned.delete(spark, dir, col("p") < 0)            // v2 clean
+    Versioned.addConstraint(spark, dir, "p_pos", "p > 0") // validates v2
+    intercept[Versioned.ConstraintViolation] {
+      Versioned.restore(spark, dir, 1L)
+    }
+    assert(Versioned.currentVersion(spark, dir).contains(2L))
+  }
+
+  test("merge under additive evolution passes a constraint on a " +
+      "column the batch lacks (NULL passes, no analysis failure)") {
+    val dir = tmp("graft_cke")
+    Versioned.init(Seq((1L, 1.0, "x")).toDF("k", "p", "note"), dir)
+    Versioned.addConstraint(spark, dir, "note_len", "length(note) < 10")
+    Versioned.merge(Seq(2L -> 2.0).toDF("k", "p"), dir, Seq("k"),
+      evolveSchema = true)
+    assert(Versioned.read(spark, dir).count() == 2L)
+  }
+
   test("addConstraint validates the existing snapshot; drop re-opens; " +
       "clone carries constraints") {
     val dir = tmp("graft_ck2")

@@ -80,6 +80,17 @@ class Wave48Spec extends SparkSuite {
     assert(Catalog.read(spark, root, "a").count() == 5L)
   }
 
+  test("transact on an uninitialized catalog fails fast, not after " +
+      "the lock wait") {
+    val root = tmp("graft_uroot")
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      Catalog.transact(spark, root, _ => ())
+    }
+    assert(e.getMessage.contains("uninitialized"))
+    assert((System.nanoTime() - t0) / 1e9 < 10.0)
+  }
+
   test("a held lock times out with a clear message") {
     val a = mkLake("graft_la", 1L -> 1.0)
     val root = tmp("graft_lroot")

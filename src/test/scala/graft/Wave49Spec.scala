@@ -88,6 +88,22 @@ class Wave49Spec extends SparkSuite {
     assert(got.toSeq == Seq(4L))
   }
 
+  test("followChanges detects a vacuumed GAP even when the tagged " +
+      "checkpoint version itself survived") {
+    val dir = tmp("graft_fcg")
+    val cp = tmp("graft_fcgcp") + "/off"
+    Versioned.init(Seq((1L, 1.0)).toDF("k", "p"), dir)
+    Versioned.followChanges(spark, dir, cp)((_, _) => ()) // seeds at v1
+    Versioned.tag(spark, dir, "keep", Some(1L))
+    Versioned.merge(Seq((2L, 2.0)).toDF("k", "p"), dir, Seq("k"))
+    Versioned.merge(Seq((3L, 3.0)).toDF("k", "p"), dir, Seq("k"))
+    Versioned.vacuum(spark, dir, keepLast = 1) // v1 kept (tag), v2 gone
+    val e = intercept[IllegalArgumentException] {
+      Versioned.followChanges(spark, dir, cp)((_, _) => ())
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("followChanges fails loudly when the checkpoint was vacuumed past") {
     val dir = tmp("graft_fcv")
     val cp = tmp("graft_fcvcp") + "/off"
