@@ -72,7 +72,8 @@ object SparkEntry {
     graft.queries.Wave46Queries.queries ++
     graft.queries.Wave47Queries.queries ++
     graft.queries.Wave48Queries.queries ++
-    graft.queries.Wave49Queries.queries
+    graft.queries.Wave49Queries.queries ++
+    graft.queries.Wave50Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -131,5 +132,6 @@ object SparkEntry {
     graft.queries.Wave46Queries.oracles ++
     graft.queries.Wave47Queries.oracles ++
     graft.queries.Wave48Queries.oracles ++
-    graft.queries.Wave49Queries.oracles
+    graft.queries.Wave49Queries.oracles ++
+    graft.queries.Wave50Queries.oracles
 }

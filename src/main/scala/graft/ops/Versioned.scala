@@ -673,6 +673,12 @@ object Versioned {
       evolveSchema: Boolean = false, opName: String = "MERGE"): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = source.sparkSession
+    // generated columns are computed BEFORE partition attribution — a
+    // source omitting the generated partition key still routes to the
+    // right partitions, which is the declaration's whole point
+    val gensSupplied = generatedColumns(spark, path)
+      .filter { case (c, _) => source.columns.contains(c) }
+    val sourceG = computeGeneratedColumns(spark, path, source)
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
@@ -691,7 +697,7 @@ object Versioned {
           // '…00:00:00.0'), so derive it with the same Cast in-plan
           // rather than Row.get(0).toString on the driver.
           import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          val touched = source
+          val touched = sourceG
             .select(col(pc).cast("string").as("p")).distinct()
             .collect().map { r =>
               ExternalCatalogUtils.getPartitionPathString(pc,
@@ -734,10 +740,15 @@ object Versioned {
       val tgtCols = rewriteDf.columns.toSeq
       val srcClean = deleteCol match {
         case Some(d) if !tgtCols.contains(d) =>
-          source.filter(!coalesce(col(d), lit(false))).drop(d)
-        case Some(d) => source.filter(!coalesce(col(d), lit(false)))
-        case None => source
+          sourceG.filter(!coalesce(col(d), lit(false))).drop(d)
+        case Some(d) => sourceG.filter(!coalesce(col(d), lit(false)))
+        case None => sourceG
       }
+      // supplied generated-column values must match their expression
+      // (delete-flagged rows are already excluded — their key-only
+      // images would falsely mismatch); retries keep the verdict
+      if (attempt == 0)
+        validateGeneratedColumns(spark, path, srcClean, gensSupplied)
       val inserts =
         if (evolveSchema) srcClean else srcClean.select(tgtCols.map(col): _*)
       val survivors = rewriteDf.join(
@@ -893,8 +904,14 @@ object Versioned {
       .filter(col(clFlag) =!= "N")
       .select(tgtCols.map { c =>
         val up = updateSet.getOrElse(c, col(s"t.$c"))
+        // a source may omit non-key target columns (a delete-only or
+        // update-only statement carries just what its clauses need);
+        // an insert of such a row surfaces NULL for them
+        val srcC =
+          if (source.columns.contains(c)) col(s"s.$c")
+          else lit(null).cast(tgt.schema(c).dataType)
         when(col(clFlag) === "U", up)
-          .when(col(clFlag) === "I", col(s"s.$c"))
+          .when(col(clFlag) === "I", srcC)
           .otherwise(if (keys.contains(c)) col(s"s.$c")
             else lit(null).cast(tgt.schema(c).dataType))
           .as(c)
@@ -951,9 +968,12 @@ object Versioned {
       try out.write(t.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
-    // table properties travel with the clone: CHECK constraints too
+    // table properties travel with the clone: CHECK constraints and
+    // generated-column declarations too
     val cons = constraints(spark, src)
     if (cons.nonEmpty) writeConstraints(spark, dst, cons)
+    val gens = generatedColumns(spark, src)
+    if (gens.nonEmpty) writeGeneratedColumns(spark, dst, gens)
     require(commit(spark, dst, 1L,
       Left(readManifestEntries(spark, src, v)),
       tableSchema(spark, src, Some(v)),
@@ -1683,6 +1703,98 @@ object Versioned {
       name: String): Unit =
     writeConstraints(spark, path,
       constraints(spark, path).filterNot(_._1 == name))
+
+  // ------------------------------------------------------------------
+  // generated columns (GENERATED ALWAYS AS, computed/validated on write)
+  // ------------------------------------------------------------------
+
+  private def genColsPath(path: String) =
+    new Path(manifestDir(path), "gencols")
+
+  /** The table's generated columns as (column, SQL expression), in
+    * registration order. */
+  def generatedColumns(spark: SparkSession,
+      path: String): Seq[(String, String)] = {
+    val f = fs(spark, path)
+    val p = genColsPath(path)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"malformed gencols file for $path: '$line'")
+        (line.substring(0, i), line.substring(i + 1))
+      }.toSeq
+    }
+  }
+
+  private def writeGeneratedColumns(spark: SparkSession, path: String,
+      gs: Seq[(String, String)]): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(manifestDir(path))
+    if (gs.isEmpty) { f.delete(genColsPath(path), false); return }
+    atomicWrite(f, genColsPath(path),
+      gs.map { case (c, e) => s"$c\t$e" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Declare `column` GENERATED ALWAYS AS `expression` (Delta's
+    * generated-column contract): a merge source may OMIT the column —
+    * the engine computes it in-plan — and a source that supplies it
+    * must supply exactly the generated value (null-safe equality) or
+    * the commit is rejected. Registration validates the CURRENT
+    * snapshot once, so the identity is table-wide from day one. The
+    * point at scale is layout safety: `day = to_date(ts)` computed by
+    * the ENGINE means no writer can mis-derive the partition/cluster
+    * key, which is what makes partition-scoped merge economics safe
+    * to rely on. */
+  def addGeneratedColumn(spark: SparkSession, path: String,
+      column: String, expression: String): Unit = {
+    require(!expression.exists(c => c == '\t' || c == '\n'),
+      "generated-column expression must be single-line (no tab/newline)")
+    val cur = read(spark, path)
+    require(cur.columns.contains(column),
+      s"generated column must exist in the table schema: '$column'")
+    val existing = generatedColumns(spark, path)
+    require(!existing.exists(_._1 == column),
+      s"column '$column' is already generated on $path")
+    val bad = cur.filter(!(col(column) <=> expr(expression)))
+      .limit(1).count()
+    require(bad == 0L,
+      s"cannot declare '$column' generated as ($expression): existing " +
+        "rows disagree")
+    writeGeneratedColumns(spark, path, existing :+ (column -> expression))
+  }
+
+  /** Drop a generated-column declaration (the column stays, as a
+    * plain column). */
+  def dropGeneratedColumn(spark: SparkSession, path: String,
+      column: String): Unit =
+    writeGeneratedColumns(spark, path,
+      generatedColumns(spark, path).filterNot(_._1 == column))
+
+  /** Compute OMITTED generated columns over a merge source in-plan
+    * (supplied ones are left as-is; [[validateGeneratedColumns]]
+    * vetoes those separately so delete-flagged key-only rows aren't
+    * falsely compared). */
+  private def computeGeneratedColumns(spark: SparkSession, path: String,
+      batch: DataFrame): DataFrame =
+    generatedColumns(spark, path).foldLeft(batch) { case (df, (c, e)) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, expr(e))
+    }
+
+  /** Reject supplied generated-column values that disagree with their
+    * expression — one filter + limit(1) probe per supplied column,
+    * O(batch). */
+  private def validateGeneratedColumns(spark: SparkSession, path: String,
+      batch: DataFrame, supplied: Seq[(String, String)]): Unit =
+    supplied.foreach { case (c, e) =>
+      if (batch.filter(!(col(c) <=> expr(e))).limit(1).count() > 0)
+        throw new ConstraintViolation(s"generated($c)", e, path)
+    }
 
   /** Thrown when a write batch violates a table CHECK constraint; the
     * offending commit never happens (validation precedes staging). */

@@ -126,6 +126,21 @@ object LakeFixtures {
         dir, "c div 100")
     }
 
+  /** (k, c, p, bkt) orders partitioned by the GENERATED `bkt = c div
+    * 100` — the declared twin of [[ordersHidden]]'s invisible
+    * transform: the column is user-visible but its value is engine-
+    * derived, so writers can omit it and cannot mis-derive it. */
+  def ordersGenPart(s: SparkSession, d: String): String =
+    build(s"gen|$d", "graft_base_gen") { dir =>
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("o_totalprice").as("p"))
+        .withColumn("bkt", expr("c div 100"))
+      Versioned.init(base.repartition(col("bkt")), dir,
+        partitionCol = Some("bkt"))
+      Versioned.addGeneratedColumn(s, dir, "bkt", "c div 100")
+    }
+
   /** A fresh isolated clone of `base` in its own temp directory; the
     * caller owns (and should delete) the returned directory. */
   def cloneOf(s: SparkSession, base: String, prefix: String): String = {

@@ -102,7 +102,8 @@ object Wave49Queries {
       // three commits the consumer must see exactly once each
       Versioned.merge(base.filter(col("k") % 2 === 1 && col("k") % 5 === 0),
         dir, Seq("k"))                                            // v2
-      Versioned.delete(s, dir, col("k") % 7 === 0)                // v3
+      // vectored: the v3 feed is a DV delta, not a full-rewrite diff
+      Versioned.deleteVectored(s, dir, col("k") % 7 === 0)        // v3
       Versioned.updateVectored(s, dir, col("k") % 9 === 0,
         Map("p" -> (col("p") + lit(10.0))))                       // v4
       var netRows = 0L
