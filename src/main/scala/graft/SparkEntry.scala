@@ -73,7 +73,8 @@ object SparkEntry {
     graft.queries.Wave47Queries.queries ++
     graft.queries.Wave48Queries.queries ++
     graft.queries.Wave49Queries.queries ++
-    graft.queries.Wave50Queries.queries
+    graft.queries.Wave50Queries.queries ++
+    graft.queries.Wave51Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -133,5 +134,6 @@ object SparkEntry {
     graft.queries.Wave47Queries.oracles ++
     graft.queries.Wave48Queries.oracles ++
     graft.queries.Wave49Queries.oracles ++
-    graft.queries.Wave50Queries.oracles
+    graft.queries.Wave50Queries.oracles ++
+    graft.queries.Wave51Queries.oracles
 }

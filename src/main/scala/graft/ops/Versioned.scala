@@ -1796,6 +1796,58 @@ object Versioned {
         throw new ConstraintViolation(s"generated($c)", e, path)
     }
 
+  /** Receipt of [[mergeExpect]]: the main-table version, rows merged,
+    * and rows diverted (dropped, or quarantined when a quarantine
+    * table is given). */
+  final case class ExpectStats(version: Long, merged: Long,
+    diverted: Long)
+
+  /** MERGE under EXPECTATIONS (the DLT `expect_or_drop` /
+    * quarantine-table pattern): instead of [[merge]]'s all-or-nothing
+    * constraint veto, rows violating any CHECK constraint are SPLIT
+    * OUT of the batch — the clean remainder commits normally, and the
+    * violations are either dropped or upserted into `quarantine` (a
+    * lake of their own, same keys, with a `violated` column naming
+    * the first failed constraint) for triage and replay. The split is
+    * one in-plan projection over the batch; delete-flagged rows pass
+    * straight through (their key-only images aren't data). At 100 TB
+    * this is the difference between a poisoned upstream file stalling
+    * the nightly load and the load landing minus a quarantined
+    * remainder the owning team can inspect. */
+  def mergeExpect(source: DataFrame, path: String, keys: Seq[String],
+      partitionCol: Option[String] = None,
+      deleteCol: Option[String] = None,
+      quarantine: Option[String] = None): ExpectStats = {
+    val spark = source.sparkSession
+    val cons = constraints(spark, path)
+    require(cons.nonEmpty,
+      s"mergeExpect needs at least one CHECK constraint on $path")
+    val violC0 = cons.map { case (n, p) =>
+      when(expr(p) <=> lit(false), lit(n)) }.reduce(coalesce(_, _))
+    val violC = deleteCol.fold(violC0)(d =>
+      when(coalesce(col(d), lit(false)), lit(null)).otherwise(violC0))
+    // constraints may reference generated columns the source omits
+    val flagged = computeGeneratedColumns(spark, path, source)
+      .withColumn("__graft_viol", violC)
+    val bad = flagged.filter(col("__graft_viol").isNotNull)
+    val nBad = bad.count()
+    val clean = flagged.filter(col("__graft_viol").isNull)
+      .drop("__graft_viol")
+    if (nBad > 0) quarantine.foreach { qp =>
+      val badOut = bad.withColumnRenamed("__graft_viol", "violated")
+        .drop(deleteCol.toSeq: _*)
+      if (currentVersion(spark, qp).isEmpty) init(badOut, qp)
+      else merge(badOut, qp, keys, opName = "QUARANTINE")
+    }
+    val nClean = clean.count()
+    val v =
+      if (nClean == 0 && deleteCol.isEmpty)
+        resolve(spark, path, None) // nothing clean to commit
+      else merge(clean, path, keys, partitionCol, deleteCol,
+        opName = "MERGE_EXPECT")
+    ExpectStats(v, nClean, nBad)
+  }
+
   /** Thrown when a write batch violates a table CHECK constraint; the
     * offending commit never happens (validation precedes staging). */
   final class ConstraintViolation(val constraint: String,
