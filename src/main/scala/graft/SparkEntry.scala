@@ -74,7 +74,8 @@ object SparkEntry {
     graft.queries.Wave48Queries.queries ++
     graft.queries.Wave49Queries.queries ++
     graft.queries.Wave50Queries.queries ++
-    graft.queries.Wave51Queries.queries
+    graft.queries.Wave51Queries.queries ++
+    graft.queries.Wave52Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -135,5 +136,6 @@ object SparkEntry {
     graft.queries.Wave48Queries.oracles ++
     graft.queries.Wave49Queries.oracles ++
     graft.queries.Wave50Queries.oracles ++
-    graft.queries.Wave51Queries.oracles
+    graft.queries.Wave51Queries.oracles ++
+    graft.queries.Wave52Queries.oracles
 }

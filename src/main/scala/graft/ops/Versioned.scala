@@ -449,6 +449,34 @@ object Versioned {
     * NULL — additive evolution without a footer-merge pass); `meta`
     * additionally surfaces the (file, row position) identity the
     * deletion-vector anti-join keys on. */
+  // ---------------------------------------------------------------- //
+  // column mapping (RENAME COLUMN without rewriting a single file)    //
+  // ---------------------------------------------------------------- //
+
+  /** Logged-schema fields carry their PHYSICAL (on-disk) name in
+    * field metadata under this key when it differs from the logical
+    * name; files are always written under physical names, reads
+    * translate back. A field without the key is its own physical
+    * name — the universal pre-rename case, which therefore pays
+    * nothing for the machinery. */
+  private val physicalKey = "graft.physical"
+
+  private def physicalOf(f: StructField): String =
+    if (f.metadata.contains(physicalKey)) f.metadata.getString(physicalKey)
+    else f.name
+
+  private def hasMapping(s: StructType): Boolean =
+    s.fields.exists(f => physicalOf(f) != f.name)
+
+  /** Manifest stats (and Bloom sidecars) are keyed by the PHYSICAL
+    * column name — the name is invariant under renames, so historical
+    * per-file stats stay valid forever; lookups translate. */
+  private def statsKeyOf(spark: SparkSession, path: String, v: Long,
+      column: String): String =
+    tableSchema(spark, path, Some(v))
+      .flatMap(_.fields.find(_.name == column)).map(physicalOf)
+      .getOrElse(column)
+
   private def readFiles(spark: SparkSession, path: String,
       fileList: Seq[String], schemaOpt: Option[StructType],
       meta: Boolean): DataFrame = {
@@ -460,17 +488,31 @@ object Versioned {
     require(fileList.nonEmpty,
       s"empty manifest for $path — a versioned table must always " +
         "reference at least one (possibly schema-only) data file")
+    val mapped = schemaOpt.exists(hasMapping)
     fileList.groupBy(root).toSeq.sortBy(_._1).map { case (base, fps) =>
       val rdr0 = spark.read.option("basePath", base)
       val rdr = schemaOpt.fold(rdr0) { s0 =>
-        rdr0.schema(StructType(s0.fields :+ StructField(batchCol, StringType)))
+        // read under PHYSICAL names (what the files and partition
+        // directories actually carry), translate to logical below
+        val phys =
+          if (!mapped) s0.fields
+          else s0.fields.map(f => f.copy(name = physicalOf(f)))
+        rdr0.schema(StructType(phys :+ StructField(batchCol, StringType)))
       }
-      val df0 = rdr.parquet(fps: _*)
-      val df1 =
-        if (meta) df0.select(col("*"),
-          metaKeyCol.as(metaF),
+      val df0raw = rdr.parquet(fps: _*)
+      // the _metadata columns resolve only against the scan relation,
+      // so the logical rename and the meta projection are ONE select
+      val metaCols =
+        if (meta) Seq(metaKeyCol.as(metaF),
           col("_metadata.row_index").as(metaP))
-        else df0
+        else Seq.empty
+      val df1 = schemaOpt match {
+        case Some(s0) if mapped =>
+          df0raw.select(s0.fields.map(f =>
+            col(physicalOf(f)).as(f.name)).toSeq ++
+            (col(batchCol) +: metaCols): _*)
+        case _ => df0raw.select(col("*") +: metaCols: _*)
+      }
       df1.drop(batchCol)
     }.reduce(_ unionByName _)
   }
@@ -512,11 +554,22 @@ object Versioned {
     * consistent directory layout; the column is dropped on read, so
     * the suffix is invisible to consumers.) */
   private def stage(df: DataFrame, path: String, v: Long,
-      partitionCol: Option[String]): (Path, Seq[String]) = {
+      partitionCol: Option[String],
+      logicalSchema: Option[StructType] = None): (Path, Seq[String]) = {
     val unique = s"$v-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = new Path(new Path(path, "data"), s"$batchCol=$unique")
-    val w = df.write.mode("overwrite")
-    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dir.toString)
+    // under column mapping, files (and partition directories) carry
+    // PHYSICAL names; the frame arrives logical
+    val (dfW, pcW) = logicalSchema match {
+      case Some(s0) if hasMapping(s0) =>
+        val m = s0.fields.map(f => f.name -> physicalOf(f)).toMap
+        (df.select(df.columns.map(c =>
+          col(s"`$c`").as(m.getOrElse(c, c))).toSeq: _*),
+          partitionCol.map(c => m.getOrElse(c, c)))
+      case _ => (df, partitionCol)
+    }
+    val w = dfW.write.mode("overwrite")
+    pcW.fold(w)(c => w.partitionBy(c)).parquet(dir.toString)
     val f = fs(df.sparkSession, path)
     val it = f.listFiles(dir, true)
     val out = Seq.newBuilder[String]
@@ -542,10 +595,18 @@ object Versioned {
     * later share a manifest with partitioned files. */
   private def ensureManifestNonEmpty(df: DataFrame, path: String,
       stagedDir: Path, staged: Seq[String],
-      carriedNonEmpty: Boolean): Seq[String] = {
+      carriedNonEmpty: Boolean,
+      logicalSchema: Option[StructType] = None): Seq[String] = {
     if (staged.nonEmpty || carriedNonEmpty) staged
     else {
-      df.limit(0).coalesce(1).write.mode("overwrite")
+      val dfW = logicalSchema match {
+        case Some(s0) if hasMapping(s0) =>
+          val m = s0.fields.map(f => f.name -> physicalOf(f)).toMap
+          df.select(df.columns.map(c =>
+            col(s"`$c`").as(m.getOrElse(c, c))).toSeq: _*)
+        case _ => df
+      }
+      dfW.limit(0).coalesce(1).write.mode("overwrite")
         .parquet(stagedDir.toString)
       val f = fs(df.sparkSession, path)
       val it = f.listFiles(stagedDir, true)
@@ -683,6 +744,11 @@ object Versioned {
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
       val next = cur + 1
+      val curSchema = tableSchema(spark, path, Some(cur))
+      // under column mapping, partition DIRECTORIES carry the
+      // physical name — attribution and staging must speak it
+      def physOf(c: String): String = curSchema
+        .flatMap(_.fields.find(_.name == c)).map(physicalOf).getOrElse(c)
 
       val (carriedDf, hitList, rewriteDf) = partitionCol match {
         case Some(pc) =>
@@ -700,7 +766,7 @@ object Versioned {
           val touched = sourceG
             .select(col(pc).cast("string").as("p")).distinct()
             .collect().map { r =>
-              ExternalCatalogUtils.getPartitionPathString(pc,
+              ExternalCatalogUtils.getPartitionPathString(physOf(pc),
                 if (r.isNullAt(0)) null else r.getString(0))
             }.toSeq
           // manifest set-split runs through the engine: only the HIT
@@ -713,7 +779,8 @@ object Versioned {
           // files would present an inconsistent directory structure to
           // partition discovery.
           val seg = regexp_extract(col("f"),
-            "/(" + java.util.regex.Pattern.quote(pc) + "=[^/]*)/", 1)
+            "/(" + java.util.regex.Pattern.quote(physOf(pc)) + "=[^/]*)/",
+            1)
           val touchedDf = spark.createDataset(touched)(Encoders.STRING)
             .toDF("seg")
           val withSeg = manifestDf(spark, path, cur).withColumn("seg", seg)
@@ -787,20 +854,39 @@ object Versioned {
           }
       }
 
-      val (stagedDir, staged0) = stage(merged, path, next, partitionCol)
+      // the logged schema must CARRY each field's column-mapping
+      // metadata (the plan-derived merged.schema lost it); appended
+      // evolution fields may not shadow a retired physical name, or
+      // old files would surface foreign bytes under the new column —
+      // checked BEFORE staging so the veto precedes any write
+      val outSchema = curSchema match {
+        case None => merged.schema
+        case Some(cs) => StructType(merged.schema.fields.map { f =>
+          cs.fields.find(_.name == f.name) match {
+            case Some(old) => f.copy(metadata = old.metadata)
+            case None =>
+              require(!cs.fields.exists(o => physicalOf(o) == f.name),
+                s"cannot evolve-append column '${f.name}': the name is " +
+                  "the physical name of an existing (renamed) column")
+              f
+          }
+        })
+      }
+      val (stagedDir, staged0) = stage(merged, path, next, partitionCol,
+        curSchema)
       val carriedNonEmpty = carriedDf match {
         case None => false
         case Some(k) => if (staged0.nonEmpty) true else !k.isEmpty
       }
       val staged = ensureManifestNonEmpty(merged, path, stagedDir,
-        staged0, carriedNonEmpty)
+        staged0, carriedNonEmpty, curSchema)
       val stagedE = stagedEntries(spark, path, staged)
       val filesArg: Either[Seq[(String, Option[String])], DataFrame] =
         carriedDf match {
           case None => Left(stagedE)
           case Some(k) => Right(k.unionByName(entriesDf(spark, stagedE)))
         }
-      if (commit(spark, path, next, filesArg, Some(merged.schema), dvCarried,
+      if (commit(spark, path, next, filesArg, Some(outSchema), dvCarried,
           op = Some(opName)))
         return next
       // lost the race: another writer committed `next` — clean up OUR
@@ -1043,9 +1129,10 @@ object Versioned {
         case _ => snap.repartition(targetFiles)
       }
       val schema = tableSchema(spark, path, Some(cur)).getOrElse(snap.schema)
-      val (stagedDir, staged0) = stage(laidOut, path, next, partitionCol)
+      val (stagedDir, staged0) = stage(laidOut, path, next, partitionCol,
+        Some(schema))
       val staged = ensureManifestNonEmpty(laidOut, path, stagedDir,
-        staged0, carriedNonEmpty = false)
+        staged0, carriedNonEmpty = false, Some(schema))
       if (commit(spark, path, next,
         Left(stagedEntries(spark, path, staged)), Some(schema),
         op = Some("COMPACT"))) return next
@@ -1096,15 +1183,15 @@ object Versioned {
         case Some(pc) => rows.repartition(targetFiles, col(pc))
         case None     => rows.repartition(targetFiles)
       }
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(rows.schema)
       val (stagedDir, staged0) =
-        stage(laidOut, path, next, partitionCol)
+        stage(laidOut, path, next, partitionCol, Some(schema))
       val staged = ensureManifestNonEmpty(rows, path, stagedDir,
-        staged0, bigE.nonEmpty)
+        staged0, bigE.nonEmpty, Some(schema))
       val dvCarried = deletionVector(spark, path, Some(cur)).flatMap { d =>
         val rest = d.filter(!col("f").isin(smallKeys.toSeq: _*))
         if (rest.isEmpty) None else Some(rest)
       }
-      val schema = tableSchema(spark, path, Some(cur)).getOrElse(rows.schema)
       if (commit(spark, path, next,
           Left(bigE ++ stagedEntries(spark, path, staged)), Some(schema),
           dvCarried, op = Some("COMPACT_SMALL")))
@@ -1175,17 +1262,18 @@ object Versioned {
       // logic `!pred` also drops NULL-evaluating rows, which must be
       // RETAINED — coalesce pins NULL to "not deleted"
       val survivors = hitLive.filter(!coalesce(pred, lit(false)))
-      val (stagedDir, staged0) = stage(survivors, path, next, partitionCol)
+      val schema = tableSchema(spark, path, Some(cur))
+        .getOrElse(survivors.schema)
+      val (stagedDir, staged0) = stage(survivors, path, next, partitionCol,
+        Some(schema))
       val staged = ensureManifestNonEmpty(survivors, path, stagedDir,
-        staged0, keepE.nonEmpty)
+        staged0, keepE.nonEmpty, Some(schema))
       val dvCarried = deletionVector(spark, path, Some(cur)).flatMap { d =>
         val rest =
           if (hitNames.isEmpty) d
           else d.filter(!col("f").isin(hitNames.toSeq: _*))
         if (rest.isEmpty) None else Some(rest)
       }
-      val schema = tableSchema(spark, path, Some(cur))
-        .getOrElse(survivors.schema)
       if (commit(spark, path, next,
           Left(keepE ++ stagedEntries(spark, path, staged)), Some(schema),
           dvCarried, op = Some("DELETE")))
@@ -1314,13 +1402,26 @@ object Versioned {
     val n = side(toV, openNew)
     // under additive schema evolution the newer side is a superset:
     // align the old side through it (absent columns read as NULL, the
-    // same view a logged-schema read of the old files would give)
+    // same view a logged-schema read of the old files would give);
+    // a RENAMED column is the same column — match by physical name
     val o =
       if (o0.columns.sameElements(n.columns)) o0
-      else n.schema.fields.foldLeft(o0) { (df, fld) =>
-        if (df.columns.contains(fld.name)) df
-        else df.withColumn(fld.name, lit(null).cast(fld.dataType))
-      }.select(n.columns.map(col): _*)
+      else {
+        val renamedTo = (tableSchema(spark, path, Some(fromV)),
+            tableSchema(spark, path, Some(toV))) match {
+          case (Some(fs), Some(ts)) => ts.fields.flatMap { tf =>
+            fs.fields.find(ff => physicalOf(ff) == physicalOf(tf) &&
+              ff.name != tf.name).map(ff => ff.name -> tf.name)
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        val o1 = renamedTo.foldLeft(o0) { case (df, (from, to)) =>
+          df.withColumnRenamed(from, to) }
+        n.schema.fields.foldLeft(o1) { (df, fld) =>
+          if (df.columns.contains(fld.name)) df
+          else df.withColumn(fld.name, lit(null).cast(fld.dataType))
+        }.select(n.columns.map(col): _*)
+      }
     val dels = o.exceptAll(n).withColumn("op", lit("D"))
     val ins = n.exceptAll(o).withColumn("op", lit("I"))
     ChangeFeed(dels.unionByName(ins),
@@ -1357,7 +1458,8 @@ object Versioned {
       lo: Double, hi: Double, version: Option[Long] = None): Pruned = {
     val v = resolve(spark, path, version)
     val total = readManifestEntries(spark, path, v).length
-    val e = element_at(from_json(col("stats_json"), statsSchema), column)
+    val e = element_at(from_json(col("stats_json"), statsSchema),
+      statsKeyOf(spark, path, v, column))
     val keepCond = col("stats_json").isNull || e.isNull ||
       when(e("t") === "l",
         e("mnl").cast("double") <= lit(hi) &&
@@ -1394,7 +1496,7 @@ object Versioned {
       s"metadataStats needs a deletion-vector-free version — compact " +
         s"$path first to materialize outstanding vectors")
     val st = from_json(col("stats_json"), statsSchema)
-    val e = element_at(st, column)
+    val e = element_at(st, statsKeyOf(spark, path, v, column))
     val n = element_at(st, "#rows")
     val agg = manifestDf(spark, path, v).agg(
       sum(n("mnl")).as("rows"),
@@ -1433,7 +1535,8 @@ object Versioned {
       sj match {
         case None => true
         case Some(js) =>
-          (JsonMethods.parse(js) \ s"#bloom:$column" \ "b") match {
+          (JsonMethods.parse(js) \
+              s"#bloom:${statsKeyOf(spark, path, v, column)}" \ "b") match {
             case JString(b64) =>
               val bytes = java.util.Base64.getMimeDecoder.decode(b64)
               org.apache.spark.util.sketch.BloomFilter
@@ -1491,12 +1594,13 @@ object Versioned {
       val updated = hits.select(tableCols.map(c =>
         set.get(c).map(_.cast(schemaMap(c)).as(c)).getOrElse(col(c))): _*)
       if (attempt == 0) enforceConstraints(spark, path, updated)
-      val (stagedDir, staged) = stage(updated, path, next, partitionCol)
-      val combined = deletionVector(spark, path, Some(cur))
-        .fold(newDv)(prev => prev.unionByName(newDv))
       val schema = tableSchema(spark, path, Some(cur)).getOrElse(
         StructType(live.schema.filterNot(f =>
           f.name == metaF || f.name == metaP)))
+      val (stagedDir, staged) = stage(updated, path, next, partitionCol,
+        Some(schema))
+      val combined = deletionVector(spark, path, Some(cur))
+        .fold(newDv)(prev => prev.unionByName(newDv))
       if (commit(spark, path, next,
           Left(curEntries ++ stagedEntries(spark, path, staged)),
           Some(schema), Some(combined), op = Some("UPDATE_VECTORED")))
@@ -1606,6 +1710,68 @@ object Versioned {
       attempt += 1
     }
     sys.error(s"restore lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  private def mentionsIdent(e: String, c: String): Boolean =
+    ("(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(c) +
+      "($|[^A-Za-z0-9_])").r.findFirstIn(e).isDefined
+
+  /** RENAME COLUMN without touching a single data file (Delta column
+    * mapping): the new logged schema carries the field under its new
+    * LOGICAL name with its on-disk PHYSICAL name pinned in field
+    * metadata; every read translates physical→logical at the scan,
+    * every write stages under physical names, partition directories
+    * and manifest stats already live in physical space (stats keys
+    * are rename-invariant). The commit is a manifest REFERENCE
+    * (`Right(manifestDf)`) — a million-file rename is metadata-speed
+    * — and time travel before the rename still reads the old name
+    * through the old version's logged schema. Renames are blocked
+    * while a CHECK constraint, generated-column expression, or hidden
+    * partition transform references the column (rename or drop those
+    * first — the Delta rule). */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+      newName: String, maxRetries: Int = 5): Long = {
+    require(newName.nonEmpty && !newName.exists(c =>
+        c == '\t' || c == '\n' || c == '/' || c == '`' || c == '.'),
+      s"bad column name: '$newName'")
+    constraints(spark, path).foreach { case (n, p) =>
+      require(!mentionsIdent(p, oldName),
+        s"rename blocked: CHECK constraint '$n' references '$oldName'")
+    }
+    generatedColumns(spark, path).foreach { case (gc, ge) =>
+      require(gc != oldName && !mentionsIdent(ge, oldName),
+        s"rename blocked: generated column '$gc' references '$oldName'")
+    }
+    hiddenTransform(spark, path).foreach { t =>
+      require(!mentionsIdent(t, oldName),
+        s"rename blocked: hidden partition transform references " +
+          s"'$oldName'")
+    }
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(
+        sys.error(s"renameColumn needs a logged schema: $path"))
+      require(schema.fieldNames.contains(oldName),
+        s"no such column on $path: '$oldName'")
+      require(!schema.fieldNames.contains(newName),
+        s"column already exists on $path: '$newName'")
+      val newSchema = StructType(schema.fields.map { f =>
+        if (f.name != oldName) f
+        else f.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(physicalKey, physicalOf(f)).build())
+      })
+      if (commit(spark, path, cur + 1,
+          Right(manifestDf(spark, path, cur)), Some(newSchema),
+          deletionVector(spark, path, Some(cur)),
+          op = Some(s"RENAME_COLUMN($oldName->$newName)")))
+        return cur + 1
+      attempt += 1
+    }
+    sys.error(s"renameColumn lost ${maxRetries + 1} commit races " +
       s"(1 attempt + $maxRetries retries): $path")
   }
 
@@ -1887,14 +2053,18 @@ object Versioned {
       maxRetries: Int = 5): Dropped = {
     require(values.nonEmpty, "dropPartitions needs at least one value")
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val segs = values.map(v =>
-      ExternalCatalogUtils.getPartitionPathString(partitionCol, v))
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
       val next = cur + 1
+      // partition directories carry the PHYSICAL column name
+      val pcPhys = tableSchema(spark, path, Some(cur))
+        .flatMap(_.fields.find(_.name == partitionCol)).map(physicalOf)
+        .getOrElse(partitionCol)
+      val segs = values.map(v =>
+        ExternalCatalogUtils.getPartitionPathString(pcPhys, v))
       val seg = regexp_extract(col("f"),
-        "/(" + java.util.regex.Pattern.quote(partitionCol) + "=[^/]*)/", 1)
+        "/(" + java.util.regex.Pattern.quote(pcPhys) + "=[^/]*)/", 1)
       val segsDf = spark.createDataset(segs)(Encoders.STRING).toDF("seg")
       val withSeg = manifestDf(spark, path, cur).withColumn("seg", seg)
       val keepDf = withSeg.join(segsDf, Seq("seg"), "left_anti")
@@ -1908,7 +2078,7 @@ object Versioned {
       val schema = tableSchema(spark, path, Some(cur))
       val dvKept = deletionVector(spark, path, Some(cur)).flatMap { d =>
         val dseg = regexp_extract(col("f"),
-          "/(" + java.util.regex.Pattern.quote(partitionCol) + "=[^/]*)/", 1)
+          "/(" + java.util.regex.Pattern.quote(pcPhys) + "=[^/]*)/", 1)
         val rest = d.filter(!dseg.isInCollection(segs))
         if (rest.isEmpty) None else Some(rest)
       }
@@ -1920,9 +2090,9 @@ object Versioned {
           val s0 = schema.getOrElse(read(spark, path, Some(cur)).schema)
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], s0)
-          val (stagedDir, _) = stage(empty, path, next, None)
+          val (stagedDir, _) = stage(empty, path, next, None, schema)
           val staged = ensureManifestNonEmpty(empty, path, stagedDir,
-            Seq.empty, carriedNonEmpty = false)
+            Seq.empty, carriedNonEmpty = false, schema)
           commit(spark, path, next,
             Left(stagedEntries(spark, path, staged)), schema, None,
             op = Some(s"DROP_PARTITION($partitionCol)"))

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.Versioned
+
+/** Column mapping: RENAME COLUMN without rewriting a single file. */
+class Wave52Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("rename is metadata-only: same manifest, new logical name, " +
+      "old versions still read the old name") {
+    val dir = tmp("graft_rn")
+    Versioned.init(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"), dir)
+    val v1Files = Versioned.files(spark, dir, Some(1L)).toSet
+    val v = Versioned.renameColumn(spark, dir, "price", "amount")
+    assert(v == 2L)
+    assert(Versioned.files(spark, dir, Some(2L)).toSet == v1Files)
+    val cur = Versioned.read(spark, dir)
+    assert(cur.columns.toSeq == Seq("k", "amount"))
+    assert(cur.as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+    assert(Versioned.read(spark, dir, Some(1L)).columns.toSeq ==
+      Seq("k", "price"))
+    assert(Versioned.history(spark, dir).last.operation ==
+      "RENAME_COLUMN(price->amount)")
+  }
+
+  test("writes after a rename stage under the physical name: merge, " +
+      "delete, vectored update, compact all round-trip") {
+    val dir = tmp("graft_rnw")
+    Versioned.init(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"), dir)
+    Versioned.renameColumn(spark, dir, "price", "amount")
+    Versioned.merge(Seq((2L, 22.0), (3L, 30.0)).toDF("k", "amount"),
+      dir, Seq("k"))
+    assert(Versioned.read(spark, dir).as[(Long, Double)].collect()
+      .toSet == Set((1L, 10.0), (2L, 22.0), (3L, 30.0)))
+    Versioned.updateVectored(spark, dir, col("k") === 1L,
+      Map("amount" -> lit(11.0)))
+    Versioned.delete(spark, dir, col("amount") > 25.0)
+    Versioned.compact(spark, dir, targetFiles = 1)
+    val got = Versioned.read(spark, dir).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 11.0), (2L, 22.0)))
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("k", "amount"))
+    // chained rename survives the full history of layouts
+    Versioned.renameColumn(spark, dir, "amount", "total")
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("k", "total"))
+    assert(Versioned.read(spark, dir).agg(sum(col("total"))).head()
+      .getDouble(0) == 33.0)
+  }
+
+  test("renaming the PARTITION column keeps partition-scoped merges " +
+      "partition-scoped (directories keep the physical name)") {
+    val dir = tmp("graft_rnp")
+    Versioned.init(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("k", "pc", "p"), dir, partitionCol = Some("pc"))
+    Versioned.renameColumn(spark, dir, "pc", "bucket")
+    val v2Files = Versioned.files(spark, dir, Some(2L))
+    Versioned.merge(Seq((3L, "a", 9.0)).toDF("k", "bucket", "p"),
+      dir, Seq("k"), partitionCol = Some("bucket"))
+    val v3Files = Versioned.files(spark, dir, Some(3L)).toSet
+    // the untouched physical pc=b directory carried by reference
+    val untouched = v2Files.filter(_.contains("/pc=b/"))
+    assert(untouched.nonEmpty && untouched.forall(v3Files.contains))
+    assert(v2Files.filter(_.contains("/pc=a/"))
+      .forall(!v3Files.contains(_)))
+    val got = Versioned.read(spark, dir)
+      .select("k", "bucket", "p").as[(Long, String, Double)]
+      .collect().toSet
+    assert(got == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 9.0)))
+  }
+
+  test("manifest stats survive a rename: readRange prunes under the " +
+      "new name (stats keys are physical)") {
+    val dir = tmp("graft_rns")
+    val base = spark.range(1000L)
+      .select(col("id").as("k"), (col("id") % 100L).as("c"),
+        (col("id") * 2L).cast("double").as("p"))
+    Versioned.init(base.repartitionByRange(8, col("k")), dir,
+      statsCols = Seq("k"))
+    Versioned.renameColumn(spark, dir, "k", "key")
+    val pr = Versioned.readRange(spark, dir, "key", 0d, 100d)
+    assert(pr.filesRead < pr.filesTotal, s"read ${pr.filesRead}")
+    assert(pr.df.filter(col("key") <= 100L).count() == 101L)
+  }
+
+  test("rename guards: taken name, constraint/generated references, " +
+      "evolution cannot shadow a retired physical name") {
+    val dir = tmp("graft_rng")
+    Versioned.init(Seq((1L, 1.0, 2.0)).toDF("k", "p", "q"), dir)
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "p", "q")
+    }
+    Versioned.addConstraint(spark, dir, "p_pos", "p > 0")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "p", "price")
+    }
+    assert(e.getMessage.contains("rename blocked"))
+    Versioned.dropConstraint(spark, dir, "p_pos")
+    Versioned.renameColumn(spark, dir, "p", "price")
+    // appending a column named like the retired physical name is vetoed
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.merge(Seq((2L, 1.0, 2.0, 9.0)).toDF("k", "price", "q", "p"),
+        dir, Seq("k"), evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("physical name"))
+  }
+
+  test("deletion vectors, clone, and CDC feeds work across a rename") {
+    val dir = tmp("graft_rnd")
+    Versioned.init(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "p"),
+      dir)
+    Versioned.deleteVectored(spark, dir, col("k") === 2L)
+    Versioned.renameColumn(spark, dir, "p", "v")   // v3
+    assert(Versioned.read(spark, dir).as[(Long, Double)].collect()
+      .toSet == Set((1L, 1.0), (3L, 3.0)))
+    // a pure rename yields an EMPTY change feed (no files changed)
+    assert(Versioned.changes(spark, dir, 2L, 3L).df.count() == 0L)
+    // a post-rename merge diffs against a pre-rename version by
+    // PHYSICAL identity: the renamed column lines up, not drop+add
+    Versioned.merge(Seq((4L, 4.0)).toDF("k", "v"), dir, Seq("k")) // v4
+    val feed = Versioned.changes(spark, dir, 2L, 4L).df
+    assert(feed.columns.contains("v"))
+    assert(feed.filter(col("op") === "I").select("k", "v")
+      .as[(Long, Double)].collect().toSet == Set(4L -> 4.0))
+    val dst = tmp("graft_rndc") + "/t"
+    Versioned.clone(spark, dir, dst)
+    assert(Versioned.read(spark, dst).columns.toSeq == Seq("k", "v"))
+    assert(Versioned.read(spark, dst).count() == 3L)
+  }
+}
