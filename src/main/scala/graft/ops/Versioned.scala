@@ -855,31 +855,38 @@ object Versioned {
       }
 
       // the logged schema must CARRY each field's column-mapping
-      // metadata (the plan-derived merged.schema lost it); appended
-      // evolution fields may not shadow a retired physical name, or
-      // old files would surface foreign bytes under the new column —
-      // checked BEFORE staging so the veto precedes any write
+      // metadata (the plan-derived merged.schema lost it); an appended
+      // evolution field whose name shadows a live or RETIRED physical
+      // name gets a FRESH physical name — otherwise old carried files
+      // would resurface foreign/dead bytes under the new column.
+      // Computed BEFORE staging: the stage rename must speak it.
       val outSchema = curSchema match {
         case None => merged.schema
-        case Some(cs) => StructType(merged.schema.fields.map { f =>
-          cs.fields.find(_.name == f.name) match {
-            case Some(old) => f.copy(metadata = old.metadata)
-            case None =>
-              require(!cs.fields.exists(o => physicalOf(o) == f.name),
-                s"cannot evolve-append column '${f.name}': the name is " +
-                  "the physical name of an existing (renamed) column")
-              f
-          }
-        })
+        case Some(cs) =>
+          lazy val taken =
+            cs.fields.map(physicalOf).toSet ++ retiredPhysicals(spark, path)
+          StructType(merged.schema.fields.map { f =>
+            cs.fields.find(_.name == f.name) match {
+              case Some(old) => f.copy(metadata = old.metadata)
+              case None if taken.contains(f.name) =>
+                f.copy(metadata =
+                  new org.apache.spark.sql.types.MetadataBuilder()
+                    .withMetadata(f.metadata)
+                    .putString(physicalKey, f.name + "_" +
+                      java.util.UUID.randomUUID().toString.take(8))
+                    .build())
+              case None => f
+            }
+          })
       }
       val (stagedDir, staged0) = stage(merged, path, next, partitionCol,
-        curSchema)
+        Some(outSchema))
       val carriedNonEmpty = carriedDf match {
         case None => false
         case Some(k) => if (staged0.nonEmpty) true else !k.isEmpty
       }
       val staged = ensureManifestNonEmpty(merged, path, stagedDir,
-        staged0, carriedNonEmpty, curSchema)
+        staged0, carriedNonEmpty, Some(outSchema))
       val stagedE = stagedEntries(spark, path, staged)
       val filesArg: Either[Seq[(String, Option[String])], DataFrame] =
         carriedDf match {
@@ -1060,6 +1067,13 @@ object Versioned {
     if (cons.nonEmpty) writeConstraints(spark, dst, cons)
     val gens = generatedColumns(spark, src)
     if (gens.nonEmpty) writeGeneratedColumns(spark, dst, gens)
+    val ret = retiredPhysicals(spark, src)
+    if (ret.nonEmpty) {
+      fs(spark, dst).mkdirs(manifestDir(dst))
+      atomicWrite(fs(spark, dst), retiredPath(dst),
+        ret.toSeq.sorted.mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8))
+    }
     require(commit(spark, dst, 1L,
       Left(readManifestEntries(spark, src, v)),
       tableSchema(spark, src, Some(v)),
@@ -1772,6 +1786,80 @@ object Versioned {
       attempt += 1
     }
     sys.error(s"renameColumn lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** Physical names of DROPPED columns: their bytes remain inside
+    * carried files, so a later evolve-append under the same name must
+    * get a FRESH physical name or old files would resurface the dead
+    * column's data. Plain name-per-line file beside the manifests. */
+  private def retiredPath(path: String) =
+    new Path(manifestDir(path), "retired")
+
+  private def retiredPhysicals(spark: SparkSession,
+      path: String): Set[String] = {
+    val f = fs(spark, path)
+    val p = retiredPath(path)
+    if (!f.exists(p)) Set.empty
+    else {
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split('\n').iterator.filter(_.nonEmpty).toSet
+    }
+  }
+
+  private def addRetired(spark: SparkSession, path: String,
+      name: String): Unit =
+    atomicWrite(fs(spark, path), retiredPath(path),
+      (retiredPhysicals(spark, path) + name).toSeq.sorted
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+  /** DROP COLUMN as a metadata-only commit (column mapping): the
+    * field leaves the logged schema — every read stops projecting it
+    * instantly, across a million files, without touching one — and
+    * its PHYSICAL name is recorded as retired so a future
+    * evolve-append under the same name maps to a fresh physical
+    * name instead of resurrecting the dead bytes. Time travel before
+    * the drop still reads the column. Blocked while a CHECK
+    * constraint, generated column, or hidden transform references
+    * it (drop those first). */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+      maxRetries: Int = 5): Long = {
+    constraints(spark, path).foreach { case (n, p) =>
+      require(!mentionsIdent(p, name),
+        s"drop blocked: CHECK constraint '$n' references '$name'")
+    }
+    generatedColumns(spark, path).foreach { case (gc, ge) =>
+      require(gc != name && !mentionsIdent(ge, name),
+        s"drop blocked: generated column '$gc' references '$name'")
+    }
+    hiddenTransform(spark, path).foreach { t =>
+      require(!mentionsIdent(t, name),
+        s"drop blocked: hidden partition transform references '$name'")
+    }
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(
+        sys.error(s"dropColumn needs a logged schema: $path"))
+      require(schema.fieldNames.contains(name),
+        s"no such column on $path: '$name'")
+      require(schema.fields.length > 1,
+        s"cannot drop the last column of $path")
+      val dropped = schema.fields.find(_.name == name).get
+      val newSchema = StructType(schema.fields.filterNot(_.name == name))
+      if (commit(spark, path, cur + 1,
+          Right(manifestDf(spark, path, cur)), Some(newSchema),
+          deletionVector(spark, path, Some(cur)),
+          op = Some(s"DROP_COLUMN($name)"))) {
+        addRetired(spark, path, physicalOf(dropped))
+        return cur + 1
+      }
+      attempt += 1
+    }
+    sys.error(s"dropColumn lost ${maxRetries + 1} commit races " +
       s"(1 attempt + $maxRetries retries): $path")
   }
 

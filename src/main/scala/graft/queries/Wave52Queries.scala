@@ -55,10 +55,68 @@ object Wave52Queries {
     }
   }
 
+  def qDropColumn(s: SparkSession, d: String): DataFrame = {
+    val dir = LakeFixtures.cloneOf(s, LakeFixtures.ordersEvens16(s, d),
+      "graft_dc")
+    try {
+      val v1Files = Versioned.files(s, dir, Some(1L)).toSet
+      Versioned.dropColumn(s, dir, "c")
+      val metadataOnly =
+        Versioned.files(s, dir, Some(2L)).toSet == v1Files
+      val oldNameKept = Versioned.read(s, dir, Some(1L))
+        .columns.contains("c")
+      // re-add 'c' via evolution: fresh physical — carried rows MUST
+      // read NULL, never the dropped column's dead bytes
+      val batch = LakeFixtures.ordersBase(s, d)
+        .filter(col("k") % 2 === 1 && col("k") % 5 === 0)
+        .select(col("k"), col("st"), col("p"),
+          lit(-1L).as("c"))
+      Versioned.merge(batch, dir, Seq("k"), evolveSchema = true)
+      val cur = Versioned.read(s, dir)
+      val deadBytesDead = cur.filter(col("k") % 2 === 0 &&
+        col("c").isNotNull).limit(1).count() == 0L
+      val r = cur
+        .withColumn("fp", fpCol(col("k"), col("st"),
+          coalesce(col("c"), lit(-999L)),
+          floor(col("p") * lit(100.0) + lit(0.5)).cast("long")))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp"),
+          expr("bit_xor(fp)").as("xf")).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
+          if (metadataOnly) 1 else 0, if (oldNameKept) 1 else 0,
+          if (deadBytesDead) 1 else 0))
+        .toDF("n_rows", "sum_price", "xor_fp", "metadata_only",
+          "old_name_kept", "dead_bytes_dead")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rename_column" -> qRenameColumn)
+    "q_rename_column" -> qRenameColumn,
+    "q_drop_column"   -> qDropColumn)
 
   val oracles: Map[String, String] = Map(
+    "q_drop_column" ->
+      s"""WITH evens AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+         |    o_totalprice AS p, CAST(NULL AS BIGINT) AS c
+         |  FROM orders WHERE o_orderkey % 2 = 0),
+         |ins AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+         |    o_totalprice AS p, CAST(-1 AS BIGINT) AS c
+         |  FROM orders
+         |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0),
+         |m AS (SELECT * FROM evens UNION ALL SELECT * FROM ins),
+         |fp AS (SELECT p,
+         |    md5_number_upper(CAST(k AS VARCHAR) || '#' || st || '#' ||
+         |      CAST(COALESCE(c, -999) AS VARCHAR) || '#' ||
+         |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+         |      >> 4 AS fp
+         |  FROM m)
+         |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
+         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+         |  1 AS metadata_only, 1 AS old_name_kept, 1 AS dead_bytes_dead
+         |FROM fp""".stripMargin,
     "q_rename_column" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
          |    CASE WHEN o_orderkey % 10 = 2

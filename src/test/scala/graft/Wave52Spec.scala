@@ -101,12 +101,53 @@ class Wave52Spec extends SparkSuite {
     assert(e.getMessage.contains("rename blocked"))
     Versioned.dropConstraint(spark, dir, "p_pos")
     Versioned.renameColumn(spark, dir, "p", "price")
-    // appending a column named like the retired physical name is vetoed
-    val e2 = intercept[IllegalArgumentException] {
-      Versioned.merge(Seq((2L, 1.0, 2.0, 9.0)).toDF("k", "price", "q", "p"),
-        dir, Seq("k"), evolveSchema = true)
+    // evolve-appending a column named like price's PHYSICAL name maps
+    // it to a FRESH physical name: old files must NOT resurface
+    // price's bytes under the new column
+    Versioned.merge(Seq((2L, 1.0, 2.0, 9.0)).toDF("k", "price", "q", "p"),
+      dir, Seq("k"), evolveSchema = true)
+    val rows = Versioned.read(spark, dir)
+      .select("k", "price", "p")
+      .as[(Long, Double, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(rows(1L) == ((1.0, None)))          // carried row: new p NULL
+    assert(rows(2L) == ((1.0, Some(9.0))))     // inserted row: its own p
+  }
+
+  test("dropColumn is metadata-only, survives time travel, and a " +
+      "re-added name cannot resurrect the dead bytes") {
+    val dir = tmp("graft_dc")
+    Versioned.init(Seq((1L, 10.0, "x"), (2L, 20.0, "y"))
+      .toDF("k", "p", "note"), dir)
+    val v1Files = Versioned.files(spark, dir, Some(1L)).toSet
+    val v = Versioned.dropColumn(spark, dir, "note")
+    assert(v == 2L)
+    assert(Versioned.files(spark, dir, Some(2L)).toSet == v1Files)
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("k", "p"))
+    assert(Versioned.read(spark, dir, Some(1L)).columns.contains("note"))
+    // re-adding 'note' via evolution: fresh physical, old bytes dead
+    Versioned.merge(Seq((3L, 30.0, "z")).toDF("k", "p", "note"),
+      dir, Seq("k"), evolveSchema = true)
+    val got = Versioned.read(spark, dir)
+      .select("k", "note").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).contains("z"))
+    assert(Versioned.history(spark, dir)
+      .map(_.operation).contains("DROP_COLUMN(note)"))
+  }
+
+  test("dropColumn guards: referenced by constraint, last column") {
+    val dir = tmp("graft_dcg")
+    Versioned.init(Seq((1L, 1.0)).toDF("k", "p"), dir)
+    Versioned.addConstraint(spark, dir, "p_pos", "p > 0")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.dropColumn(spark, dir, "p")
     }
-    assert(e2.getMessage.contains("physical name"))
+    assert(e.getMessage.contains("drop blocked"))
+    Versioned.dropConstraint(spark, dir, "p_pos")
+    Versioned.dropColumn(spark, dir, "p")
+    intercept[IllegalArgumentException] {
+      Versioned.dropColumn(spark, dir, "k")
+    }
   }
 
   test("deletion vectors, clone, and CDC feeds work across a rename") {
