@@ -1863,6 +1863,46 @@ object Versioned {
       s"(1 attempt + $maxRetries retries): $path")
   }
 
+  /** ADD COLUMN as a metadata-only commit: the field joins the logged
+    * schema (typed, nullable); every carried file immediately reads
+    * vectorized NULL for it, and writes from then on carry it (a
+    * strict [[merge]] source must supply it, `evolveSchema` sources
+    * may). If the name shadows a live or retired PHYSICAL name the
+    * new field maps to a fresh physical name, so old bytes stay
+    * dead. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: DataType, maxRetries: Int = 5): Long = {
+    require(name.nonEmpty && !name.exists(c =>
+        c == '\t' || c == '\n' || c == '/' || c == '`' || c == '.'),
+      s"bad column name: '$name'")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(
+        sys.error(s"addColumn needs a logged schema: $path"))
+      require(!schema.fieldNames.contains(name),
+        s"column already exists on $path: '$name'")
+      val taken =
+        schema.fields.map(physicalOf).toSet ++ retiredPhysicals(spark, path)
+      val fld0 = StructField(name, dataType, nullable = true)
+      val fld =
+        if (!taken.contains(name)) fld0
+        else fld0.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(physicalKey, name + "_" +
+              java.util.UUID.randomUUID().toString.take(8)).build())
+      if (commit(spark, path, cur + 1,
+          Right(manifestDf(spark, path, cur)),
+          Some(StructType(schema.fields :+ fld)),
+          deletionVector(spark, path, Some(cur)),
+          op = Some(s"ADD_COLUMN($name)")))
+        return cur + 1
+      attempt += 1
+    }
+    sys.error(s"addColumn lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
   /** One retained commit of [[history]]. */
   final case class CommitInfo(version: Long, operation: String,
     nFiles: Long)

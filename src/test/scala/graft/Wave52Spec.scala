@@ -150,6 +150,38 @@ class Wave52Spec extends SparkSuite {
     }
   }
 
+  test("addColumn is metadata-only: carried files read NULL, writes " +
+      "carry it, a retired name gets a fresh physical") {
+    val dir = tmp("graft_ac")
+    Versioned.init(Seq((1L, 1.0, "x")).toDF("k", "p", "gone"), dir)
+    Versioned.dropColumn(spark, dir, "gone")
+    val v2Files = Versioned.files(spark, dir, Some(2L)).toSet
+    Versioned.addColumn(spark, dir,
+      "note", org.apache.spark.sql.types.StringType)
+    assert(Versioned.files(spark, dir, Some(3L)).toSet == v2Files)
+    assert(Versioned.read(spark, dir).columns.toSeq ==
+      Seq("k", "p", "note"))
+    assert(Versioned.read(spark, dir).select("note")
+      .as[Option[String]].head().isEmpty)
+    // re-adding the retired name maps to a fresh physical: dead stays dead
+    Versioned.addColumn(spark, dir,
+      "gone", org.apache.spark.sql.types.StringType)
+    assert(Versioned.read(spark, dir).select("gone")
+      .as[Option[String]].head().isEmpty)
+    // strict merge now requires all four columns and round-trips
+    Versioned.merge(Seq((2L, 2.0, "n2", "g2"))
+      .toDF("k", "p", "note", "gone"), dir, Seq("k"))
+    val got = Versioned.read(spark, dir)
+      .select("k", "note", "gone")
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == ((None, None)) && got(2L) == ((Some("n2"), Some("g2"))))
+    intercept[IllegalArgumentException] {
+      Versioned.addColumn(spark, dir,
+        "note", org.apache.spark.sql.types.StringType)
+    }
+  }
+
   test("deletion vectors, clone, and CDC feeds work across a rename") {
     val dir = tmp("graft_rnd")
     Versioned.init(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "p"),
