@@ -130,16 +130,15 @@ object ExternalLog {
     val cur = Versioned.currentVersion(spark, path)
       .getOrElse(sys.error(s"uninitialized versioned table: $path"))
     // the add/remove log carries no schema actions, so an external
-    // reader would see the files' PHYSICAL column names — a renamed
-    // table (column mapping) is not export-compatible (the UniForm
-    // restriction); fail loudly instead of silently un-renaming
-    Versioned.tableSchema(spark, path, Some(cur)).foreach { s0 =>
-      require(!s0.fields.exists(f =>
-          f.metadata.contains("graft.physical") &&
-            f.metadata.getString("graft.physical") != f.name),
-        s"cannot export $path: column mapping (renamed columns) is " +
-          "not representable in the add/remove log format")
-    }
+    // reader sees the files' PHYSICAL column names — any rename OR
+    // drop in the table's retained history (not just the current
+    // schema) would export silently wrong: a round-tripped rename
+    // looks clean now but its exported versions lie, and a dropped
+    // column's bytes would resurrect in external readers. Refuse all
+    // of it (the UniForm restriction).
+    require(!Versioned.hasColumnMapping(spark, path),
+      s"cannot export $path: column mapping (renamed or dropped " +
+        "columns) is not representable in the add/remove log format")
     val root = new Path(path).toUri.getPath.stripSuffix("/")
     def rel(f: String): String = {
       val p = new Path(f).toUri.getPath

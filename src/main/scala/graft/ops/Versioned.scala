@@ -470,12 +470,40 @@ object Versioned {
 
   /** Manifest stats (and Bloom sidecars) are keyed by the PHYSICAL
     * column name — the name is invariant under renames, so historical
-    * per-file stats stay valid forever; lookups translate. */
+    * per-file stats stay valid forever; lookups translate. A name
+    * absent from the logged schema is an error, NOT a raw-key
+    * fallback: a pre-rename name must not silently answer with the
+    * renamed column's stats. */
   private def statsKeyOf(spark: SparkSession, path: String, v: Long,
       column: String): String =
-    tableSchema(spark, path, Some(v))
-      .flatMap(_.fields.find(_.name == column)).map(physicalOf)
-      .getOrElse(column)
+    tableSchema(spark, path, Some(v)) match {
+      case None => column // legacy table without a logged schema
+      case Some(s0) => s0.fields.find(_.name == column).map(physicalOf)
+        .getOrElse(sys.error(
+          s"no such column '$column' on $path at v$v"))
+    }
+
+  /** Rename `df`'s columns logical→physical per `schema` (identity
+    * when the schema carries no mapping). The write-side twin of
+    * [[readFiles]]'s scan translation. */
+  private def toPhysical(df: DataFrame, schema: StructType): DataFrame =
+    if (!hasMapping(schema)) df
+    else {
+      val m = schema.fields.map(f => f.name -> physicalOf(f)).toMap
+      df.select(df.columns.map(c =>
+        col(s"`$c`").as(m.getOrElse(c, c))).toSeq: _*)
+    }
+
+  /** `field` with a FRESH physical name when its logical name would
+    * shadow a live or retired physical name — old bytes stay dead. */
+  private def freshPhysical(field: StructField,
+      taken: Set[String]): StructField =
+    if (!taken.contains(field.name)) field
+    else field.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(field.metadata)
+        .putString(physicalKey, field.name + "_" +
+          java.util.UUID.randomUUID().toString.take(8)).build())
 
   private def readFiles(spark: SparkSession, path: String,
       fileList: Seq[String], schemaOpt: Option[StructType],
@@ -509,7 +537,7 @@ object Versioned {
       val df1 = schemaOpt match {
         case Some(s0) if mapped =>
           df0raw.select(s0.fields.map(f =>
-            col(physicalOf(f)).as(f.name)).toSeq ++
+            col(s"`${physicalOf(f)}`").as(f.name)).toSeq ++
             (col(batchCol) +: metaCols): _*)
         case _ => df0raw.select(col("*") +: metaCols: _*)
       }
@@ -563,9 +591,7 @@ object Versioned {
     val (dfW, pcW) = logicalSchema match {
       case Some(s0) if hasMapping(s0) =>
         val m = s0.fields.map(f => f.name -> physicalOf(f)).toMap
-        (df.select(df.columns.map(c =>
-          col(s"`$c`").as(m.getOrElse(c, c))).toSeq: _*),
-          partitionCol.map(c => m.getOrElse(c, c)))
+        (toPhysical(df, s0), partitionCol.map(c => m.getOrElse(c, c)))
       case _ => (df, partitionCol)
     }
     val w = dfW.write.mode("overwrite")
@@ -599,13 +625,7 @@ object Versioned {
       logicalSchema: Option[StructType] = None): Seq[String] = {
     if (staged.nonEmpty || carriedNonEmpty) staged
     else {
-      val dfW = logicalSchema match {
-        case Some(s0) if hasMapping(s0) =>
-          val m = s0.fields.map(f => f.name -> physicalOf(f)).toMap
-          df.select(df.columns.map(c =>
-            col(s"`$c`").as(m.getOrElse(c, c))).toSeq: _*)
-        case _ => df
-      }
+      val dfW = logicalSchema.fold(df)(toPhysical(df, _))
       dfW.limit(0).coalesce(1).write.mode("overwrite")
         .parquet(stagedDir.toString)
       val f = fs(df.sparkSession, path)
@@ -868,14 +888,7 @@ object Versioned {
           StructType(merged.schema.fields.map { f =>
             cs.fields.find(_.name == f.name) match {
               case Some(old) => f.copy(metadata = old.metadata)
-              case None if taken.contains(f.name) =>
-                f.copy(metadata =
-                  new org.apache.spark.sql.types.MetadataBuilder()
-                    .withMetadata(f.metadata)
-                    .putString(physicalKey, f.name + "_" +
-                      java.util.UUID.randomUUID().toString.take(8))
-                    .build())
-              case None => f
+              case None => freshPhysical(f, taken)
             }
           })
       }
@@ -1067,13 +1080,7 @@ object Versioned {
     if (cons.nonEmpty) writeConstraints(spark, dst, cons)
     val gens = generatedColumns(spark, src)
     if (gens.nonEmpty) writeGeneratedColumns(spark, dst, gens)
-    val ret = retiredPhysicals(spark, src)
-    if (ret.nonEmpty) {
-      fs(spark, dst).mkdirs(manifestDir(dst))
-      atomicWrite(fs(spark, dst), retiredPath(dst),
-        ret.toSeq.sorted.mkString("", "\n", "\n")
-          .getBytes(StandardCharsets.UTF_8))
-    }
+    retiredPhysicals(spark, src).foreach(addRetired(spark, dst, _))
     require(commit(spark, dst, 1L,
       Left(readManifestEntries(spark, src, v)),
       tableSchema(spark, src, Some(v)),
@@ -1727,8 +1734,10 @@ object Versioned {
       s"(1 attempt + $maxRetries retries): $path")
   }
 
+  // case-insensitive: Spark resolves identifiers case-insensitively
+  // by default, so "P > 0" binds to column p and must block p's rename
   private def mentionsIdent(e: String, c: String): Boolean =
-    ("(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(c) +
+    ("(?i)(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(c) +
       "($|[^A-Za-z0-9_])").r.findFirstIn(e).isDefined
 
   /** RENAME COLUMN without touching a single data file (Delta column
@@ -1769,7 +1778,9 @@ object Versioned {
         sys.error(s"renameColumn needs a logged schema: $path"))
       require(schema.fieldNames.contains(oldName),
         s"no such column on $path: '$oldName'")
-      require(!schema.fieldNames.contains(newName),
+      // case-INSENSITIVE: Spark's default resolution treats k and K
+      // as duplicates, which would make every later read fail
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"column already exists on $path: '$newName'")
       val newSchema = StructType(schema.fields.map { f =>
         if (f.name != oldName) f
@@ -1792,29 +1803,28 @@ object Versioned {
   /** Physical names of DROPPED columns: their bytes remain inside
     * carried files, so a later evolve-append under the same name must
     * get a FRESH physical name or old files would resurface the dead
-    * column's data. Plain name-per-line file beside the manifests. */
-  private def retiredPath(path: String) =
-    new Path(manifestDir(path), "retired")
+    * column's data. ONE MARKER FILE PER NAME (`retired.d/<name>`) —
+    * creation is atomic and independent, so concurrent drops can
+    * never lose each other's entries the way a read-modify-write of
+    * a single list file could. */
+  private def retiredDir(path: String) =
+    new Path(manifestDir(path), "retired.d")
 
   private def retiredPhysicals(spark: SparkSession,
       path: String): Set[String] = {
     val f = fs(spark, path)
-    val p = retiredPath(path)
-    if (!f.exists(p)) Set.empty
-    else {
-      val in = f.open(p)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.split('\n').iterator.filter(_.nonEmpty).toSet
-    }
+    val d = retiredDir(path)
+    if (!f.exists(d)) Set.empty
+    else f.listStatus(d).map(_.getPath.getName).toSet
   }
 
   private def addRetired(spark: SparkSession, path: String,
-      name: String): Unit =
-    atomicWrite(fs(spark, path), retiredPath(path),
-      (retiredPhysicals(spark, path) + name).toSeq.sorted
-        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      name: String): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(retiredDir(path))
+    try f.create(new Path(retiredDir(path), name), false).close()
+    catch { case _: java.io.IOException => () } // already retired
+  }
 
   /** DROP COLUMN as a metadata-only commit (column mapping): the
     * field leaves the logged schema — every read stops projecting it
@@ -1849,14 +1859,23 @@ object Versioned {
       require(schema.fields.length > 1,
         s"cannot drop the last column of $path")
       val dropped = schema.fields.find(_.name == name).get
+      // the PARTITION column lives in directory names: Spark's
+      // partition inference would re-surface it on every read with an
+      // inferred type, contradicting the logged schema — block it
+      require(!readManifest(spark, path, cur).exists(
+          _.contains(s"/${physicalOf(dropped)}=")),
+        s"cannot drop partition column '$name' of $path — compact to " +
+          "a non-partitioned layout first")
       val newSchema = StructType(schema.fields.filterNot(_.name == name))
+      // retire BEFORE the commit: a crash between the two must err
+      // toward a fresh physical name (harmless), never toward
+      // resurrecting dead bytes
+      addRetired(spark, path, physicalOf(dropped))
       if (commit(spark, path, cur + 1,
           Right(manifestDf(spark, path, cur)), Some(newSchema),
           deletionVector(spark, path, Some(cur)),
-          op = Some(s"DROP_COLUMN($name)"))) {
-        addRetired(spark, path, physicalOf(dropped))
+          op = Some(s"DROP_COLUMN($name)")))
         return cur + 1
-      }
       attempt += 1
     }
     sys.error(s"dropColumn lost ${maxRetries + 1} commit races " +
@@ -1880,17 +1899,12 @@ object Versioned {
       val cur = resolve(spark, path, None)
       val schema = tableSchema(spark, path, Some(cur)).getOrElse(
         sys.error(s"addColumn needs a logged schema: $path"))
-      require(!schema.fieldNames.contains(name),
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column already exists on $path: '$name'")
       val taken =
         schema.fields.map(physicalOf).toSet ++ retiredPhysicals(spark, path)
-      val fld0 = StructField(name, dataType, nullable = true)
-      val fld =
-        if (!taken.contains(name)) fld0
-        else fld0.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putString(physicalKey, name + "_" +
-              java.util.UUID.randomUUID().toString.take(8)).build())
+      val fld = freshPhysical(
+        StructField(name, dataType, nullable = true), taken)
       if (commit(spark, path, cur + 1,
           Right(manifestDf(spark, path, cur)),
           Some(StructType(schema.fields :+ fld)),
@@ -1901,6 +1915,22 @@ object Versioned {
     }
     sys.error(s"addColumn lost ${maxRetries + 1} commit races " +
       s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** True when ANY retained version's schema carries column-mapping
+    * metadata, or any physical name is retired (dropped column) —
+    * i.e. when the files' physical column names cannot be taken at
+    * face value. Interop surfaces that export raw file references
+    * (no schema actions) must refuse such tables. */
+  def hasColumnMapping(spark: SparkSession, path: String): Boolean = {
+    if (retiredPhysicals(spark, path).nonEmpty) return true
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return false
+    f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .exists(v => tableSchema(spark, path, Some(v)).exists(hasMapping))
   }
 
   /** One retained commit of [[history]]. */
@@ -2120,26 +2150,32 @@ object Versioned {
       when(expr(p) <=> lit(false), lit(n)) }.reduce(coalesce(_, _))
     val violC = deleteCol.fold(violC0)(d =>
       when(coalesce(col(d), lit(false)), lit(null)).otherwise(violC0))
-    // constraints may reference generated columns the source omits
+    // constraints may reference generated columns the source omits;
+    // the split frame is CACHED: the counts, the quarantine upsert,
+    // and the main merge all reuse one evaluation of the source +
+    // constraint expressions (and a non-deterministic source can't
+    // disagree with its own receipt)
     val flagged = computeGeneratedColumns(spark, path, source)
-      .withColumn("__graft_viol", violC)
-    val bad = flagged.filter(col("__graft_viol").isNotNull)
-    val nBad = bad.count()
-    val clean = flagged.filter(col("__graft_viol").isNull)
-      .drop("__graft_viol")
-    if (nBad > 0) quarantine.foreach { qp =>
-      val badOut = bad.withColumnRenamed("__graft_viol", "violated")
-        .drop(deleteCol.toSeq: _*)
-      if (currentVersion(spark, qp).isEmpty) init(badOut, qp)
-      else merge(badOut, qp, keys, opName = "QUARANTINE")
-    }
-    val nClean = clean.count()
-    val v =
-      if (nClean == 0 && deleteCol.isEmpty)
-        resolve(spark, path, None) // nothing clean to commit
-      else merge(clean, path, keys, partitionCol, deleteCol,
-        opName = "MERGE_EXPECT")
-    ExpectStats(v, nClean, nBad)
+      .withColumn("__graft_viol", violC).persist()
+    try {
+      val bad = flagged.filter(col("__graft_viol").isNotNull)
+      val nBad = bad.count()
+      val clean = flagged.filter(col("__graft_viol").isNull)
+        .drop("__graft_viol")
+      if (nBad > 0) quarantine.foreach { qp =>
+        val badOut = bad.withColumnRenamed("__graft_viol", "violated")
+          .drop(deleteCol.toSeq: _*)
+        if (currentVersion(spark, qp).isEmpty) init(badOut, qp)
+        else merge(badOut, qp, keys, opName = "QUARANTINE")
+      }
+      val nClean = clean.count()
+      val v =
+        if (nClean == 0 && deleteCol.isEmpty)
+          resolve(spark, path, None) // nothing clean to commit
+        else merge(clean, path, keys, partitionCol, deleteCol,
+          opName = "MERGE_EXPECT")
+      ExpectStats(v, nClean, nBad)
+    } finally flagged.unpersist()
   }
 
   /** Thrown when a write batch violates a table CHECK constraint; the

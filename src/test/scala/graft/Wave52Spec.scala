@@ -135,6 +135,51 @@ class Wave52Spec extends SparkSuite {
       .map(_.operation).contains("DROP_COLUMN(note)"))
   }
 
+  test("review hardening: partition column cannot be dropped; " +
+      "case-variant names are duplicates; case-variant constraint " +
+      "references block a rename; stats lookups reject unknown names") {
+    val dir = tmp("graft_rh")
+    Versioned.init(Seq((1L, "a", 1.0)).toDF("k", "pc", "p"), dir,
+      partitionCol = Some("pc"))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.dropColumn(spark, dir, "pc")
+    }
+    assert(e.getMessage.contains("partition column"))
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "p", "K")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.addColumn(spark, dir, "P",
+        org.apache.spark.sql.types.DoubleType)
+    }
+    // a constraint written with a case-variant identifier still
+    // references the column — rename must block
+    Versioned.addConstraint(spark, dir, "cap", "P < 1000")
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "p", "price")
+    }
+    assert(e2.getMessage.contains("rename blocked"))
+    // stats lookup under a renamed-away name errors, not answers
+    val dir2 = tmp("graft_rh2")
+    Versioned.init(Seq((1L, 1.0)).toDF("k", "p")
+      .repartition(2), dir2, statsCols = Seq("k"))
+    Versioned.renameColumn(spark, dir2, "k", "key")
+    intercept[RuntimeException] {
+      Versioned.readRange(spark, dir2, "k", 0d, 10d)
+    }
+  }
+
+  test("export refuses tables with ANY mapping history (dropped or " +
+      "renamed-then-reverted columns)") {
+    val dir = tmp("graft_rhx")
+    Versioned.init(Seq((1L, 1.0, "x")).toDF("k", "p", "note"), dir)
+    Versioned.dropColumn(spark, dir, "note")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.ExternalLog.export(spark, dir)
+    }
+    assert(e.getMessage.contains("column mapping"))
+  }
+
   test("dropColumn guards: referenced by constraint, last column") {
     val dir = tmp("graft_dcg")
     Versioned.init(Seq((1L, 1.0)).toDF("k", "p"), dir)
