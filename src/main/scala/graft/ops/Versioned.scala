@@ -478,9 +478,10 @@ object Versioned {
       column: String): String =
     tableSchema(spark, path, Some(v)) match {
       case None => column // legacy table without a logged schema
-      case Some(s0) => s0.fields.find(_.name == column).map(physicalOf)
-        .getOrElse(sys.error(
-          s"no such column '$column' on $path at v$v"))
+      case Some(s0) =>
+        val f0 = s0.fields.find(_.name == column)
+        require(f0.isDefined, s"no such column '$column' on $path at v$v")
+        physicalOf(f0.get)
     }
 
   /** Rename `df`'s columns logical→physical per `schema` (identity
