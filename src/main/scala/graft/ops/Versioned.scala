@@ -1400,20 +1400,27 @@ object Versioned {
     val removed = oldE.filterNot(newSet.contains)
     val added = newE.filterNot(oldSet.contains)
     // deletion-vector delta on CARRIED files: rows vectored away
-    // between the two versions changed without their file changing
+    // between the two versions changed WITHOUT their file changing —
+    // the delta names them (file, position) exactly, so they are read
+    // ONCE and picked by a broadcast semi-join; only genuinely
+    // rewritten files need the whole-row bag diff below (a
+    // vectored-delete-heavy feed costs one map-side pass, not two
+    // full reads plus an exceptAll shuffle)
     val dvOld = deletionVector(spark, path, Some(fromV))
     val dvNew = deletionVector(spark, path, Some(toV))
     val carriedKeys = oldE.filter(newSet.contains).map(fileKey).toSet
-    val dvDeltaFiles: Seq[String] = (dvOld, dvNew) match {
-      case (_, None) => Seq.empty
-      case (o, Some(n)) =>
-        val delta = o.fold(n)(od => n.exceptAll(od))
+    val dvDelta: Option[DataFrame] = dvNew.map { nw =>
+      dvOld.fold(nw)(od => nw.exceptAll(od))
+    }
+    val dvDeltaFiles: Seq[String] = dvDelta match {
+      case None => Seq.empty
+      case Some(delta) =>
         delta.select("f").distinct().collect().map(_.getString(0))
           .filter(carriedKeys.contains)
           .map(k => oldE.find(f => fileKey(f) == k).get)
     }
-    val openOld = removed ++ dvDeltaFiles
-    val openNew = added ++ dvDeltaFiles
+    val openOld = removed
+    val openNew = added
     def side(v: Long, subset: Seq[String]): DataFrame =
       if (subset.isEmpty) {
         val schema = tableSchema(spark, path, Some(v))
@@ -1426,8 +1433,8 @@ object Versioned {
     // align the old side through it (absent columns read as NULL, the
     // same view a logged-schema read of the old files would give);
     // a RENAMED column is the same column — match by physical name
-    val o =
-      if (o0.columns.sameElements(n.columns)) o0
+    def alignTo(df0: DataFrame): DataFrame =
+      if (df0.columns.sameElements(n.columns)) df0
       else {
         val renamedTo = (tableSchema(spark, path, Some(fromV)),
             tableSchema(spark, path, Some(toV))) match {
@@ -1437,17 +1444,31 @@ object Versioned {
           }.toMap
           case _ => Map.empty[String, String]
         }
-        val o1 = renamedTo.foldLeft(o0) { case (df, (from, to)) =>
+        val df1 = renamedTo.foldLeft(df0) { case (df, (from, to)) =>
           df.withColumnRenamed(from, to) }
-        n.schema.fields.foldLeft(o1) { (df, fld) =>
+        n.schema.fields.foldLeft(df1) { (df, fld) =>
           if (df.columns.contains(fld.name)) df
           else df.withColumn(fld.name, lit(null).cast(fld.dataType))
         }.select(n.columns.map(col): _*)
       }
-    val dels = o.exceptAll(n).withColumn("op", lit("D"))
+    val o = alignTo(o0)
+    // newly-vectored rows of carried files: live at fromV, named by
+    // the delta — one read + broadcast semi-join, no bag diff
+    val dvDels = (dvDelta, dvDeltaFiles) match {
+      case (Some(delta), files) if files.nonEmpty =>
+        Some(alignTo(
+          readLive(spark, path, fromV, Some(files), keepMeta = true)
+            .join(broadcast(delta.select(col("f").as(metaF),
+              col("pos").as(metaP))), Seq(metaF, metaP), "left_semi")
+            .drop(metaF, metaP)))
+      case _ => None
+    }
+    val dels0 = o.exceptAll(n)
+    val dels = dvDels.fold(dels0)(dels0.unionByName(_))
+      .withColumn("op", lit("D"))
     val ins = n.exceptAll(o).withColumn("op", lit("I"))
     ChangeFeed(dels.unionByName(ins),
-      (openOld ++ openNew).distinct.length,
+      (openOld ++ openNew ++ dvDeltaFiles).distinct.length,
       (oldSet ++ newSet).size)
   }
 

@@ -108,6 +108,16 @@ object LakeFixtures {
       Versioned.init(base.filter(col("doc_id") % 2 === 0), dir)
     }
 
+  /** Even order keys as (k, st, p) PARTITIONED by status — the
+    * commit-log-follower base: a partition-scoped merge's change feed
+    * opens one partition's files, not the table. */
+  def ordersEvensByStatus(s: SparkSession, d: String): String =
+    build(s"est|$d", "graft_base_est") { dir =>
+      Versioned.init(ordersBase(s, d).filter(col("k") % 2 === 0)
+        .select(col("k"), col("st"), col("p")), dir,
+        partitionCol = Some("st"))
+    }
+
   /** Odd order keys in 8 round-robin files — the second leg of the
     * multi-table-transaction catalog. */
   def ordersOdds8(s: SparkSession, d: String): String =

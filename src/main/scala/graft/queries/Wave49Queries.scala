@@ -93,19 +93,24 @@ object Wave49Queries {
   }
 
   def qLakeFollow(s: SparkSession, d: String): DataFrame = {
-    val dir = LakeFixtures.cloneOf(s, LakeFixtures.ordersEvens16(s, d),
-      "graft_fl")
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.ordersEvensByStatus(s, d), "graft_fl")
     val cp = java.nio.file.Files.createTempDirectory("graft_flcp")
       .resolve("offsets").toString
     try {
       val base = LakeFixtures.ordersBase(s, d)
-      // three commits the consumer must see exactly once each
-      Versioned.merge(base.filter(col("k") % 2 === 1 && col("k") % 5 === 0),
-        dir, Seq("k"))                                            // v2
+      // three commits the consumer must see exactly once each; the
+      // merge is PARTITION-SCOPED (inserts carry one status) so the
+      // v2 feed opens one partition's files, not the table
+      Versioned.merge(base.filter(col("k") % 2 === 1 &&
+          col("k") % 5 === 0 && col("st") === "O")
+        .select(col("k"), col("st"), col("p")),
+        dir, Seq("k"), partitionCol = Some("st"))                 // v2
       // vectored: the v3 feed is a DV delta, not a full-rewrite diff
       Versioned.deleteVectored(s, dir, col("k") % 7 === 0)        // v3
       Versioned.updateVectored(s, dir, col("k") % 9 === 0,
-        Map("p" -> (col("p") + lit(10.0))))                       // v4
+        Map("p" -> (col("p") + lit(10.0))),
+        partitionCol = Some("st"))                                // v4
       var netRows = 0L
       var netCents = 0L
       val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -189,7 +194,8 @@ object Wave49Queries {
          |v2 AS (SELECT k, p FROM b
          |  UNION ALL
          |  SELECT o_orderkey, o_totalprice FROM orders
-         |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0),
+         |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+         |    AND o_orderstatus = 'O'),
          |v3 AS (SELECT k, p FROM v2 WHERE k % 7 <> 0),
          |v4 AS (SELECT k,
          |    CASE WHEN k % 9 = 0 THEN p + 10.0 ELSE p END AS p
