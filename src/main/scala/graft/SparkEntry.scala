@@ -75,7 +75,8 @@ object SparkEntry {
     graft.queries.Wave49Queries.queries ++
     graft.queries.Wave50Queries.queries ++
     graft.queries.Wave51Queries.queries ++
-    graft.queries.Wave52Queries.queries
+    graft.queries.Wave52Queries.queries ++
+    graft.queries.Wave53Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -137,5 +138,6 @@ object SparkEntry {
     graft.queries.Wave49Queries.oracles ++
     graft.queries.Wave50Queries.oracles ++
     graft.queries.Wave51Queries.oracles ++
-    graft.queries.Wave52Queries.oracles
+    graft.queries.Wave52Queries.oracles ++
+    graft.queries.Wave53Queries.oracles
 }
