@@ -76,7 +76,8 @@ object SparkEntry {
     graft.queries.Wave50Queries.queries ++
     graft.queries.Wave51Queries.queries ++
     graft.queries.Wave52Queries.queries ++
-    graft.queries.Wave53Queries.queries
+    graft.queries.Wave53Queries.queries ++
+    graft.queries.Wave54Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -139,5 +140,6 @@ object SparkEntry {
     graft.queries.Wave50Queries.oracles ++
     graft.queries.Wave51Queries.oracles ++
     graft.queries.Wave52Queries.oracles ++
-    graft.queries.Wave53Queries.oracles
+    graft.queries.Wave53Queries.oracles ++
+    graft.queries.Wave54Queries.oracles
 }
