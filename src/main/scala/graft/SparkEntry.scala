@@ -77,7 +77,8 @@ object SparkEntry {
     graft.queries.Wave51Queries.queries ++
     graft.queries.Wave52Queries.queries ++
     graft.queries.Wave53Queries.queries ++
-    graft.queries.Wave54Queries.queries
+    graft.queries.Wave54Queries.queries ++
+    graft.queries.Wave55Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -141,5 +142,6 @@ object SparkEntry {
     graft.queries.Wave51Queries.oracles ++
     graft.queries.Wave52Queries.oracles ++
     graft.queries.Wave53Queries.oracles ++
-    graft.queries.Wave54Queries.oracles
+    graft.queries.Wave54Queries.oracles ++
+    graft.queries.Wave55Queries.oracles
 }
