@@ -78,7 +78,8 @@ object SparkEntry {
     graft.queries.Wave52Queries.queries ++
     graft.queries.Wave53Queries.queries ++
     graft.queries.Wave54Queries.queries ++
-    graft.queries.Wave55Queries.queries
+    graft.queries.Wave55Queries.queries ++
+    graft.queries.Wave56Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -143,5 +144,6 @@ object SparkEntry {
     graft.queries.Wave52Queries.oracles ++
     graft.queries.Wave53Queries.oracles ++
     graft.queries.Wave54Queries.oracles ++
-    graft.queries.Wave55Queries.oracles
+    graft.queries.Wave55Queries.oracles ++
+    graft.queries.Wave56Queries.oracles
 }

@@ -748,11 +748,25 @@ object Versioned {
     * history rewrite), and target columns the source lacks are
     * NULL-filled on insert. The default stays strict: the source must
     * carry every target column and extras are dropped, so an
-    * accidental extra column cannot silently change the table. */
+    * accidental extra column cannot silently change the table.
+    *
+    * Concurrency is OPTIMISTIC with Delta-style conflict detection: a
+    * writer that loses the commit race first checks whether every
+    * commit that landed since its snapshot is DISJOINT from its own
+    * footprint (no manifest or deletion-vector change inside its
+    * touched partitions, no schema or table-metadata change). If so,
+    * the already-staged files are RE-COMMITTED against the winner's
+    * manifest — a metadata-only rebase, no data re-read or re-write —
+    * recorded in history as `<op>+REBASE`. Only a genuine overlap
+    * pays the full re-merge. `baseVersion` pins the snapshot the
+    * merge is computed against (default: current) — the lever a
+    * long-running writer uses, and what makes the rebase path
+    * deterministic to exercise. */
   def merge(source: DataFrame, path: String, keys: Seq[String],
       partitionCol: Option[String] = None,
       deleteCol: Option[String] = None, maxRetries: Int = 5,
-      evolveSchema: Boolean = false, opName: String = "MERGE"): Long = {
+      evolveSchema: Boolean = false, opName: String = "MERGE",
+      baseVersion: Option[Long] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = source.sparkSession
     // generated columns are computed BEFORE partition attribution — a
@@ -761,9 +775,15 @@ object Versioned {
     val gensSupplied = generatedColumns(spark, path)
       .filter { case (c, _) => source.columns.contains(c) }
     val sourceG = computeGeneratedColumns(spark, path, source)
+    // table-metadata snapshot for the rebase conflict check: a
+    // concurrent constraint / generated-column / skipping-registration
+    // change means our pre-staging validation may be stale
+    val meta0 = metadataFingerprint(spark, path)
     var attempt = 0
     while (attempt <= maxRetries) {
-      val cur = resolve(spark, path, None)
+      val cur =
+        if (attempt == 0 && baseVersion.isDefined) baseVersion.get
+        else resolve(spark, path, None)
       val next = cur + 1
       val curSchema = tableSchema(spark, path, Some(cur))
       // under column mapping, partition DIRECTORIES carry the
@@ -771,7 +791,7 @@ object Versioned {
       def physOf(c: String): String = curSchema
         .flatMap(_.fields.find(_.name == c)).map(physicalOf).getOrElse(c)
 
-      val (carriedDf, hitList, rewriteDf) = partitionCol match {
+      val (carriedDf, hitList, rewriteDf, touchedSegs) = partitionCol match {
         case Some(pc) =>
           // untouched partitions carry over BY REFERENCE. Match against
           // the HIVE-ESCAPED directory name (specials are %-encoded on
@@ -819,10 +839,11 @@ object Versioned {
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[Row], schema)
             } else readLive(spark, path, cur, Some(hit), keepMeta = false)
-          (Some(keepDf), hit, hitDf)
+          (Some(keepDf), hit, hitDf, touched)
         case None =>
           (None, Seq.empty[String],
-            readLive(spark, path, cur, None, keepMeta = false))
+            readLive(spark, path, cur, None, keepMeta = false),
+            Seq.empty[String])
       }
 
       val tgtCols = rewriteDf.columns.toSeq
@@ -910,15 +931,141 @@ object Versioned {
       if (commit(spark, path, next, filesArg, Some(outSchema), dvCarried,
           op = Some(opName)))
         return next
-      // lost the race: another writer committed `next` — clean up OUR
-      // OWN staging directory only (uuid-suffixed, so the winner's
-      // files are untouchable by construction) and re-merge against
-      // the new current
+      // lost the race. First try the OCC fast path: if everything that
+      // committed since `cur` is disjoint from our partition footprint
+      // (and table metadata/schema are unchanged), re-commit our
+      // ALREADY-STAGED files against the winner's manifest — a
+      // metadata-only rebase, no restage. Only a real overlap falls
+      // through to the full re-merge below.
+      if (partitionCol.isDefined) {
+        tryRebase(spark, path, cur, physOf(partitionCol.get), touchedSegs,
+          hitList, stagedE, outSchema, meta0, opName,
+          maxTries = maxRetries + 1) match {
+          case Some(v) => return v
+          case None => ()
+        }
+      }
+      // conflicting race: clean up OUR OWN staging directory only
+      // (uuid-suffixed, so the winner's files are untouchable by
+      // construction) and re-merge against the new current
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
     }
     sys.error(s"merge lost ${maxRetries + 1} commit races " +
       s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** One string capturing every piece of table metadata a write
+    * validates against BEFORE staging — CHECK constraints, generated
+    * columns, skipping registrations. A rebase is only sound if none
+    * of it moved while we raced. */
+  private def metadataFingerprint(spark: SparkSession,
+      path: String): String =
+    (constraints(spark, path).map { case (n, p) => s"c:$n\t$p" } ++
+      generatedColumns(spark, path).map { case (c, e) => s"g:$c\t$e" } ++
+      statsColumns(spark, path).map("s:" + _) ++
+      bloomColumns(spark, path).map("b:" + _)).mkString("\n")
+
+  /** The OCC fast path for a [[merge]] that lost its commit race.
+    *
+    * Sound iff every commit in `(cur, newest]` is DISJOINT from this
+    * writer's footprint; concretely, ALL of:
+    *  - the table schema at `newest` equals the schema at `cur` (a
+    *    concurrent evolution would be silently dropped by committing
+    *    our staged schema);
+    *  - constraints / generated columns / skipping registrations are
+    *    unchanged (our pre-staging validation would be stale);
+    *  - no manifest entry was added or removed inside our touched
+    *    partitions — and none outside EVERY partition directory (the
+    *    schema-only root file is always rewritten, so a change there
+    *    overlaps by construction);
+    *  - no deletion-vector entry changed (either direction) inside
+    *    our touched partitions — a DV-only DELETE leaves the manifest
+    *    intact, so the manifest diff alone would miss it.
+    *
+    * When disjoint, the new manifest is `manifest(newest)` minus our
+    * hit files plus our ALREADY-STAGED files, and the committed
+    * vector is `dv(newest)` minus entries on hit files (we
+    * materialized those rows); both are engine-side frames, so the
+    * rebase costs a few manifest-scale scans and ZERO data I/O —
+    * Delta's logical conflict detection, which is what keeps many
+    * single-partition writers from serializing behind each other's
+    * full re-merges at 100 TB. The commit lands as `<op>+REBASE` in
+    * [[history]]. Returns None on any conflict (caller re-merges). */
+  /** Schema identity for the rebase conflict check: field names,
+    * PHYSICAL names (column mapping) and data types. Nullability and
+    * field ORDER are deliberately ignored — a merge's union widens
+    * nullability, and partition discovery re-appends the partition
+    * column last, so both churn on every ordinary merge without
+    * changing what is on disk; refusing a rebase over them would make
+    * the fast path unreachable. */
+  private def schemaSig(s: Option[StructType]): Option[String] =
+    s.map(_.fields.map(f =>
+      s"${f.name}|${physicalOf(f)}|${f.dataType.simpleString}")
+      .sorted.mkString(";"))
+
+  private def tryRebase(spark: SparkSession, path: String, cur: Long,
+      pcPhys: String, touched: Seq[String], hitList: Seq[String],
+      stagedE: Seq[(String, Option[String])], outSchema: StructType,
+      metaAtRead: String, opName: String, maxTries: Int): Option[Long] = {
+    val curSchemaSig = schemaSig(tableSchema(spark, path, Some(cur)))
+    val seg = regexp_extract(col("f"),
+      "/(" + java.util.regex.Pattern.quote(pcPhys) + "=[^/]*)/", 1)
+    val touchedDf = spark.createDataset(touched)(Encoders.STRING)
+      .toDF("seg")
+    def clashes(filesDf: DataFrame): Boolean = {
+      val withSeg = filesDf.select("f").withColumn("seg", seg)
+      withSeg.filter(col("seg") === lit(""))
+        .unionByName(withSeg.join(touchedDf, Seq("seg"), "left_semi"))
+        .limit(1).count() > 0
+    }
+    var tries = 0
+    while (tries < maxTries) {
+      val newest = resolve(spark, path, None)
+      if (newest <= cur) {
+        // the winner's lock exists but its manifest rename hasn't
+        // landed yet — wait out the publish, don't declare conflict
+        Thread.sleep(25)
+        tries += 1
+      } else {
+        if (metadataFingerprint(spark, path) != metaAtRead) return None
+        if (schemaSig(tableSchema(spark, path, Some(newest)))
+            != curSchemaSig) return None
+        val mCur = manifestDf(spark, path, cur).select("f")
+        val mNew = manifestDf(spark, path, newest)
+        val manifestDelta = mNew.select("f").exceptAll(mCur)
+          .unionAll(mCur.exceptAll(mNew.select("f")))
+        if (clashes(manifestDelta)) return None
+        val dvC = deletionVector(spark, path, Some(cur))
+        val dvN = deletionVector(spark, path, Some(newest))
+        val dvConflict = (dvC, dvN) match {
+          case (None, None) => false
+          case _ =>
+            val empty = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], dvFields)
+            val a = dvN.getOrElse(empty)
+            val b = dvC.getOrElse(empty)
+            clashes(a.exceptAll(b).unionAll(b.exceptAll(a)))
+        }
+        if (dvConflict) return None
+        val keep = mNew.join(
+          spark.createDataset(hitList)(Encoders.STRING).toDF("f"),
+          Seq("f"), "left_anti").select("f", "stats_json")
+        val hitKeys = hitList.map(fileKey)
+        val dvOut = dvN.flatMap { d0 =>
+          val rest =
+            if (hitKeys.isEmpty) d0
+            else d0.filter(!col("f").isin(hitKeys: _*))
+          if (rest.isEmpty) None else Some(rest)
+        }
+        if (commit(spark, path, newest + 1,
+            Right(keep.unionByName(entriesDf(spark, stagedE))),
+            Some(outSchema), dvOut, op = Some(opName + "+REBASE")))
+          return Some(newest + 1)
+        tries += 1
+      }
+    }
+    None
   }
 
   /** Receipt of a [[mergeInto]]: the committed version plus per-clause
