@@ -79,7 +79,9 @@ object SparkEntry {
     graft.queries.Wave53Queries.queries ++
     graft.queries.Wave54Queries.queries ++
     graft.queries.Wave55Queries.queries ++
-    graft.queries.Wave56Queries.queries
+    graft.queries.Wave56Queries.queries ++
+    graft.queries.Wave57Queries.queries ++
+    graft.queries.Wave58Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -145,5 +147,7 @@ object SparkEntry {
     graft.queries.Wave53Queries.oracles ++
     graft.queries.Wave54Queries.oracles ++
     graft.queries.Wave55Queries.oracles ++
-    graft.queries.Wave56Queries.oracles
+    graft.queries.Wave56Queries.oracles ++
+    graft.queries.Wave57Queries.oracles ++
+    graft.queries.Wave58Queries.oracles
 }

@@ -369,6 +369,46 @@ object Versioned {
       version: Option[Long] = None): Seq[String] =
     readManifest(spark, path, resolve(spark, path, version))
 
+  // ------------------------------------------------------------------
+  // DataSource V2 connector surface (graft.sources.LakeSource): the
+  // connector plans scans from the SAME manifest/stats/DV/schema
+  // machinery the function API uses — these shims expose exactly what
+  // its planning needs, nothing else.
+  // ------------------------------------------------------------------
+
+  private[graft] def resolveVersion(spark: SparkSession, path: String,
+      version: Option[Long]): Long = resolve(spark, path, version)
+
+  private[graft] def manifestEntries(spark: SparkSession, path: String,
+      v: Long): Seq[(String, Option[String])] =
+    readManifestEntries(spark, path, v)
+
+  private[graft] def fileKeyOf(f: String): String = fileKey(f)
+
+  private[graft] def physicalNameOf(f: StructField): String = physicalOf(f)
+
+  /** Files of version `v` whose stats MAY satisfy every (column, lo,
+    * hi) interval — the connector's data-skipping entry point. The
+    * decision runs through the engine exactly like [[readRange]]
+    * (manifest scan + from_json interval overlap), and files without
+    * stats for a constrained column are conservatively KEPT, so the
+    * result is always a superset of the matching rows' files. */
+  private[graft] def candidateFiles(spark: SparkSession, path: String,
+      v: Long, ranges: Seq[(String, Double, Double)]): Seq[String] = {
+    val kept = ranges.foldLeft(manifestDf(spark, path, v)) {
+      case (df, (c, lo, hi)) =>
+        val e = element_at(from_json(col("stats_json"), statsSchema),
+          statsKeyOf(spark, path, v, c))
+        df.filter(col("stats_json").isNull || e.isNull ||
+          when(e("t") === "l",
+            e("mnl").cast("double") <= lit(hi) &&
+              e("mxl").cast("double") >= lit(lo))
+          .when(e("t") === "d", e("mnd") <= lit(hi) && e("mxd") >= lit(lo))
+          .otherwise(lit(true)))
+    }
+    kept.select("f").collect().map(_.getString(0)).toSeq
+  }
+
   /** The committed table schema of version `v` (default: current);
     * None for legacy tables committed before schemas were logged. */
   def tableSchema(spark: SparkSession, path: String,

@@ -1,0 +1,226 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Versioned
+
+/** DataSource V2 connector over the [[graft.ops.Versioned]] lake:
+  *
+  * {{{
+  * spark.read.format("graft-lake").option("path", dir).load()
+  * spark.read.format("graft-lake").option("path", dir)
+  *   .option("versionAsOf", 3).load()               // time travel
+  * spark.readStream.format("graft-lake").option("path", dir).load()
+  * }}}
+  *
+  * The connector plans from the SAME manifest machinery the function
+  * API uses, so a `spark.sql` user gets the identical table protocol:
+  *
+  *  - **Snapshot isolation**: the version is resolved ONCE at scan
+  *    planning; concurrent commits don't tear a running query.
+  *  - **Data skipping**: pushed filters on stats-registered columns
+  *    prune the FILE LIST through the manifest (interval overlap,
+  *    engine-side), and string-equality filters on partition columns
+  *    prune by directory segment. All filters are also returned to
+  *    Spark for row-level re-evaluation, so pruning is always a
+  *    superset — `.explain` shows them under `PushedFilters`, and the
+  *    `BatchScan` input is exactly the kept files.
+  *  - **Deletion vectors**: each file's deleted row positions ride
+  *    its input partition; readers skip them by position — merge-on-
+  *    read without reading the vector side twice.
+  *  - **Schema evolution + column mapping**: rows are projected
+  *    through the LOGGED schema — absent physical columns surface
+  *    NULL, renamed columns read by physical identity.
+  *  - **Streaming** ([[LakeMicroBatchStream]]): offsets are lake
+  *    versions; each micro-batch reads exactly the files ADDED by the
+  *    commits in `(start, end]` — the Delta streaming-source
+  *    contract, including the `ignoreChanges` gate on non-append
+  *    commits.
+  *
+  * Scale: planning cost is manifest-scale (the skipping decision runs
+  * through the engine, the DV collect is bounded by outstanding
+  * deletes), and reads parallelize one task per file. The row decoder
+  * is a plain parquet Group reader — correct but not vectorized, so
+  * the hot analytic path stays [[Versioned.read]] (native vectorized
+  * scans); this surface is for ecosystem interop: SQL-first callers,
+  * streaming consumers, engines that speak DSv2.
+  */
+class LakeSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def pathOf(m: CaseInsensitiveStringMap): String = {
+    val p = m.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-lake needs .option(\"path\", <table dir>)")
+    p
+  }
+
+  private def versionOf(m: CaseInsensitiveStringMap): Option[Long] =
+    Option(m.get("versionAsOf")).map(_.toLong)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val path = pathOf(options)
+    val v = Versioned.resolveVersion(spark, path, versionOf(options))
+    Versioned.tableSchema(spark, path, Some(v)).getOrElse(
+      Versioned.read(spark, path, Some(v)).schema)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val m = new CaseInsensitiveStringMap(properties)
+    new LakeTable(pathOf(m), versionOf(m), schema,
+      m.getBoolean("ignoreChanges", false))
+  }
+}
+
+object LakeSource {
+  /** Planning observability for specs and receipts: (files planned,
+    * files in the manifest) of the most recent batch scan in this
+    * JVM. */
+  val lastPlanned = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+}
+
+final class LakeTable(path: String, version: Option[Long],
+    tableSchema: StructType, ignoreChanges: Boolean)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-lake:$path"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(path, version, tableSchema, ignoreChanges)
+}
+
+final class LakeScanBuilder(path: String, version: Option[Long],
+    fullSchema: StructType, ignoreChanges: Boolean)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Keep (and report) the filters the scan can use for FILE pruning:
+    * numeric intervals on stats-registered columns, string equality /
+    * IN on any column (harmless when the column isn't a partition
+    * directory — segment pruning only drops a file when the segment
+    * PROVES a mismatch). Everything is returned to Spark for row-level
+    * evaluation, so pruning can never change results. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val stats = Versioned.statsColumns(SparkSession.active, path).toSet
+    pushed = filters.filter {
+      case EqualTo(c, v) => stats(c) && v.isInstanceOf[Number] ||
+        v.isInstanceOf[String]
+      case In(_, vs) => vs.forall(_.isInstanceOf[String])
+      case GreaterThan(c, v) => stats(c) && v.isInstanceOf[Number]
+      case GreaterThanOrEqual(c, v) => stats(c) && v.isInstanceOf[Number]
+      case LessThan(c, v) => stats(c) && v.isInstanceOf[Number]
+      case LessThanOrEqual(c, v) => stats(c) && v.isInstanceOf[Number]
+      case _ => false
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // rebuild from the table schema BY NAME so column-mapping metadata
+    // (physical names) survives Spark's pruning round-trip
+    val byName = fullSchema.fields.map(f => f.name -> f).toMap
+    required = StructType(requiredSchema.fields.map(f =>
+      byName.getOrElse(f.name, f)))
+  }
+
+  override def build(): Scan =
+    new LakeScan(path, version, required, pushed, ignoreChanges)
+}
+
+final class LakeScan(path: String, version: Option[Long],
+    required: StructType, pushed: Array[Filter], ignoreChanges: Boolean)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-lake $path ${version.fold("")(v => s"v$v ")}" +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val v = Versioned.resolveVersion(spark, path, version)
+    val total = Versioned.manifestEntries(spark, path, v).length
+    // interval skipping through the manifest (engine-side)
+    val ranges = pushed.toSeq.flatMap {
+      case EqualTo(c, x: Number) =>
+        Some((c, x.doubleValue(), x.doubleValue()))
+      case GreaterThan(c, x: Number) =>
+        Some((c, x.doubleValue(), Double.PositiveInfinity))
+      case GreaterThanOrEqual(c, x: Number) =>
+        Some((c, x.doubleValue(), Double.PositiveInfinity))
+      case LessThan(c, x: Number) =>
+        Some((c, Double.NegativeInfinity, x.doubleValue()))
+      case LessThanOrEqual(c, x: Number) =>
+        Some((c, Double.NegativeInfinity, x.doubleValue()))
+      case _ => None
+    }
+    var files = Versioned.candidateFiles(spark, path, v, ranges)
+    // partition-directory pruning for string equality / IN
+    val segAllowed: Seq[(String, Set[String])] = pushed.toSeq.collect {
+      case EqualTo(c, s: String) => c -> Set(s)
+      case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
+        c -> vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (segAllowed.nonEmpty) {
+      val phys = required.fields.map(f =>
+        f.name -> Versioned.physicalNameOf(f)).toMap
+      files = segAllowed.foldLeft(files) { case (fs, (c, allowed)) =>
+        val p = phys.getOrElse(c, c)
+        val segs = allowed.map(a =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(p, a))
+        val re = ("/" + java.util.regex.Pattern.quote(p) + "=[^/]*/").r
+        fs.filter { f =>
+          re.findFirstIn(f) match {
+            case None => true // not partitioned by c: keep
+            case Some(seg) => segs.contains(seg.stripPrefix("/").stripSuffix("/"))
+          }
+        }
+      }
+    }
+    LakeSource.lastPlanned.set((files.length, total))
+    val dv: Map[String, Array[Long]] =
+      Versioned.deletionVector(spark, path, Some(v)) match {
+        case None => Map.empty
+        case Some(d) => d.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted }
+      }
+    files.map(f => LakeInputPartition(f,
+      dv.getOrElse(Versioned.fileKeyOf(f), Array.empty))
+      .asInstanceOf[InputPartition]).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeMicroBatchStream(path, required, ignoreChanges)
+}

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Versioned
+
+/** Streaming offset = committed lake version. */
+final case class LakeOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+/** The lake as a Structured Streaming source (the Delta streaming-
+  * source contract):
+  *
+  *  - offsets are lake VERSIONS; a micro-batch `(start, end]` reads
+  *    exactly the files ADDED by those commits — version 1 delivers
+  *    the initial snapshot, every later version its appended files;
+  *  - a commit that REMOVED files (rewriting merge, compaction,
+  *    predicate delete) or changed the deletion vector is not an
+  *    append: the stream fails loudly unless
+  *    `.option("ignoreChanges", true)`, which delivers the commit's
+  *    added files and may re-deliver rewritten rows — exactly Delta's
+  *    documented `ignoreChanges` semantics (downstream dedups by key);
+  *  - files added by a commit carry no deletion-vector entries AT
+  *    that commit (rewrites materialize vectors; vectored deletes
+  *    target pre-existing files), so batches read raw files — later
+  *    deletes never rewrite delivered history.
+  *
+  * Exactly-once: offsets are checkpointed by the engine; a restarted
+  * query resumes at the committed version and re-plans the same file
+  * batches (manifests are immutable). At 100 TB a consumer pays each
+  * commit's footprint once — the same economics as
+  * [[Versioned.followChanges]], but through the engine's own
+  * streaming runtime (watermarks, stateful ops, sinks all compose). */
+final class LakeMicroBatchStream(path: String, schema: StructType,
+    ignoreChanges: Boolean) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = LakeOffset(0L)
+
+  override def latestOffset(): Offset =
+    LakeOffset(Versioned.currentVersion(spark, path).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    LakeOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[LakeOffset].v
+    val b = end.asInstanceOf[LakeOffset].v
+    (a + 1 to b).flatMap { v =>
+      val prev: Set[String] =
+        if (v <= 1) Set.empty
+        else Versioned.files(spark, path, Some(v - 1)).toSet
+      val curF = Versioned.files(spark, path, Some(v))
+      if (!ignoreChanges) {
+        val removed = prev.diff(curF.toSet)
+        if (removed.nonEmpty)
+          throw new IllegalStateException(
+            s"graft-lake stream: version $v of $path removed " +
+              s"${removed.size} file(s) — not an append. Rewrites and " +
+              "deletes need .option(\"ignoreChanges\", true) (rows may " +
+              "be re-delivered) or a key-based consumer on " +
+              "Versioned.changes.")
+        def dvSet(ver: Long): Set[(String, Long)] =
+          if (ver < 1) Set.empty
+          else Versioned.deletionVector(spark, path, Some(ver)) match {
+            case None => Set.empty
+            case Some(d) => d.collect()
+              .map(r => (r.getString(0), r.getLong(1))).toSet
+          }
+        if (dvSet(v) != dvSet(v - 1))
+          throw new IllegalStateException(
+            s"graft-lake stream: version $v of $path changed its " +
+              "deletion vector — not an append. Use " +
+              ".option(\"ignoreChanges\", true) or Versioned.changes.")
+      }
+      curF.filterNot(prev.contains)
+        .map(f => LakeInputPartition(f, Array.empty): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.Versioned
+
+/** SQL access to the lake through the TableCatalog plugin (wave 58). */
+class LakeCatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def withCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+
+  test("SQL path identifier reads the current snapshot; VERSION AS OF " +
+      "pins history; TIMESTAMP AS OF resolves by commit time") {
+    withCatalog()
+    val dir = tmp("graft_cat1")
+    Versioned.init(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"), dir)
+    Thread.sleep(20)
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    Versioned.merge(Seq((3L, 30.0)).toDF("k", "p"), dir, Seq("k"))
+    assert(spark.sql(s"SELECT k FROM lake.`$dir`")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT k FROM lake.`$dir` VERSION AS OF 1")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    val tsLit = new java.sql.Timestamp(tsAfterV1).toString
+    assert(spark.sql(
+      s"SELECT k FROM lake.`$dir` TIMESTAMP AS OF '$tsLit'")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("SQL joins across two lake tables; filters reach the scan") {
+    withCatalog()
+    val d1 = tmp("graft_cat2a")
+    val d2 = tmp("graft_cat2b")
+    Versioned.init(Seq((1L, "x"), (2L, "y")).toDF("k", "name"), d1)
+    Versioned.init(Seq((1L, 5.0), (1L, 7.0), (2L, 9.0)).toDF("k", "v"), d2)
+    val got = spark.sql(
+      s"""SELECT a.name, sum(b.v) AS s FROM lake.`$d1` a
+         |JOIN lake.`$d2` b ON a.k = b.k
+         |WHERE a.name = 'x' GROUP BY a.name""".stripMargin)
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("x", 12.0)))
+  }
+
+  test("the catalog is read-only: DML/DDL is refused loudly") {
+    withCatalog()
+    val dir = tmp("graft_cat3")
+    Versioned.init(Seq((1L, 10.0)).toDF("k", "p"), dir)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90.0)")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("read-only") ||
+      m.contains("does not support") || m.contains("TableProvider")),
+      s"unexpected error: ${messages(e)}")
+  }
+
+  test("root-configured catalog resolves namespace identifiers and " +
+      "lists lake tables") {
+    val root = tmp("graft_cat4")
+    spark.conf.set("spark.sql.catalog.laker", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.laker.root", root)
+    val dir = new java.io.File(root, "t1")
+    Versioned.init(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "p"),
+      dir.toString)
+    assert(spark.sql("SELECT count(*) AS n FROM laker.t1")
+      .as[Long].head() == 2L)
+    assert(spark.sql("SHOW TABLES IN laker").collect()
+      .map(_.getString(1)).toSet == Set("t1"))
+  }
+}
