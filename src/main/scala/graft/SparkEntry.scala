@@ -81,7 +81,9 @@ object SparkEntry {
     graft.queries.Wave55Queries.queries ++
     graft.queries.Wave56Queries.queries ++
     graft.queries.Wave57Queries.queries ++
-    graft.queries.Wave58Queries.queries
+    graft.queries.Wave58Queries.queries ++
+    graft.queries.Wave59Queries.queries ++
+    graft.queries.Wave60Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -149,5 +151,7 @@ object SparkEntry {
     graft.queries.Wave55Queries.oracles ++
     graft.queries.Wave56Queries.oracles ++
     graft.queries.Wave57Queries.oracles ++
-    graft.queries.Wave58Queries.oracles
+    graft.queries.Wave58Queries.oracles ++
+    graft.queries.Wave59Queries.oracles ++
+    graft.queries.Wave60Queries.oracles
 }

@@ -385,6 +385,19 @@ object Versioned {
 
   private[graft] def fileKeyOf(f: String): String = fileKey(f)
 
+  /** The PART FILES of version `v`'s parquet manifest — the `\$files`
+    * metadata table is served by scanning the manifest itself
+    * (metadata as data: no driver materialization, one task per
+    * manifest part). Empty for a legacy text manifest. */
+  private[graft] def manifestPartFiles(spark: SparkSession, path: String,
+      v: Long): Seq[String] = {
+    val f = fs(spark, path)
+    val p = manifestPath(path, v)
+    if (!f.getFileStatus(p).isDirectory) Seq.empty
+    else f.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+  }
+
   private[graft] def physicalNameOf(f: StructField): String = physicalOf(f)
 
   /** Files of version `v` whose stats MAY satisfy every (column, lo,
@@ -699,7 +712,8 @@ object Versioned {
       fileList: Either[Seq[(String, Option[String])], DataFrame],
       schema: Option[StructType] = None,
       dv: Option[DataFrame] = None,
-      op: Option[String] = None): Boolean = {
+      op: Option[String] = None,
+      extraFiles: Seq[(String, Array[Byte])] = Seq.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val lock = new Path(manifestDir(path), s".v$v.lock")
@@ -733,6 +747,13 @@ object Versioned {
     dv.foreach { d =>
       d.select(col("f"), col("pos")).coalesce(16).write
         .mode("overwrite").parquet(dvPath(path, v).toString)
+    }
+    // per-version sidecars (e.g. the identity high-water `idhw`):
+    // written by the lock winner BEFORE the manifest rename publishes,
+    // so no reader can observe the version without them
+    extraFiles.foreach { case (suffix, bytes) =>
+      val out = f.create(new Path(manifestDir(path), s"v$v.$suffix"), true)
+      try out.write(bytes) finally out.close()
     }
     val tmp = new Path(manifestDir(path),
       s".v$v.manifest.tmp.${java.util.UUID.randomUUID()}")
@@ -815,6 +836,7 @@ object Versioned {
     val gensSupplied = generatedColumns(spark, path)
       .filter { case (c, _) => source.columns.contains(c) }
     val sourceG = computeGeneratedColumns(spark, path, source)
+    val idents = identityColumns(spark, path)
     // table-metadata snapshot for the rebase conflict check: a
     // concurrent constraint / generated-column / skipping-registration
     // change means our pre-staging validation may be stale
@@ -886,12 +908,50 @@ object Versioned {
             Seq.empty[String])
       }
 
+      // identity columns: allocate past the high-water for inserted
+      // keys, PRESERVE the existing value for updated keys (looked up
+      // in the already-read rewrite side — partition-scoped keys live
+      // in their partition), and advance the mark past supplied
+      // values. Allocation ranks the batch by the merge keys, so the
+      // assigned values are deterministic and SQL-replayable; the new
+      // mark rides THIS commit (`idhw` sidecar).
+      var sourceI = sourceG
+      val idhwNext = scala.collection.mutable.LinkedHashMap[String, Long]()
+      idents.foreach { case (c, _, step) =>
+        val hw = identityHighWater(spark, path, cur, c)
+        if (!sourceI.columns.contains(c)) {
+          val prevId = "__graft_prev_id"
+          val existing = rewriteDf
+            .select((keys.map(col) :+ col(c).as(prevId)): _*)
+          val joined = sourceI.join(existing, keys, "left")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(prevId).isNull)
+            .orderBy(keys.map(col): _*)
+          sourceI = joined.withColumn(c, coalesce(col(prevId),
+              lit(hw) + lit(step) * row_number().over(w).cast("long")))
+            .drop(prevId)
+          val nIns = joined.filter(col(prevId).isNull).count()
+          idhwNext(c) = hw + step * nIns
+        } else {
+          val agg = if (step > 0) max(col(c)) else min(col(c))
+          val m = sourceI.agg(agg).head()
+          val sup = if (m.isNullAt(0)) hw else m.getLong(0)
+          idhwNext(c) = if (step > 0) math.max(hw, sup)
+            else math.min(hw, sup)
+        }
+      }
+      val idExtras: Seq[(String, Array[Byte])] =
+        if (idhwNext.isEmpty) Seq.empty
+        else Seq(("idhw", idhwNext
+          .map { case (c, h) => s"$c\t$h" }.mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8)))
+
       val tgtCols = rewriteDf.columns.toSeq
       val srcClean = deleteCol match {
         case Some(d) if !tgtCols.contains(d) =>
-          sourceG.filter(!coalesce(col(d), lit(false))).drop(d)
-        case Some(d) => sourceG.filter(!coalesce(col(d), lit(false)))
-        case None => sourceG
+          sourceI.filter(!coalesce(col(d), lit(false))).drop(d)
+        case Some(d) => sourceI.filter(!coalesce(col(d), lit(false)))
+        case None => sourceI
       }
       // supplied generated-column values must match their expression
       // (delete-flagged rows are already excluded — their key-only
@@ -969,15 +1029,18 @@ object Versioned {
           case Some(k) => Right(k.unionByName(entriesDf(spark, stagedE)))
         }
       if (commit(spark, path, next, filesArg, Some(outSchema), dvCarried,
-          op = Some(opName)))
+          op = Some(opName), extraFiles = idExtras))
         return next
       // lost the race. First try the OCC fast path: if everything that
       // committed since `cur` is disjoint from our partition footprint
       // (and table metadata/schema are unchanged), re-commit our
       // ALREADY-STAGED files against the winner's manifest — a
       // metadata-only rebase, no restage. Only a real overlap falls
-      // through to the full re-merge below.
-      if (partitionCol.isDefined) {
+      // through to the full re-merge below. Identity-bearing merges
+      // never rebase: two racing allocators extending from the same
+      // high-water would collide, so the retry recomputes allocation
+      // against the winner instead.
+      if (partitionCol.isDefined && idents.isEmpty) {
         tryRebase(spark, path, cur, physOf(partitionCol.get), touchedSegs,
           hitList, stagedE, outSchema, meta0, opName,
           maxTries = maxRetries + 1) match {
@@ -1003,6 +1066,8 @@ object Versioned {
       path: String): String =
     (constraints(spark, path).map { case (n, p) => s"c:$n\t$p" } ++
       generatedColumns(spark, path).map { case (c, e) => s"g:$c\t$e" } ++
+      identityColumns(spark, path)
+        .map { case (c, s0, st) => s"i:$c\t$s0\t$st" } ++
       statsColumns(spark, path).map("s:" + _) ++
       bloomColumns(spark, path).map("b:" + _)).mkString("\n")
 
@@ -1061,13 +1126,19 @@ object Versioned {
     }
     var tries = 0
     while (tries < maxTries) {
-      val newest = resolve(spark, path, None)
-      if (newest <= cur) {
-        // the winner's lock exists but its manifest rename hasn't
-        // landed yet — wait out the publish, don't declare conflict
-        Thread.sleep(25)
-        tries += 1
-      } else {
+      // the winner's LOCK exists the moment we lose the race, but its
+      // manifest (an engine write job for the carried side) publishes
+      // up to seconds later — wait out the publish on its own budget;
+      // only a still-unpublished lock after that is treated as stale
+      // and left to the full re-merge path
+      var newest = resolve(spark, path, None)
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (newest <= cur && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        newest = resolve(spark, path, None)
+      }
+      if (newest <= cur) return None
+      locally {
         if (metadataFingerprint(spark, path) != metaAtRead) return None
         if (schemaSig(tableSchema(spark, path, Some(newest)))
             != curSchemaSig) return None
@@ -1269,6 +1340,21 @@ object Versioned {
     val gens = generatedColumns(spark, src)
     if (gens.nonEmpty) writeGeneratedColumns(spark, dst, gens)
     retiredPhysicals(spark, src).foreach(addRetired(spark, dst, _))
+    // identity declarations travel too, with the SOURCE's effective
+    // high-water pinned as the clone's v1 sidecar — allocations on the
+    // clone can never collide with values it inherited
+    val idents = identityColumns(spark, src)
+    if (idents.nonEmpty) {
+      val f = fs(spark, dst)
+      f.mkdirs(manifestDir(dst))
+      atomicWrite(f, identityPath(dst),
+        idents.map { case (c, s0, st) => s"$c\t$s0\t$st" }
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      atomicWrite(f, idhwPath(dst, 1L),
+        idents.map { case (c, _, _) =>
+          s"$c\t${identityHighWater(spark, src, v, c)}" }
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    }
     require(commit(spark, dst, 1L,
       Left(readManifestEntries(spark, src, v)),
       tableSchema(spark, src, Some(v)),
@@ -2243,6 +2329,126 @@ object Versioned {
 
   private def genColsPath(path: String) =
     new Path(manifestDir(path), "gencols")
+
+  // ------------------------------------------------------------------
+  // Identity columns (GENERATED BY DEFAULT AS IDENTITY)
+  // ------------------------------------------------------------------
+
+  private def identityPath(path: String) =
+    new Path(manifestDir(path), "identity")
+
+  private def idhwPath(path: String, v: Long) =
+    new Path(manifestDir(path), s"v$v.idhw")
+
+  /** The table's identity columns as (column, start, step). */
+  def identityColumns(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
+    val f = fs(spark, path)
+    val p = identityPath(path)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val parts = line.split('\t')
+        require(parts.length == 3,
+          s"malformed identity file for $path: '$line'")
+        (parts(0), parts(1).toLong, parts(2).toLong)
+      }.toSeq
+    }
+  }
+
+  /** Declare `column` GENERATED BY DEFAULT AS IDENTITY (START WITH
+    * `start` STEP `step`): a merge source may OMIT the column — the
+    * engine allocates monotone values past the table's high-water
+    * mark for INSERTED rows and PRESERVES the existing value for
+    * updated keys — or supply its own (the BY DEFAULT contract), in
+    * which case the high-water mark advances past the supplied
+    * maximum so later allocations can never collide. The high-water
+    * rides the commit log (`v<N>.idhw`), so it travels with clones
+    * and time travel never re-reads data to find it; allocation is
+    * ordered by the merge keys within the batch, which makes the
+    * assigned values deterministic (replayable by a rank in SQL).
+    * Identity-bearing merges opt OUT of the OCC rebase fast path —
+    * two racing allocators could otherwise both extend from the same
+    * high-water — so the commit retry recomputes the allocation
+    * against the winner, exactly the Delta semantics. Like Delta,
+    * gaps are allowed (delete-flagged rows consume values). */
+  def addIdentityColumn(spark: SparkSession, path: String,
+      column: String, start: Long = 1L, step: Long = 1L): Unit = {
+    require(step != 0L, "identity step must be non-zero")
+    val cur = resolve(spark, path, None)
+    val schema = tableSchema(spark, path, Some(cur)).getOrElse(
+      read(spark, path, Some(cur)).schema)
+    val fld = schema.fields.find(_.name == column)
+    require(fld.isDefined,
+      s"identity column must exist in the table schema: '$column'")
+    require(fld.get.dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"identity column must be BIGINT: '$column' is ${fld.get.dataType}")
+    val existing = identityColumns(spark, path)
+    require(!existing.exists(_._1 == column),
+      s"column '$column' is already an identity on $path")
+    require(!generatedColumns(spark, path).exists(_._1 == column),
+      s"column '$column' is already generated on $path")
+    // high-water = the existing extremum IN STEP DIRECTION floored at
+    // start - step, so the next allocation is hw + step (exactly
+    // `start` on an empty table) and can never collide with a value
+    // already present
+    val agg0 = if (step > 0) max(col(column)) else min(col(column))
+    val mx = read(spark, path, Some(cur)).agg(agg0).head()
+    val hw =
+      if (mx.isNullAt(0)) start - step
+      else if (step > 0) math.max(mx.getLong(0), start - step)
+      else math.min(mx.getLong(0), start - step)
+    val f = fs(spark, path)
+    f.mkdirs(manifestDir(path))
+    atomicWrite(f, idhwPath(path, cur),
+      s"$column\t$hw\n".getBytes(StandardCharsets.UTF_8))
+    atomicWrite(f, identityPath(path),
+      (existing :+ ((column, start, step)))
+        .map { case (c, s0, st) => s"$c\t$s0\t$st" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Drop an identity declaration (the column stays, as a plain
+    * column; no-op if absent). */
+  def dropIdentityColumn(spark: SparkSession, path: String,
+      column: String): Unit = {
+    val rest = identityColumns(spark, path).filterNot(_._1 == column)
+    val f = fs(spark, path)
+    if (rest.isEmpty) f.delete(identityPath(path), false)
+    else atomicWrite(f, identityPath(path),
+      rest.map { case (c, s0, st) => s"$c\t$s0\t$st" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The high-water mark of `column` as of version `v`: the newest
+    * `v<i>.idhw` entry at or before `v` — O(versions since the last
+    * identity write) small-file reads, never a data scan. */
+  private def identityHighWater(spark: SparkSession, path: String,
+      v: Long, column: String): Long = {
+    val f = fs(spark, path)
+    var i = v
+    while (i >= 1) {
+      val p = idhwPath(path, i)
+      if (f.exists(p)) {
+        val in = f.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+          val j = line.indexOf('\t')
+          if (line.substring(0, j) == column)
+            return line.substring(j + 1).toLong
+        }
+      }
+      i -= 1
+    }
+    sys.error(s"no identity high-water for '$column' on $path at v$v")
+  }
 
   /** The table's generated columns as (column, SQL expression), in
     * registration order. */

@@ -118,6 +118,27 @@ object LakeFixtures {
         partitionCol = Some("st"))
     }
 
+  /** [[ordersEvensByStatus]] plus the commit-log follower's fixed
+    * three-commit history (partition-scoped insert merge, vectored
+    * delete, vectored update) — byte-identical every run, so the
+    * follower query consumes it READ-ONLY (its checkpoint lives in
+    * its own temp dir): v1 base, v2 merge, v3 DV delete, v4 DV
+    * update. */
+  def ordersEvensStatusHistory(s: SparkSession, d: String): String =
+    build(s"esth|$d", "graft_base_esth") { dir =>
+      Versioned.clone(s, ordersEvensByStatus(s, d), dir + "/t")
+      val t = dir + "/t"
+      val base = ordersBase(s, d)
+      Versioned.merge(base.filter(col("k") % 2 === 1 &&
+          col("k") % 5 === 0 && col("st") === "O")
+        .select(col("k"), col("st"), col("p")),
+        t, Seq("k"), partitionCol = Some("st"))                   // v2
+      Versioned.deleteVectored(s, t, col("k") % 7 === 0)          // v3
+      Versioned.updateVectored(s, t, col("k") % 9 === 0,
+        Map("p" -> (col("p") + lit(10.0))),
+        partitionCol = Some("st"))                                // v4
+    } + "/t"
+
   /** Odd order keys in 8 round-robin files — the second leg of the
     * multi-table-transaction catalog. */
   def ordersOdds8(s: SparkSession, d: String): String =

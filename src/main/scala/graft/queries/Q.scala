@@ -25,6 +25,21 @@ object Q {
   /** Order-independent exact sum of a (money-like) double expression. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
 
+  /** Spread a SMALL scan across the session's cores before a
+    * compute-bound projection (hash ladders, shingling, per-token
+    * scoring). The synthetic test parquet is a single row group, so
+    * Spark's split planning yields ONE input partition and the map
+    * stage runs on one core of 32; production inputs split into
+    * thousands of partitions, and the gate on the ACTUAL partition
+    * count makes this a no-op there — it never adds a shuffle to an
+    * input that already parallelizes, so it is safe at 100 TB by
+    * construction (the shuffle it does add is bounded by the
+    * small-scan bytes that triggered it). */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Order-independent average (NULLs excluded, like SQL avg). */
   def davg(c: Column): Column = dsum(c) / count(c)
 

@@ -109,10 +109,13 @@ object Wave29Queries {
       }.cast("long")
 
   def qBootstrap(s: SparkSession, d: String): DataFrame = {
-    val rows = Tables.load(s, d, "orders")
+    // Q.spread: the 64-replica hash ladder is pure per-row compute —
+    // on the single-row-group test file it would otherwise run on one
+    // core (measured 6.5 s -> sub-second at sf0.1)
+    val rows = Q.spread(Tables.load(s, d, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderpriority").as("p"),
         floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
-          .as("cents"))
+          .as("cents")))
     // STAGED projections: 8 md5 digests per row (one per seed string,
     // each serving FOUR replicas via its 32-bit words), then uniforms
     // (one conv each), then CASE weights — each stage references the

@@ -93,24 +93,16 @@ object Wave49Queries {
   }
 
   def qLakeFollow(s: SparkSession, d: String): DataFrame = {
-    val dir = LakeFixtures.cloneOf(s,
-      LakeFixtures.ordersEvensByStatus(s, d), "graft_fl")
+    // the three commits the consumer must see exactly once each are
+    // byte-identical every run (partition-scoped insert merge whose
+    // v2 feed opens one partition's files; a vectored delete and a
+    // vectored update whose feeds are DV deltas, not full-rewrite
+    // diffs), so they live in the shared read-only history fixture —
+    // only the consumer CHECKPOINT is per-run state
+    val dir = LakeFixtures.ordersEvensStatusHistory(s, d)
     val cp = java.nio.file.Files.createTempDirectory("graft_flcp")
       .resolve("offsets").toString
     try {
-      val base = LakeFixtures.ordersBase(s, d)
-      // three commits the consumer must see exactly once each; the
-      // merge is PARTITION-SCOPED (inserts carry one status) so the
-      // v2 feed opens one partition's files, not the table
-      Versioned.merge(base.filter(col("k") % 2 === 1 &&
-          col("k") % 5 === 0 && col("st") === "O")
-        .select(col("k"), col("st"), col("p")),
-        dir, Seq("k"), partitionCol = Some("st"))                 // v2
-      // vectored: the v3 feed is a DV delta, not a full-rewrite diff
-      Versioned.deleteVectored(s, dir, col("k") % 7 === 0)        // v3
-      Versioned.updateVectored(s, dir, col("k") % 9 === 0,
-        Map("p" -> (col("p") + lit(10.0))),
-        partitionCol = Some("st"))                                // v4
       var netRows = 0L
       var netCents = 0L
       val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -147,10 +139,11 @@ object Wave49Queries {
         .toDF("n_rows", "sum_cents", "run1_versions", "run2_versions",
           "exactly_once", "reconciled")
     } finally {
-      Seq(dir, new java.io.File(cp).getParent).foreach { dd =>
-        val p = new org.apache.hadoop.fs.Path(dd)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      }
+      // the lake is the SHARED fixture — only the per-run checkpoint
+      // directory is ours to delete
+      val p = new org.apache.hadoop.fs.Path(
+        new java.io.File(cp).getParent)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 

@@ -32,8 +32,10 @@ import graft.text.{Dedup, Search, Similarity, TextStats}
   */
 object Wave8Queries {
 
-  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
-  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+  private def docs(s: SparkSession, d: String) =
+    Q.spread(Tables.load(s, d, "documents"))
+  private def embs(s: SparkSession, d: String) =
+    Q.spread(Tables.load(s, d, "embeddings"))
 
   // ---- exact duplicated-substring coverage ----
 

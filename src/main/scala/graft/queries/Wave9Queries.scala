@@ -33,8 +33,10 @@ import graft.text.{Bpe, Linalg, Search, Similarity, TextStats}
   */
 object Wave9Queries {
 
-  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
-  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+  private def docs(s: SparkSession, d: String) =
+    Q.spread(Tables.load(s, d, "documents"))
+  private def embs(s: SparkSession, d: String) =
+    Q.spread(Tables.load(s, d, "embeddings"))
 
   private val dim = 64
   private val T = TextStats.TOKENS("text")

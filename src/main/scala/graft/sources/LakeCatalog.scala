@@ -55,7 +55,21 @@ class LakeCatalog extends TableCatalog {
   private def spark = SparkSession.active
 
   private def table(ident: Identifier, version: Option[Long]): Table = {
-    val path = pathOf(ident)
+    val raw = pathOf(ident)
+    // Iceberg-style metadata tables: `…$files` / `…$history`
+    if (raw.endsWith("$files")) {
+      val path = raw.stripSuffix("$files")
+      require(Versioned.currentVersion(spark, path).isDefined,
+        s"not a versioned lake table: $path")
+      return new LakeFilesTable(path, version)
+    }
+    if (raw.endsWith("$history")) {
+      val path = raw.stripSuffix("$history")
+      require(Versioned.currentVersion(spark, path).isDefined,
+        s"not a versioned lake table: $path")
+      return new LakeHistoryTable(path)
+    }
+    val path = raw
     require(Versioned.currentVersion(spark, path).isDefined,
       s"not a versioned lake table: $path")
     val v = Versioned.resolveVersion(spark, path, version)
@@ -80,7 +94,8 @@ class LakeCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    Versioned.currentVersion(spark, pathOf(ident)).isDefined
+    Versioned.currentVersion(spark, pathOf(ident)
+      .stripSuffix("$files").stripSuffix("$history")).isDefined
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     root match {

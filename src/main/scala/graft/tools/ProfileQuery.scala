@@ -23,14 +23,18 @@ object ProfileQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
-    if (doExplain)
-      println(fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"PROFILE $name run$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // comma-separated names profile several queries in ONE session
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { nm =>
+      val fn = graft.SparkEntry.queries(nm)
+      if (doExplain)
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      spark.catalog.clearCache()
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"PROFILE $nm run$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

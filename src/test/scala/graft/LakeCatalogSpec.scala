@@ -62,6 +62,25 @@ class LakeCatalogSpec extends SparkSuite {
       s"unexpected error: ${messages(e)}")
   }
 
+  test("$files scans the manifest itself; $history reads the commit " +
+      "log; both compose with VERSION AS OF") {
+    withCatalog()
+    val dir = tmp("graft_cat5")
+    Versioned.init(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"), dir)
+    Versioned.merge(Seq((3L, 30.0)).toDF("k", "p"), dir, Seq("k"))
+    val curFiles = spark.sql(s"SELECT f FROM lake.`$dir$$files`")
+      .as[String].collect().toSet
+    assert(curFiles == Versioned.files(spark, dir).toSet)
+    val v1Files = spark.sql(
+      s"SELECT f FROM lake.`$dir$$files` VERSION AS OF 1")
+      .as[String].collect().toSet
+    assert(v1Files == Versioned.files(spark, dir, Some(1L)).toSet)
+    val hist = spark.sql(
+      s"SELECT version, operation FROM lake.`$dir$$history` ORDER BY 1")
+      .as[(Long, String)].collect().toSeq
+    assert(hist == Seq((1L, "INIT"), (2L, "MERGE")))
+  }
+
   test("root-configured catalog resolves namespace identifiers and " +
       "lists lake tables") {
     val root = tmp("graft_cat4")
