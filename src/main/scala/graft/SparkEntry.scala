@@ -83,7 +83,8 @@ object SparkEntry {
     graft.queries.Wave57Queries.queries ++
     graft.queries.Wave58Queries.queries ++
     graft.queries.Wave59Queries.queries ++
-    graft.queries.Wave60Queries.queries
+    graft.queries.Wave60Queries.queries ++
+    graft.queries.Wave61Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -153,5 +154,6 @@ object SparkEntry {
     graft.queries.Wave57Queries.oracles ++
     graft.queries.Wave58Queries.oracles ++
     graft.queries.Wave59Queries.oracles ++
-    graft.queries.Wave60Queries.oracles
+    graft.queries.Wave60Queries.oracles ++
+    graft.queries.Wave61Queries.oracles
 }

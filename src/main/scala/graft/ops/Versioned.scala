@@ -1179,6 +1179,131 @@ object Versioned {
     None
   }
 
+  /** INSERT-ONLY commit: stage the batch, commit `manifest(cur) ∪
+    * staged` — NO existing file is read or rewritten, the prior
+    * deletion vector rides unchanged, and cost is O(batch) however
+    * large the table. This is the dominant write at 100 TB (hourly
+    * loads, stream sinks), so it gets the cheapest possible conflict
+    * model: an append is disjoint from EVERYTHING except a schema or
+    * table-metadata change, so a lost commit race re-points the
+    * ALREADY-STAGED files at the winner's manifest and retries —
+    * never a restage (Delta's appends-never-conflict rule).
+    * Identity-bearing appends re-run allocation on a lost race
+    * instead (racing allocators must not share a high-water).
+    *
+    * CHECK constraints, generated columns (computed when omitted,
+    * vetoed when supplied wrong) and identity allocation apply
+    * exactly as in [[merge]]; `evolveSchema` has merge's additive
+    * semantics. Note an append does NOT check keys: the caller wants
+    * [[merge]] if replacing rows, and duplicate-key appends are
+    * visible duplicates, as in any lake. */
+  def append(source: DataFrame, path: String,
+      partitionCol: Option[String] = None, maxRetries: Int = 5,
+      evolveSchema: Boolean = false, opName: String = "APPEND"): Long = {
+    val spark = source.sparkSession
+    val gensSupplied = generatedColumns(spark, path)
+      .filter { case (c, _) => source.columns.contains(c) }
+    val sourceG = computeGeneratedColumns(spark, path, source)
+    validateGeneratedColumns(spark, path, sourceG, gensSupplied)
+    val idents = identityColumns(spark, path)
+    val meta0 = metadataFingerprint(spark, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      val curSchema = tableSchema(spark, path, Some(cur))
+      val tgt = curSchema.getOrElse(read(spark, path, Some(cur)).schema)
+      val curSig = schemaSig(Some(tgt))
+      // identity: every row is an insert; allocation is ranked over
+      // the full row so the assigned multiset is deterministic
+      var src = sourceG
+      val idhwNext =
+        scala.collection.mutable.LinkedHashMap[String, Long]()
+      idents.foreach { case (c, _, step) =>
+        val hw = identityHighWater(spark, path, cur, c)
+        if (!src.columns.contains(c)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(src.columns.map(col).toSeq: _*)
+          val n = src.count()
+          src = src.withColumn(c,
+            lit(hw) + lit(step) * row_number().over(w).cast("long"))
+          idhwNext(c) = hw + step * n
+        } else {
+          val agg0 = if (step > 0) max(col(c)) else min(col(c))
+          val m = src.agg(agg0).head()
+          val sup = if (m.isNullAt(0)) hw else m.getLong(0)
+          idhwNext(c) = if (step > 0) math.max(hw, sup)
+            else math.min(hw, sup)
+        }
+      }
+      val idExtras: Seq[(String, Array[Byte])] =
+        if (idhwNext.isEmpty) Seq.empty
+        else Seq(("idhw", idhwNext
+          .map { case (c, h) => s"$c\t$h" }.mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8)))
+      val inserts =
+        if (evolveSchema) src
+        else src.select(tgt.fieldNames.toSeq.map(col): _*)
+      if (attempt == 0) {
+        val images =
+          if (!evolveSchema) inserts
+          else tgt.fields.foldLeft(inserts) { (df, fld) =>
+            if (df.columns.contains(fld.name)) df
+            else df.withColumn(fld.name, lit(null).cast(fld.dataType))
+          }
+        enforceConstraints(spark, path, images)
+      }
+      val outSchema = curSchema match {
+        case None => inserts.schema
+        case Some(cs) if !evolveSchema => cs
+        case Some(cs) =>
+          lazy val taken =
+            cs.fields.map(physicalOf).toSet ++ retiredPhysicals(spark, path)
+          StructType(cs.fields ++ inserts.schema.fields
+            .filterNot(f => cs.fieldNames.contains(f.name))
+            .map(freshPhysical(_, taken)))
+      }
+      val (stagedDir, staged) = stage(inserts, path, next, partitionCol,
+        Some(outSchema))
+      val stagedE = stagedEntries(spark, path, staged)
+      def filesAt(v: Long) =
+        Right(manifestDf(spark, path, v).select(col("f"),
+          col("stats_json")).unionByName(entriesDf(spark, stagedE)))
+      if (commit(spark, path, next, filesAt(cur), Some(outSchema),
+          deletionVector(spark, path, Some(cur)), op = Some(opName),
+          extraFiles = idExtras))
+        return next
+      // appends never conflict on data: re-point the staged files at
+      // each new winner until the commit lands — bail to a restage
+      // only on schema/metadata drift or identity allocation
+      if (idents.isEmpty) {
+        var tries = 0
+        var bail = false
+        while (!bail && tries <= maxRetries) {
+          var newest = resolve(spark, path, None)
+          val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+          while (newest <= cur && System.nanoTime() < deadline) {
+            Thread.sleep(50)
+            newest = resolve(spark, path, None)
+          }
+          if (newest <= cur) bail = true
+          else if (metadataFingerprint(spark, path) != meta0 ||
+            schemaSig(tableSchema(spark, path, Some(newest))) != curSig)
+            bail = true
+          else if (commit(spark, path, newest + 1, filesAt(newest),
+              Some(outSchema),
+              deletionVector(spark, path, Some(newest)),
+              op = Some(opName), extraFiles = idExtras))
+            return newest + 1
+          else tries += 1
+        }
+      }
+      fs(spark, path).delete(stagedDir, true)
+      attempt += 1
+    }
+    sys.error(s"append lost ${maxRetries + 1} commit races: $path")
+  }
+
   /** Receipt of a [[mergeInto]]: the committed version plus per-clause
     * row counts (SQL MERGE's standard feedback). */
   final case class MergeStats(version: Long, updated: Long, deleted: Long,

@@ -26,10 +26,12 @@ import graft.ops.Versioned
   * `<root>/db/t`. `VERSION AS OF` lands on [[TableCatalog.loadTable]]'s
   * version overload and pins the manifest exactly like
   * [[Versioned.read]]'s version argument; `TIMESTAMP AS OF` resolves
-  * through [[Versioned.versionAsOf]]. The catalog is READ-ONLY by
-  * design — writes go through the engine's commit protocol
-  * ([[Versioned.merge]] and friends), never through blind SQL inserts
-  * that would bypass constraints, generated columns and OCC. */
+  * through [[Versioned.versionAsOf]]. SQL writes are APPEND-ONLY:
+  * `INSERT INTO` routes through [[Versioned.append]]'s commit
+  * protocol (constraints, generated columns, identity allocation,
+  * OCC); overwrites, row-level DML and DDL are refused — those
+  * semantics belong to the engine's merge/delete primitives, never
+  * to blind SQL that would bypass them. */
 class LakeCatalog extends TableCatalog {
 
   private var catalogName: String = _

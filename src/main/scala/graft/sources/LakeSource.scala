@@ -5,11 +5,12 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -95,17 +96,44 @@ object LakeSource {
 
 final class LakeTable(path: String, version: Option[Long],
     tableSchema: StructType, ignoreChanges: Boolean)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-lake:$path"
 
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, tableSchema, ignoreChanges)
+
+  /** APPEND-ONLY writes, routed through [[Versioned.append]]'s commit
+    * protocol — CHECK constraints, generated columns and identity
+    * allocation all apply, and a lost commit race re-points the
+    * staged files instead of restaging (appends never conflict).
+    * Everything else (overwrite, row-level DML) is refused: those
+    * must go through the engine's merge/delete primitives. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      s"cannot write to a version-pinned table: $path VERSION AS OF " +
+        version.get)
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "graft-lake is append-only through SQL: INSERT " +
+                  "OVERWRITE must go through Versioned.merge/delete")
+              Versioned.append(data, path)
+            }
+          }
+      }
+    }
+  }
 }
 
 final class LakeScanBuilder(path: String, version: Option[Long],

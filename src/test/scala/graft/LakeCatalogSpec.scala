@@ -47,19 +47,42 @@ class LakeCatalogSpec extends SparkSuite {
     assert(got == Seq(("x", 12.0)))
   }
 
-  test("the catalog is read-only: DML/DDL is refused loudly") {
+  test("INSERT INTO appends through the commit protocol; constraints " +
+      "veto violating batches; DDL stays refused") {
     withCatalog()
     val dir = tmp("graft_cat3")
     Versioned.init(Seq((1L, 10.0)).toDF("k", "p"), dir)
-    val e = intercept[Exception] {
-      spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90.0)")
-    }
+    Versioned.addConstraint(spark, dir, "p_pos", "p >= 0")
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90.0)")
+    assert(Versioned.read(spark, dir).select("k", "p")
+      .as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (9L, 90.0)))
+    assert(Versioned.history(spark, dir).last.operation == "APPEND")
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(m => m.contains("read-only") ||
-      m.contains("does not support") || m.contains("TableProvider")),
-      s"unexpected error: ${messages(e)}")
+    val bad = intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (10, -1.0)")
+    }
+    assert(messages(bad).exists(_.contains("p_pos")),
+      s"unexpected error: ${messages(bad)}")
+    // the vetoed batch committed NOTHING
+    assert(Versioned.read(spark, dir).count() == 2L)
+    val ddl = intercept[Exception] {
+      spark.sql(s"DROP TABLE lake.`$dir`")
+    }
+    assert(messages(ddl).exists(m => m.contains("read-only") ||
+      m.contains("commit protocol")), s"unexpected: ${messages(ddl)}")
+  }
+
+  test("df.writeTo(...).append() lands as an APPEND commit") {
+    withCatalog()
+    val dir = tmp("graft_cat6")
+    Versioned.init(Seq((1L, 10.0)).toDF("k", "p"), dir)
+    Seq((2L, 20.0)).toDF("k", "p").writeTo(s"lake.`$dir`").append()
+    assert(Versioned.read(spark, dir).count() == 2L)
+    assert(Versioned.history(spark, dir).map(_.operation) ==
+      Seq("INIT", "APPEND"))
   }
 
   test("$files scans the manifest itself; $history reads the commit " +
