@@ -5,7 +5,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources.{And, IsNotNull, IsNull, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
@@ -96,7 +99,8 @@ object LakeSource {
 
 final class LakeTable(path: String, version: Option[Long],
     tableSchema: StructType, ignoreChanges: Boolean)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsDelete {
 
   override def name(): String = s"graft-lake:$path"
 
@@ -108,6 +112,43 @@ final class LakeTable(path: String, version: Option[Long],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, tableSchema, ignoreChanges)
+
+  private def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+        yield lc && rc
+    case Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+        yield lc || rc
+    case Not(c) => filterToColumn(c).map(not)
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(f => filterToColumn(f).isDefined)
+
+  /** `DELETE FROM lake.`<path>` WHERE …` as a MERGE-ON-READ vectored
+    * delete: the commit writes (file, position) entries for exactly
+    * the matching rows — no file is rewritten, compaction folds the
+    * vector later. Predicates Spark can't express as source filters
+    * are refused by [[canDeleteWhere]], so the statement either runs
+    * with the engine's delete semantics or fails loudly. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Versioned.deleteVectored(SparkSession.active, path, pred)
+  }
 
   /** APPEND-ONLY writes, routed through [[Versioned.append]]'s commit
     * protocol — CHECK constraints, generated columns and identity

@@ -75,6 +75,26 @@ class LakeCatalogSpec extends SparkSuite {
       m.contains("commit protocol")), s"unexpected: ${messages(ddl)}")
   }
 
+  test("DELETE FROM runs as a vectored merge-on-read delete; " +
+      "untranslatable predicates are refused at analysis") {
+    withCatalog()
+    val dir = tmp("graft_cat7")
+    Versioned.init(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("k", "p"), dir)
+    val v1Files = Versioned.files(spark, dir).toSet
+    spark.sql(s"DELETE FROM lake.`$dir` WHERE k >= 3 AND p < 4.0")
+    assert(Versioned.read(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+    assert(Versioned.files(spark, dir).toSet == v1Files,
+      "vectored delete must not rewrite files")
+    assert(Versioned.deletionVector(spark, dir).nonEmpty)
+    // a predicate with no source-filter translation fails loudly
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM lake.`$dir` WHERE k % 2 = 0")
+    }
+    assert(Versioned.read(spark, dir).count() == 3L)
+  }
+
   test("df.writeTo(...).append() lands as an APPEND commit") {
     withCatalog()
     val dir = tmp("graft_cat6")
