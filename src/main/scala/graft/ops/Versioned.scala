@@ -1304,6 +1304,70 @@ object Versioned {
     sys.error(s"append lost ${maxRetries + 1} commit races: $path")
   }
 
+  /** The (queryId, epochId) transaction stamp of version `v`, if the
+    * commit carried one (streaming-sink epochs) — Delta's txn action. */
+  private[graft] def txnAt(spark: SparkSession, path: String,
+      v: Long): Option[(String, Long)] = {
+    val f = fs(spark, path)
+    val p = new Path(manifestDir(path), s"v$v.txn")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val i = txt.indexOf('\t')
+      if (i <= 0) None else Some((txt.substring(0, i),
+        txt.substring(i + 1).toLong))
+    }
+  }
+
+  /** Commit ALREADY-STAGED files as an append — the streaming sink's
+    * epoch commit. The files were written by executor tasks under the
+    * table's staging convention; this stamps stats, enforces CHECK
+    * constraints on exactly the staged batch (one bounded read),
+    * carries every prior file and the deletion vector by reference,
+    * and records the optional `txn` (queryId, epochId) sidecar the
+    * sink's idempotence check reads. Tables with generated or
+    * identity columns, or a partition-structured layout, are refused:
+    * those writers need [[append]]/[[merge]]'s in-plan machinery. */
+  private[graft] def appendStaged(spark: SparkSession, path: String,
+      files: Seq[String], txn: Option[(String, Long)],
+      maxRetries: Int = 5): Long = {
+    require(generatedColumns(spark, path).isEmpty &&
+      identityColumns(spark, path).isEmpty,
+      s"streaming sink refuses generated/identity tables: $path — " +
+        "use foreachBatch + Versioned.append")
+    val cur0 = resolve(spark, path, None)
+    require(!readManifestEntries(spark, path, cur0).exists { case (f0, _) =>
+      val k = fileKey(f0)
+      k.indexOf('/') >= 0 && k.substring(k.indexOf('/') + 1).contains("=")
+    }, s"streaming sink refuses partition-structured tables: $path — " +
+      "use foreachBatch + Versioned.append(partitionCol = …)")
+    if (files.isEmpty) return cur0
+    enforceConstraints(spark, path,
+      readFiles(spark, path, files, None, meta = false))
+    val stagedE = stagedEntries(spark, path, files)
+    val extras = txn.map { case (q, e) =>
+      ("txn", s"$q\t$e\n".getBytes(StandardCharsets.UTF_8)) }.toSeq
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      val filesArg = Right(manifestDf(spark, path, cur)
+        .select(col("f"), col("stats_json"))
+        .unionByName(entriesDf(spark, stagedE)))
+      if (commit(spark, path, next, filesArg,
+          tableSchema(spark, path, Some(cur)),
+          deletionVector(spark, path, Some(cur)),
+          op = Some("STREAM-APPEND"), extraFiles = extras))
+        return next
+      Thread.sleep(50)
+      attempt += 1
+    }
+    sys.error(s"appendStaged lost ${maxRetries + 1} commit races: $path")
+  }
+
   /** Receipt of a [[mergeInto]]: the committed version plus per-clause
     * row counts (SQL MERGE's standard feedback). */
   final case class MergeStats(version: Long, updated: Long, deleted: Long,

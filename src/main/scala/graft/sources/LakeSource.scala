@@ -12,7 +12,7 @@ import org.apache.spark.sql.sources.{And, IsNotNull, IsNull, Not, Or, StringCont
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{streaming, LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -108,7 +108,8 @@ final class LakeTable(path: String, version: Option[Long],
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE).asJava
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, tableSchema, ignoreChanges)
@@ -172,6 +173,8 @@ final class LakeTable(path: String, version: Option[Long],
               Versioned.append(data, path)
             }
           }
+        override def toStreaming: streaming.StreamingWrite =
+          new LakeStreamingWrite(path, info.schema(), info.queryId())
       }
     }
   }
