@@ -716,6 +716,12 @@ object Versioned {
       extraFiles: Seq[(String, Array[Byte])] = Seq.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
+    // a commit may only ever create the NEXT version: if `v` is at or
+    // below the current tip the slot is taken — or was VACUUMED, whose
+    // lock-file cleanup would otherwise let a stale pinned writer
+    // "win" a recreated historical version and silently lose its data
+    // below the tip
+    if (currentVersion(spark, path).exists(_ >= v)) return false
     val lock = new Path(manifestDir(path), s".v$v.lock")
     val won =
       if (f.getScheme == "file") {
@@ -924,13 +930,12 @@ object Versioned {
           val existing = rewriteDf
             .select((keys.map(col) :+ col(c).as(prevId)): _*)
           val joined = sourceI.join(existing, keys, "left")
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(prevId).isNull)
-            .orderBy(keys.map(col): _*)
-          sourceI = joined.withColumn(c, coalesce(col(prevId),
-              lit(hw) + lit(step) * row_number().over(w).cast("long")))
-            .drop(prevId)
-          val nIns = joined.filter(col(prevId).isNull).count()
+          val matched = joined.filter(col(prevId).isNotNull)
+            .withColumn(c, col(prevId)).drop(prevId)
+          val unmatched = joined.filter(col(prevId).isNull).drop(prevId)
+          val (allocated, nIns) =
+            withAllocatedIds(unmatched, keys, c, hw, step)
+          sourceI = matched.unionByName(allocated)
           idhwNext(c) = hw + step * nIns
         } else {
           val agg = if (step > 0) max(col(c)) else min(col(c))
@@ -1071,6 +1076,21 @@ object Versioned {
       statsColumns(spark, path).map("s:" + _) ++
       bloomColumns(spark, path).map("b:" + _)).mkString("\n")
 
+  /** Wait (bounded) for the table tip to reach `floor` — the grace a
+    * loser gives a winner whose LOCK exists but whose manifest (an
+    * engine write job) hasn't published yet. Returns the tip, which
+    * is < `floor` only for a stale never-publishing lock. */
+  private def waitUntilAtLeast(spark: SparkSession, path: String,
+      floor: Long): Long = {
+    var newest = resolve(spark, path, None)
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (newest < floor && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      newest = resolve(spark, path, None)
+    }
+    newest
+  }
+
   /** The OCC fast path for a [[merge]] that lost its commit race.
     *
     * Sound iff every commit in `(cur, newest]` is DISJOINT from this
@@ -1125,19 +1145,15 @@ object Versioned {
         .limit(1).count() > 0
     }
     var tries = 0
+    // we lost the lock for cur+1, so SOMEONE holds it: each iteration
+    // first waits for the version we just lost to PUBLISH (the
+    // winner's manifest is an engine write job that lands seconds
+    // after its lock), then rebases onto the new tip; a lock that
+    // never publishes is stale and left to the full re-merge path
+    var floor = cur + 1
     while (tries < maxTries) {
-      // the winner's LOCK exists the moment we lose the race, but its
-      // manifest (an engine write job for the carried side) publishes
-      // up to seconds later — wait out the publish on its own budget;
-      // only a still-unpublished lock after that is treated as stale
-      // and left to the full re-merge path
-      var newest = resolve(spark, path, None)
-      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      while (newest <= cur && System.nanoTime() < deadline) {
-        Thread.sleep(50)
-        newest = resolve(spark, path, None)
-      }
-      if (newest <= cur) return None
+      val newest = waitUntilAtLeast(spark, path, floor)
+      if (newest < floor) return None
       locally {
         if (metadataFingerprint(spark, path) != metaAtRead) return None
         if (schemaSig(tableSchema(spark, path, Some(newest)))
@@ -1173,6 +1189,7 @@ object Versioned {
             Right(keep.unionByName(entriesDf(spark, stagedE))),
             Some(outSchema), dvOut, op = Some(opName + "+REBASE")))
           return Some(newest + 1)
+        floor = newest + 1 // we lost newest+1's lock: wait for IT
         tries += 1
       }
     }
@@ -1222,11 +1239,9 @@ object Versioned {
       idents.foreach { case (c, _, step) =>
         val hw = identityHighWater(spark, path, cur, c)
         if (!src.columns.contains(c)) {
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(src.columns.map(col).toSeq: _*)
-          val n = src.count()
-          src = src.withColumn(c,
-            lit(hw) + lit(step) * row_number().over(w).cast("long"))
+          val (allocated, n) =
+            withAllocatedIds(src, src.columns.toSeq, c, hw, step)
+          src = allocated
           idhwNext(c) = hw + step * n
         } else {
           val agg0 = if (step > 0) max(col(c)) else min(col(c))
@@ -1275,18 +1290,15 @@ object Versioned {
         return next
       // appends never conflict on data: re-point the staged files at
       // each new winner until the commit lands — bail to a restage
-      // only on schema/metadata drift or identity allocation
+      // only on schema/metadata drift, identity allocation, or a
+      // stale never-publishing lock
       if (idents.isEmpty) {
         var tries = 0
         var bail = false
+        var floor = cur + 1 // the version we just lost the lock for
         while (!bail && tries <= maxRetries) {
-          var newest = resolve(spark, path, None)
-          val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-          while (newest <= cur && System.nanoTime() < deadline) {
-            Thread.sleep(50)
-            newest = resolve(spark, path, None)
-          }
-          if (newest <= cur) bail = true
+          val newest = waitUntilAtLeast(spark, path, floor)
+          if (newest < floor) bail = true
           else if (metadataFingerprint(spark, path) != meta0 ||
             schemaSig(tableSchema(spark, path, Some(newest))) != curSig)
             bail = true
@@ -1295,7 +1307,7 @@ object Versioned {
               deletionVector(spark, path, Some(newest)),
               op = Some(opName), extraFiles = idExtras))
             return newest + 1
-          else tries += 1
+          else { floor = newest + 1; tries += 1 }
         }
       }
       fs(spark, path).delete(stagedDir, true)
@@ -1339,6 +1351,11 @@ object Versioned {
       s"streaming sink refuses generated/identity tables: $path — " +
         "use foreachBatch + Versioned.append")
     val cur0 = resolve(spark, path, None)
+    require(tableSchema(spark, path, Some(cur0))
+      .forall(_.fields.forall(f => physicalOf(f) == f.name)),
+      s"streaming sink refuses column-mapped tables: $path — the " +
+        "executor writers speak the QUERY schema, which carries no " +
+        "physical-name mapping; use foreachBatch + Versioned.append")
     require(!readManifestEntries(spark, path, cur0).exists { case (f0, _) =>
       val k = fileKey(f0)
       k.indexOf('/') >= 0 && k.substring(k.indexOf('/') + 1).contains("=")
@@ -2614,6 +2631,46 @@ object Versioned {
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
   }
 
+  /** `df` with `idCol` = hw + step·rank, where rank is the 1..n dense
+    * ranking of the batch ordered by `order` — computed WITHOUT a
+    * single-task global sort: range-partition on the order columns,
+    * rank locally, add per-partition offsets (one bounded count per
+    * partition collected on the driver). Equal keys land in one range
+    * partition, so the ranking is the global sort rank and the
+    * assigned multiset is deterministic; a 100 M-row identity load
+    * allocates at full parallelism. Returns (df + idCol, row count). */
+  private def withAllocatedIds(df: DataFrame, order: Seq[String],
+      idCol: String, hw: Long, step: Long): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val np = math.max(1, spark.sparkContext.defaultParallelism)
+    val pid = "__graft_pid"
+    val lrn = "__graft_lrn"
+    val off = "__graft_off"
+    // PINNED ranking: repartitionByRange samples its boundaries, so a
+    // recompute between the counts action below and the final write
+    // could re-draw them and misalign the offsets — localCheckpoint
+    // materializes one fixed partitioning for both
+    val local = df.repartitionByRange(np, order.map(col): _*)
+      .withColumn(pid, spark_partition_id())
+      .withColumn(lrn, row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(pid))
+          .orderBy(order.map(col): _*)).cast("long"))
+      .localCheckpoint(true)
+    val counts = local.groupBy(pid).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offs = counts.map { case (p, c) =>
+      val o = (p, acc); acc += c; o }.toSeq
+    val offDf = spark.createDataset(offs)(
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .toDF(pid, off)
+    val out = local.join(broadcast(offDf), Seq(pid))
+      .withColumn(idCol, lit(hw) + lit(step) * (col(off) + col(lrn)))
+      .drop(pid, lrn, off)
+    (out, n)
+  }
+
   /** The high-water mark of `column` as of version `v`: the newest
     * `v<i>.idhw` entry at or before `v` — O(versions since the last
     * identity write) small-file reads, never a data scan. */
@@ -3006,11 +3063,23 @@ object Versioned {
       }
       dead.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
+    // sidecars are dropped only when a KEPT version still carries the
+    // same kind (idhw: any; txn: the same queryId) — the scan-back
+    // readers (identityHighWater, the streaming sink's lastEpoch)
+    // must never lose their newest mark to retention
+    val keptHasIdhw = keep.exists(v => f.exists(idhwPath(path, v)))
+    val keptTxnQids =
+      keep.flatMap(v => txnAt(spark, path, v).map(_._1)).toSet
     drop.foreach { v =>
       f.delete(manifestPath(path, v), true)
       f.delete(schemaPath(path, v), false)
       f.delete(dvPath(path, v), true)
       f.delete(opPath(path, v), false)
+      if (keptHasIdhw) f.delete(idhwPath(path, v), false)
+      txnAt(spark, path, v).foreach { case (q, _) =>
+        if (keptTxnQids.contains(q))
+          f.delete(new Path(dir, s"v$v.txn"), false)
+      }
       f.delete(new Path(dir, s".v$v.lock"), false)
     }
     invalidate(path)

@@ -48,8 +48,11 @@ object Wave57Queries {
       .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp"),
         expr("bit_xor(fp)").as("xf")).head()
     val (planned, total) = LakeSource.lastPlanned.get()
-    val pushedShown = q.queryExecution.executedPlan.toString
-      .contains("PushedFilters: [")
+    // must show a NON-EMPTY pushed list — `PushedFilters: []` would
+    // mean the stats-column gate regressed and pruning was lost
+    val plan = q.queryExecution.executedPlan.toString
+    val pushedShown = plan.contains("PushedFilters: [") &&
+      !plan.contains("PushedFilters: []")
     import s.implicits._
     Seq((r.getLong(0), r.getDouble(1), r.getLong(2), planned, total,
         if (pushedShown) 1 else 0))

@@ -103,11 +103,17 @@ class LakeCatalog extends TableCatalog {
     root match {
       case None => Array.empty
       case Some(r) =>
-        val dir = new java.io.File((r +: namespace).mkString("/"))
-        Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory &&
-            new java.io.File(f, "_versions").isDirectory)
-          .map(f => Identifier.of(namespace, f.getName))
+        // through the path's OWN filesystem (hdfs/s3a/file all work),
+        // not java.io.File, which would silently list nothing remote
+        val dir = new org.apache.hadoop.fs.Path(
+          (r +: namespace).mkString("/"))
+        val fs = dir.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) Array.empty
+        else fs.listStatus(dir)
+          .filter(s => s.isDirectory && fs.exists(
+            new org.apache.hadoop.fs.Path(s.getPath, "_versions")))
+          .map(s => Identifier.of(namespace, s.getPath.getName))
     }
 
   private def readOnly(op: String): Nothing =

@@ -110,7 +110,21 @@ final class LakePartitionReader(file: String, dv: Array[Long],
       case BooleanType => cur.getBoolean(idx, 0)
       case StringType => UTF8String.fromString(cur.getString(idx, 0))
       case DateType => cur.getInteger(idx, 0) // parquet DATE = int32 days
-      case TimestampType => cur.getLong(idx, 0) // TIMESTAMP_MICROS int64
+      case TimestampType =>
+        // Spark's default parquet timestamp encoding is INT96 (julian
+        // day + nanos-of-day), with INT64 micros behind a conf — decode
+        // whichever the file actually carries
+        cur.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+            val buf = java.nio.ByteBuffer
+              .wrap(cur.getInt96(idx, 0).getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanosOfDay = buf.getLong
+            val julianDay = buf.getInt
+            (julianDay - 2440588).toLong * 86400L * 1000000L +
+              nanosOfDay / 1000L
+          case _ => cur.getLong(idx, 0) // TIMESTAMP_MICROS int64
+        }
       case other => throw new UnsupportedOperationException(
         s"graft-lake: column '$name' of type $other is not supported " +
           "by the DSv2 row decoder; read it via Versioned.read")

@@ -46,16 +46,29 @@ final class LakeStreamingWrite(path: String, schema: StructType,
 
   private def spark = SparkSession.active
 
-  /** Newest committed (queryId → epochId) at or before version `v`. */
-  private def lastEpoch(v: Long): Option[Long] = {
+  // incremental idempotence cache: versions ≤ scannedTo have been
+  // probed for this query's txn sidecars, `known` is the newest epoch
+  // found. The first commit of a fresh query pays one walk down the
+  // history; every later epoch probes only the versions committed
+  // since (usually exactly one — its own predecessor).
+  private var scannedTo: Long = 0L
+  private var known: Option[Long] = None
+
+  /** Newest committed epoch of this query at or before version `v`. */
+  private def lastEpoch(v: Long): Option[Long] = synchronized {
     var i = v
-    while (i >= 1) {
+    while (i > scannedTo) {
       Versioned.txnAt(spark, path, i).foreach { case (q, e) =>
-        if (q == queryId) return Some(e)
+        if (q == queryId && known.forall(_ < e)) {
+          known = Some(e)
+          scannedTo = v
+          return known
+        }
       }
       i -= 1
     }
-    None
+    scannedTo = math.max(scannedTo, v)
+    known
   }
 
   override def commit(epochId: Long,
@@ -77,8 +90,11 @@ final class LakeStreamingWrite(path: String, schema: StructType,
     val conf = new Configuration()
     messages.filter(_ != null).foreach {
       case m: LakeFilesMessage => m.files.foreach { f =>
+        // each task stages one file in its OWN gbatch directory —
+        // drop the directory, not just the file, or crash-looping
+        // queries would litter data/ with empty staging dirs
         val p = new Path(f)
-        p.getFileSystem(conf).delete(p, false)
+        p.getFileSystem(conf).delete(p.getParent, true)
       }
       case _ => ()
     }
@@ -109,10 +125,17 @@ final class LakeRowWriter(path: String, schema: StructType,
     val b = Types.buildMessage()
     schema.fields.zip(phys).foreach { case (f, p) =>
       val t = f.dataType match {
-        case LongType | TimestampType =>
+        case LongType =>
           Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
-        case IntegerType | DateType =>
+        case TimestampType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS))
+        case IntegerType =>
           Types.optional(PrimitiveType.PrimitiveTypeName.INT32)
+        case DateType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType())
         case DoubleType =>
           Types.optional(PrimitiveType.PrimitiveTypeName.DOUBLE)
         case FloatType =>

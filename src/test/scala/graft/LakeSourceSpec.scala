@@ -111,6 +111,37 @@ class LakeSourceSpec extends SparkSuite {
       .toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("timestamp columns decode through the connector (INT96, " +
+      "Spark's default parquet encoding)") {
+    val dir = tmp("graft_ds7")
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456")
+    Versioned.init(Seq((1L, ts)).toDF("k", "t"), dir)
+    val got = lake(dir).select("k", "t")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    assert(got == Seq((1L, ts)))
+  }
+
+  test("a merge pinned below a vacuumed version can never recreate " +
+      "it: the commit lands at the tip") {
+    val dir = tmp("graft_ds8")
+    Versioned.init(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "pc", "p"), dir, partitionCol = Some("pc"))
+    Versioned.tag(spark, dir, "pin") // protects v1
+    Versioned.merge(Seq((1L, "a", 11.0)).toDF("k", "pc", "p"), dir,
+      Seq("k"), partitionCol = Some("pc"))                        // v2
+    Versioned.merge(Seq((1L, "a", 12.0)).toDF("k", "pc", "p"), dir,
+      Seq("k"), partitionCol = Some("pc"))                        // v3
+    Versioned.vacuum(spark, dir, keepLast = 1) // drops v2 (+ its lock)
+    // stale writer pinned to the tagged v1, disjoint partition b:
+    // must NOT win the recreated v2 slot — it rebases onto the tip
+    val v = Versioned.merge(Seq((3L, "b", 30.0)).toDF("k", "pc", "p"),
+      dir, Seq("k"), partitionCol = Some("pc"), baseVersion = Some(1L))
+    assert(v == 4L, s"expected the tip, got v$v")
+    assert(Versioned.read(spark, dir).select("k", "p")
+      .as[(Long, Double)].collect().toSet ==
+      Set((1L, 12.0), (2L, 2.0), (3L, 30.0)))
+  }
+
   test("streaming refuses non-append commits unless ignoreChanges") {
     val dir = tmp("graft_ds6")
     val cp = tmp("graft_ds6cp")

@@ -72,6 +72,44 @@ class Wave63Spec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() == 3L)
   }
 
+  test("sink-written timestamps read back through Versioned.read " +
+      "(annotated INT64 micros)") {
+    val dir = tmp("graft_sk5")
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456")
+    Versioned.init(Seq.empty[(Long, java.sql.Timestamp)]
+      .toDF("k", "t"), dir)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = ms.toDF().toDF("k", "t").writeStream.format("graft-lake")
+      .option("path", dir)
+      .option("checkpointLocation", tmp("graft_sk5cp")).start()
+    try { ms.addData((1L, ts)); q.processAllAvailable() }
+    finally q.stop()
+    assert(Versioned.read(spark, dir)
+      .as[(Long, java.sql.Timestamp)].collect().toSeq == Seq((1L, ts)))
+  }
+
+  test("the sink refuses column-mapped tables loudly") {
+    val dir = tmp("graft_sk6")
+    Versioned.init(Seq((1L, 1.0)).toDF("k", "p"), dir)
+    Versioned.renameColumn(spark, dir, "p", "price")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val q = ms.toDF().toDF("k", "price").writeStream
+      .format("graft-lake").option("path", dir)
+      .option("checkpointLocation", tmp("graft_sk6cp")).start()
+    ms.addData((2L, 2.0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("column-mapped")))
+    assert(Versioned.read(spark, dir).count() == 1L)
+  }
+
   test("the sink enforces CHECK constraints and refuses identity / " +
       "partition-structured tables") {
     val dir = tmp("graft_sk3")
