@@ -2649,7 +2649,11 @@ object Versioned {
     // PINNED ranking: repartitionByRange samples its boundaries, so a
     // recompute between the counts action below and the final write
     // could re-draw them and misalign the offsets — localCheckpoint
-    // materializes one fixed partitioning for both
+    // materializes one fixed partitioning for both. The tradeoff is
+    // deliberate: checkpointed partitions are not recomputable, so an
+    // executor loss mid-allocation FAILS the write loudly (the commit
+    // retries), where a persist() cache-miss recompute would re-draw
+    // boundaries and assign silently colliding ids
     val local = df.repartitionByRange(np, order.map(col): _*)
       .withColumn(pid, spark_partition_id())
       .withColumn(lrn, row_number().over(
@@ -3063,21 +3067,39 @@ object Versioned {
       }
       dead.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
-    // sidecars are dropped only when a KEPT version still carries the
-    // same kind (idhw: any; txn: the same queryId) — the scan-back
-    // readers (identityHighWater, the streaming sink's lastEpoch)
-    // must never lose their newest mark to retention
-    val keptHasIdhw = keep.exists(v => f.exists(idhwPath(path, v)))
-    val keptTxnQids =
-      keep.flatMap(v => txnAt(spark, path, v).map(_._1)).toSet
+    // sidecars are dropped only when a kept version STRICTLY NEWER
+    // than the dropped one carries the same mark — per COLUMN for
+    // idhw (addIdentityColumn writes a single-column file, merges
+    // write all declared), per QUERY for txn. The scan-back readers
+    // (identityHighWater, the streaming sink's lastEpoch) walk
+    // newest-first, so an older kept copy (e.g. a tag-pinned v1)
+    // must never license deleting the NEWEST mark.
+    def idhwCols(v: Long): Set[String] = {
+      val p = idhwPath(path, v)
+      if (!f.exists(p)) Set.empty
+      else {
+        val in = f.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split('\n').iterator.filter(_.nonEmpty)
+          .map(l => l.substring(0, l.indexOf('\t'))).toSet
+      }
+    }
+    val keptIdhw = keep.map(v => (v, idhwCols(v))).filter(_._2.nonEmpty)
+    val keptTxn = keep.flatMap(v =>
+      txnAt(spark, path, v).map { case (q, _) => (v, q) })
     drop.foreach { v =>
       f.delete(manifestPath(path, v), true)
       f.delete(schemaPath(path, v), false)
       f.delete(dvPath(path, v), true)
       f.delete(opPath(path, v), false)
-      if (keptHasIdhw) f.delete(idhwPath(path, v), false)
+      val cols = idhwCols(v)
+      if (cols.nonEmpty && cols.forall(c =>
+          keptIdhw.exists { case (w, cs) => w > v && cs.contains(c) }))
+        f.delete(idhwPath(path, v), false)
       txnAt(spark, path, v).foreach { case (q, _) =>
-        if (keptTxnQids.contains(q))
+        if (keptTxn.exists { case (w, kq) => w > v && kq == q })
           f.delete(new Path(dir, s"v$v.txn"), false)
       }
       f.delete(new Path(dir, s".v$v.lock"), false)

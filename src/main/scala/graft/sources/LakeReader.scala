@@ -74,6 +74,19 @@ final class LakePartitionReader(file: String, dv: Array[Long],
   private var pos = -1L
   private var cur: Group = _
 
+  private val int96Cache = new java.util.HashMap[Integer, java.lang.Boolean]()
+  private def isInt96(idx: Int): Boolean = {
+    val hit = int96Cache.get(idx)
+    if (hit != null) hit.booleanValue()
+    else {
+      val v = cur.getType.getType(idx).asPrimitiveType()
+        .getPrimitiveTypeName ==
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
+      int96Cache.put(idx, v)
+      v
+    }
+  }
+
   override def next(): Boolean = {
     var g = reader.read()
     pos += 1
@@ -113,18 +126,17 @@ final class LakePartitionReader(file: String, dv: Array[Long],
       case TimestampType =>
         // Spark's default parquet timestamp encoding is INT96 (julian
         // day + nanos-of-day), with INT64 micros behind a conf — decode
-        // whichever the file actually carries
-        cur.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
-          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
-            val buf = java.nio.ByteBuffer
-              .wrap(cur.getInt96(idx, 0).getBytes)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            val nanosOfDay = buf.getLong
-            val julianDay = buf.getInt
-            (julianDay - 2440588).toLong * 86400L * 1000000L +
-              nanosOfDay / 1000L
-          case _ => cur.getLong(idx, 0) // TIMESTAMP_MICROS int64
-        }
+        // whichever the file carries; the file schema is fixed for the
+        // reader's lifetime, so the discrimination is cached per field
+        if (isInt96(idx)) {
+          val buf = java.nio.ByteBuffer
+            .wrap(cur.getInt96(idx, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = buf.getLong
+          val julianDay = buf.getInt
+          (julianDay - 2440588).toLong * 86400L * 1000000L +
+            nanosOfDay / 1000L
+        } else cur.getLong(idx, 0) // TIMESTAMP_MICROS int64
       case other => throw new UnsupportedOperationException(
         s"graft-lake: column '$name' of type $other is not supported " +
           "by the DSv2 row decoder; read it via Versioned.read")

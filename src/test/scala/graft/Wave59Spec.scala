@@ -90,6 +90,25 @@ class Wave59Spec extends SparkSuite {
       Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
+  test("vacuum never deletes the NEWEST identity mark: an older " +
+      "tag-pinned idhw cannot license dropping it") {
+    val dir = tmp("graft_id7")
+    Versioned.init(Seq((10L, 1L)).toDF("id", "k"), dir)
+    Versioned.addIdentityColumn(spark, dir, "id") // v1.idhw (hw=10)
+    Versioned.tag(spark, dir, "pin")              // pins v1
+    Versioned.merge(Seq(2L).toDF("k"), dir, Seq("k")) // v2.idhw (hw=11)
+    Versioned.merge(Seq((11L, 2L), (12L, 3L)).toDF("id", "k"), dir,
+      Seq("k")) // v3: supplied ids, v3.idhw hw=12
+    Versioned.compact(spark, dir, targetFiles = 1) // v4, NO idhw
+    Versioned.vacuum(spark, dir, keepLast = 1) // keep v1(tag) + v4
+    // v3's mark (hw=12) had no NEWER kept idhw — it must survive
+    Versioned.merge(Seq(4L).toDF("k"), dir, Seq("k"))
+    val ids = Versioned.read(spark, dir).select("id").as[Long]
+      .collect().toSet
+    assert(ids == Set(10L, 11L, 12L, 13L),
+      s"allocation must continue past the vacuum-surviving mark: $ids")
+  }
+
   test("declaration guards: non-bigint and double-declare are refused") {
     val dir = tmp("graft_id6")
     Versioned.init(Seq((1L, "x")).toDF("id", "s"), dir)
