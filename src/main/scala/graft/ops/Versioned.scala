@@ -3041,16 +3041,38 @@ object Versioned {
     * versions are unaffected. */
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the current version")
+    vacuumImpl(spark, path)((versions, _) =>
+      versions.splitAt(math.max(0, versions.length - keepLast)))
+  }
+
+  /** AGE-BASED retention (Delta's `VACUUM … RETAIN`): drop every
+    * version whose COMMIT TIME (the manifest's publish mtime, the
+    * same clock [[versionAsOf]] travels on) is before `tsMillis` —
+    * except the current tip and tag-protected versions, exactly like
+    * [[vacuum]]. The two compose: count-based retention bounds
+    * metadata, age-based retention expresses the compliance contract
+    * ("nothing older than 30 days survives"). */
+  def vacuumOlderThan(spark: SparkSession, path: String,
+      tsMillis: Long): Int =
+    vacuumImpl(spark, path) { (versions, f) =>
+      val tip = versions.max
+      versions.partition(v => v != tip &&
+        f.getFileStatus(manifestPath(path, v)).getModificationTime
+          < tsMillis)
+    }
+
+  private def vacuumImpl(spark: SparkSession, path: String)(
+      split: (Seq[Long], FileSystem) => (Seq[Long], Seq[Long])): Int = {
     val f = fs(spark, path)
     val dir = manifestDir(path)
     if (!f.exists(dir)) return 0
     val versions = f.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toLong }.sorted
+    if (versions.isEmpty) return 0
     // tagged versions are retention-protected (Iceberg ref semantics)
     val tagged = tags(spark, path).values.toSet
-    val (drop0, keep0) =
-      versions.splitAt(math.max(0, versions.length - keepLast))
+    val (drop0, keep0) = split(versions.toSeq, f)
     val (dropTagged, drop) = drop0.partition(tagged.contains)
     val keep = (keep0 ++ dropTagged).sorted
     val live = keep.flatMap(v => readManifest(spark, path, v)).toSet

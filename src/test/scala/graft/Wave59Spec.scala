@@ -109,6 +109,24 @@ class Wave59Spec extends SparkSuite {
       s"allocation must continue past the vacuum-surviving mark: $ids")
   }
 
+  test("vacuumOlderThan drops by commit age, keeps the tip and " +
+      "tagged versions") {
+    val dir = tmp("graft_vot")
+    Versioned.init(Seq((1L, 1.0)).toDF("k", "p"), dir)
+    Versioned.tag(spark, dir, "pin")                          // pins v1
+    Versioned.merge(Seq((2L, 2.0)).toDF("k", "p"), dir, Seq("k")) // v2
+    Thread.sleep(30)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(30)
+    Versioned.merge(Seq((3L, 3.0)).toDF("k", "p"), dir, Seq("k")) // v3
+    Versioned.vacuumOlderThan(spark, dir, cutoff)
+    // v2 (older than cutoff, untagged) is gone; v1 (tagged) and the
+    // tip v3 survive
+    intercept[Exception] { Versioned.read(spark, dir, Some(2L)).count() }
+    assert(Versioned.readTag(spark, dir, "pin").count() == 1L)
+    assert(Versioned.read(spark, dir).count() == 3L)
+  }
+
   test("declaration guards: non-bigint and double-declare are refused") {
     val dir = tmp("graft_id6")
     Versioned.init(Seq((1L, "x")).toDF("id", "s"), dir)
