@@ -30,6 +30,14 @@ object Bench {
     // error benched as ~0 s silently flatters the total): per-query
     // status rides along, errored queries count as 'error' and are
     // excluded from the total, and the line carries n_errors.
+    // ambient co-tenant load has swung this host's bench by >2× (r9:
+    // official 313 s vs judge-clean 209 s on identical code) — a gate
+    // decision should not hinge on co-tenants, so the artifact records
+    // the 1-minute loadavg at start/end and per query: an outlier
+    // timing alongside a high load field adjudicates itself
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadavg
     val results = queries.map { case (name, fn) =>
       spark.catalog.clearCache()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -40,15 +48,16 @@ object Bench {
           System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
           "error"
         }
-      name -> ((System.nanoTime() - t0) / 1e9, status)
+      name -> ((System.nanoTime() - t0) / 1e9, status, loadavg)
     }
-    val qs = results.map { case (k, (sec, st)) =>
-      s"\"" + k + s"""\":{"sec":$sec,"status":"$st"}"""
+    val loadAfter = loadavg
+    val qs = results.map { case (k, (sec, st, ld)) =>
+      s"\"" + k + s"""\":{"sec":$sec,"status":"$st","load":$ld}"""
     }.mkString("{", ",", "}")
-    val ok = results.collect { case (_, (sec, "ok")) => sec }
+    val ok = results.collect { case (_, (sec, "ok", _)) => sec }
     val nErrors = results.count(_._2._2 == "error")
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"load_before":$loadBefore,"load_after":$loadAfter,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // durable copy: the driver's stdout capture has truncated this line
     // before (round 4 — headline number unrecoverable from artifacts),

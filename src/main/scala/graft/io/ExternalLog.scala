@@ -152,7 +152,14 @@ object ExternalLog {
     var latest = -1L
     (1L to cur).foreach { v =>
       val lv = v - 1
-      if (already.contains(lv)) {
+      if (!Versioned.manifestExists(spark, path, v)) {
+        // vacuumed version: its manifest is gone, so its add/remove
+        // delta is unknowable — leave a log gap exactly like the
+        // deletion-vector case (the next retained version's delta is
+        // computed against the last version actually exported), rather
+        // than dying on a raw FileNotFoundException mid-export
+        ()
+      } else if (already.contains(lv)) {
         prevExported = Versioned.files(spark, path, Some(v))
         latest = math.max(latest, lv)
       } else if (Versioned.deletionVector(spark, path, Some(v)).isEmpty) {

@@ -87,6 +87,13 @@ object Versioned {
   private def manifestPath(path: String, v: Long) =
     new Path(manifestDir(path), s"v$v.manifest")
 
+  /** Whether version `v`'s manifest is still retained (false after
+    * [[vacuum]] dropped it) — the probe interop surfaces use to skip
+    * or re-seed instead of dying on a raw FileNotFoundException. */
+  private[graft] def manifestExists(spark: SparkSession, path: String,
+      v: Long): Boolean =
+    fs(spark, path).exists(manifestPath(path, v))
+
   private def schemaPath(path: String, v: Long) =
     new Path(manifestDir(path), s"v$v.schema")
 

@@ -87,4 +87,19 @@ object Q {
   /** The lineitem revenue term used across queries. */
   val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   val REVENUE: String = "l_extendedprice * (1 - l_discount)"
+
+  /** Diagnostic receipt column for the lake queries' physical
+    * invariants (files carried by reference, vectors intact, pruning
+    * arithmetic, …). The r9 post-mortem: folding a receipt into the
+    * hashed row as a bare 0/1 means one load-sensitive physical fact
+    * can poison an otherwise value-exact logical answer while the
+    * artifact records NOTHING about which fact flipped or by how much.
+    * A receipt is therefore a string: `"ok"` when the invariant holds
+    * (the oracle pins the literal), else `FAIL[<operands>]` — the red
+    * row itself then carries the failing receipt's operands (counts,
+    * file arithmetic), so a driver-side flake is diagnosable from
+    * `CORRECTNESS_r*.json` alone, with no reproduction run needed.
+    * `detail` is by-name: the operand string is only built on failure. */
+  def receipt(ok: Boolean, detail: => String): String =
+    if (ok) "ok" else s"FAIL[$detail]"
 }

@@ -68,10 +68,14 @@ object Wave42Queries {
           expr("bit_xor(fp)").as("xor_fp")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (c.coalesced == slivers) 1 else 0,
-          if (c.carried == 16) 1 else 0,
-          if (bulkCarried) 1 else 0,
-          if (dvRows == updatedTotal) 1 else 0,
+          Q.receipt(c.coalesced == slivers,
+            s"coalesced=${c.coalesced} slivers=$slivers"),
+          Q.receipt(c.carried == 16, s"carried=${c.carried} want=16"),
+          Q.receipt(bulkCarried, s"missing=${
+            v1Files.toSet.diff(Versioned.files(s, dir).toSet).take(3)
+              .mkString(";")}"),
+          Q.receipt(dvRows == updatedTotal,
+            s"dvRows=$dvRows updatedTotal=$updatedTotal"),
           c.version.toInt))
         .toDF("n_rows", "sum_price", "xor_fp", "coalesced_all_slivers",
           "carried_all", "bulk_by_reference", "dv_intact", "version")
@@ -119,16 +123,18 @@ object Wave42Queries {
             .as("sc"))
         .filter(col("n") > 0)
       val full = mvOf(Versioned.read(s, dir))
-      val matches = mv1.join(full.withColumnRenamed("n", "fn")
+      val mismatches = mv1.join(full.withColumnRenamed("n", "fn")
           .withColumnRenamed("sc", "fsc"), Seq("o_orderstatus"), "full_outer")
         .filter(col("n") =!= col("fn") || col("sc") =!= col("fsc") ||
           col("n").isNull || col("fn").isNull)
-        .count()
+        .limit(4).collect().toSeq
       import s.implicits._
       val out = mv1.orderBy("o_orderstatus").collect().toSeq
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          if (matches == 0L) 1 else 0,
-          if (cf.filesOpened < cf.filesUnion) 1 else 0))
+          Q.receipt(mismatches.isEmpty,
+            s"incremental-vs-full mismatch rows=${mismatches.mkString(";")}"),
+          Q.receipt(cf.filesOpened < cf.filesUnion,
+            s"filesOpened=${cf.filesOpened} filesUnion=${cf.filesUnion}")))
       out.toDF("o_orderstatus", "n", "sum_cents", "matches_full", "pruned")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -155,8 +161,8 @@ object Wave42Queries {
          |  FROM b)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS coalesced_all_slivers, 1 AS carried_all,
-         |  1 AS bulk_by_reference, 1 AS dv_intact, 5 AS version
+         |  'ok' AS coalesced_all_slivers, 'ok' AS carried_all,
+         |  'ok' AS bulk_by_reference, 'ok' AS dv_intact, 5 AS version
          |FROM fp""".stripMargin,
     "q_incr_mv" ->
       s"""WITH v2 AS (
@@ -172,6 +178,6 @@ object Wave42Queries {
          |  WHERE o_orderstatus = 'F' AND o_orderkey % 101 = 0)
          |SELECT o_orderstatus, count(*) AS n,
          |  sum(CAST(floor(p * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
-         |  1 AS matches_full, 1 AS pruned
+         |  'ok' AS matches_full, 'ok' AS pruned
          |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -65,7 +65,10 @@ object Wave56Queries {
           expr("bit_xor(fp)").as("xf")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (opsOk) 1 else 0, if (reused) 1 else 0, 4L))
+          Q.receipt(opsOk, s"history=${ops.mkString(",")}"),
+          Q.receipt(reused, s"v3Files=${Versioned.files(s, dir, Some(3L))
+            .filter(_.contains("/st=O/")).take(3).mkString(";")}"),
+          4L))
         .toDF("n_rows", "sum_price", "xor_fp", "ops_ok",
           "rebase_reused_staging", "version")
     } finally {
@@ -97,6 +100,6 @@ object Wave56Queries {
          |  FROM m)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS ops_ok, 1 AS rebase_reused_staging, 4 AS version
+         |  'ok' AS ops_ok, 'ok' AS rebase_reused_staging, 4 AS version
          |FROM fp""".stripMargin)
 }

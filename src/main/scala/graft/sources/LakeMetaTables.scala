@@ -65,7 +65,9 @@ final class LakeFilesTable(path: String, version: Option[Long])
           LakeInputPartition(f, Array.empty): InputPartition).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new LakeReaderFactory(LakeMetaTables.filesSchema)
+        new LakeReaderFactory(LakeMetaTables.filesSchema,
+          new SerializableHadoopConf(
+            SparkSession.active.sparkContext.hadoopConfiguration))
     }
 }
 

@@ -26,21 +26,22 @@ final case class LakeInputPartition(file: String,
   * [[graft.ops.Versioned]]'s vectors key on. Row-by-row Group
   * decoding, deliberately simple: the connector is the interop
   * surface, not the vectorized hot path. */
-final class LakeReaderFactory(schema: StructType)
-  extends PartitionReaderFactory {
+final class LakeReaderFactory(schema: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val lp = p.asInstanceOf[LakeInputPartition]
-    new LakePartitionReader(lp.file, lp.dvPositions, schema)
+    new LakePartitionReader(lp.file, lp.dvPositions, schema, conf.value)
   }
 }
 
 final class LakePartitionReader(file: String, dv: Array[Long],
-    schema: StructType) extends PartitionReader[InternalRow] {
+    schema: StructType, conf: Configuration)
+  extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(new Configuration()).build()
+      .withConf(conf).build()
 
   private val deleted: java.util.HashSet[java.lang.Long] = {
     val s = new java.util.HashSet[java.lang.Long](dv.length * 2 + 1)

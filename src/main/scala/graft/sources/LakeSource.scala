@@ -86,7 +86,8 @@ class LakeSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val m = new CaseInsensitiveStringMap(properties)
     new LakeTable(pathOf(m), versionOf(m), schema,
-      m.getBoolean("ignoreChanges", false))
+      m.getBoolean("ignoreChanges", false),
+      Option(m.get("startingVersion")))
   }
 }
 
@@ -98,7 +99,8 @@ object LakeSource {
 }
 
 final class LakeTable(path: String, version: Option[Long],
-    tableSchema: StructType, ignoreChanges: Boolean)
+    tableSchema: StructType, ignoreChanges: Boolean,
+    startingVersion: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with SupportsDelete {
 
@@ -112,7 +114,8 @@ final class LakeTable(path: String, version: Option[Long],
       TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(path, version, tableSchema, ignoreChanges)
+    new LakeScanBuilder(path, version, tableSchema, ignoreChanges,
+      startingVersion)
 
   private def filterToColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
@@ -181,7 +184,8 @@ final class LakeTable(path: String, version: Option[Long],
 }
 
 final class LakeScanBuilder(path: String, version: Option[Long],
-    fullSchema: StructType, ignoreChanges: Boolean)
+    fullSchema: StructType, ignoreChanges: Boolean,
+    startingVersion: Option[String] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -220,11 +224,13 @@ final class LakeScanBuilder(path: String, version: Option[Long],
   }
 
   override def build(): Scan =
-    new LakeScan(path, version, required, pushed, ignoreChanges)
+    new LakeScan(path, version, required, pushed, ignoreChanges,
+      startingVersion)
 }
 
 final class LakeScan(path: String, version: Option[Long],
-    required: StructType, pushed: Array[Filter], ignoreChanges: Boolean)
+    required: StructType, pushed: Array[Filter], ignoreChanges: Boolean,
+    startingVersion: Option[String] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -291,8 +297,9 @@ final class LakeScan(path: String, version: Option[Long],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required)
+    new LakeReaderFactory(required, new SerializableHadoopConf(
+      SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LakeMicroBatchStream(path, required, ignoreChanges)
+    new LakeMicroBatchStream(path, required, ignoreChanges, startingVersion)
 }

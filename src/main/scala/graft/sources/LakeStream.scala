@@ -36,11 +36,24 @@ final case class LakeOffset(v: Long) extends Offset {
   * [[Versioned.followChanges]], but through the engine's own
   * streaming runtime (watermarks, stateful ops, sinks all compose). */
 final class LakeMicroBatchStream(path: String, schema: StructType,
-    ignoreChanges: Boolean) extends MicroBatchStream {
+    ignoreChanges: Boolean, startingVersion: Option[String] = None)
+  extends MicroBatchStream {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = LakeOffset(0L)
+  /** A fresh stream's first offset. Default is the table's full
+    * history (offset 0 → the initial snapshot arrives as version 1's
+    * files); `.option("startingVersion", n)` starts at version `n`
+    * inclusive, and `.option("startingVersion", "latest")` delivers
+    * only commits made after the stream starts — Delta's escape hatch
+    * for tables whose early manifests were [[Versioned.vacuum]]ed,
+    * where replaying from version 1 is permanently impossible. */
+  override def initialOffset(): Offset = startingVersion match {
+    case None => LakeOffset(0L)
+    case Some("latest") =>
+      LakeOffset(Versioned.currentVersion(spark, path).getOrElse(0L))
+    case Some(n) => LakeOffset(n.toLong - 1L)
+  }
 
   override def latestOffset(): Offset =
     LakeOffset(Versioned.currentVersion(spark, path).getOrElse(0L))
@@ -53,10 +66,21 @@ final class LakeMicroBatchStream(path: String, schema: StructType,
     val a = start.asInstanceOf[LakeOffset].v
     val b = end.asInstanceOf[LakeOffset].v
     (a + 1 to b).flatMap { v =>
+      def filesAt(ver: Long): Seq[String] =
+        try Versioned.files(spark, path, Some(ver))
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"graft-lake stream: manifest of $path v$ver is gone — " +
+                "most likely vacuumed. Re-seed the stream with " +
+                ".option(\"startingVersion\", <oldest retained>) or " +
+                ".option(\"startingVersion\", \"latest\") and a fresh " +
+                "checkpoint.", e)
+        }
       val prev: Set[String] =
         if (v <= 1) Set.empty
-        else Versioned.files(spark, path, Some(v - 1)).toSet
-      val curF = Versioned.files(spark, path, Some(v))
+        else filesAt(v - 1).toSet
+      val curF = filesAt(v)
       if (!ignoreChanges) {
         val removed = prev.diff(curF.toSet)
         if (removed.nonEmpty)
@@ -85,7 +109,8 @@ final class LakeMicroBatchStream(path: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(schema)
+    new LakeReaderFactory(schema, new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
 

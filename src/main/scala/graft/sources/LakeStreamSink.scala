@@ -42,7 +42,8 @@ final class LakeStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeStreamWriterFactory(path, schema)
+    new LakeStreamWriterFactory(path, schema, new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration))
 
   private def spark = SparkSession.active
 
@@ -87,7 +88,9 @@ final class LakeStreamingWrite(path: String, schema: StructType,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    // driver-side cleanup: the SESSION conf, so configured stores
+    // (s3a endpoints, credentials) resolve exactly as the write did
+    val conf = spark.sparkContext.hadoopConfiguration
     messages.filter(_ != null).foreach {
       case m: LakeFilesMessage => m.files.foreach { f =>
         // each task stages one file in its OWN gbatch directory —
@@ -104,11 +107,11 @@ final class LakeStreamingWrite(path: String, schema: StructType,
 final case class LakeFilesMessage(files: Seq[String])
   extends WriterCommitMessage
 
-final class LakeStreamWriterFactory(path: String, schema: StructType)
-  extends StreamingDataWriterFactory {
+final class LakeStreamWriterFactory(path: String, schema: StructType,
+    conf: SerializableHadoopConf) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LakeRowWriter(path, schema, partitionId, taskId, epochId)
+    new LakeRowWriter(path, schema, partitionId, taskId, epochId, conf)
 }
 
 /** One parquet file per (task, epoch), written on the EXECUTOR under
@@ -116,7 +119,8 @@ final class LakeStreamWriterFactory(path: String, schema: StructType)
   * buffered by parquet's own column pages — nothing accumulates in
   * JVM lists. */
 final class LakeRowWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long, epochId: Long)
+    partitionId: Int, taskId: Long, epochId: Long,
+    conf: SerializableHadoopConf)
   extends DataWriter[InternalRow] {
 
   private val phys = schema.fields.map(Versioned.physicalNameOf)
@@ -159,8 +163,8 @@ final class LakeRowWriter(path: String, schema: StructType,
       s"${java.util.UUID.randomUUID().toString.take(8)}/part-0.parquet")
 
   private val writer = ExampleParquetWriter
-    .builder(HadoopOutputFile.fromPath(file, new Configuration()))
-    .withConf(new Configuration()).withType(messageType).build()
+    .builder(HadoopOutputFile.fromPath(file, conf.value))
+    .withConf(conf.value).withType(messageType).build()
 
   private var n = 0L
 
@@ -187,16 +191,14 @@ final class LakeRowWriter(path: String, schema: StructType,
     writer.close()
     if (n == 0L) {
       // empty task: drop the schema-only file, contribute nothing
-      val conf = new Configuration()
-      file.getFileSystem(conf).delete(file.getParent, true)
+      file.getFileSystem(conf.value).delete(file.getParent, true)
       LakeFilesMessage(Seq.empty)
     } else LakeFilesMessage(Seq(file.toString))
   }
 
   override def abort(): Unit = {
     writer.close()
-    val conf = new Configuration()
-    file.getFileSystem(conf).delete(file.getParent, true)
+    file.getFileSystem(conf.value).delete(file.getParent, true)
   }
 
   override def close(): Unit = ()

@@ -461,8 +461,15 @@ object Events {
   private def hourlyWithLateReplay0(spark: SparkSession, sfDir: String,
       cut: String, replayLate: Boolean): DataFrame = {
     val key = s"$sfDir|$cut"
+    // fixed per (key, JVM) — the checkpoint records absolute paths so
+    // the dir must be stable across invocations, but the pid namespace
+    // keeps two concurrent JVMs (bench + test run) from sharing and
+    // clobbering the directory and its checkpoint mid-run; the mask
+    // (not math.abs, whose Int.MinValue result is negative) keeps the
+    // dir name well-formed on every hash
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_late_fixed_" +
-      math.abs(key.hashCode).toString
+      s"p${ProcessHandle.current().pid()}_" +
+      (key.hashCode & 0x7fffffff).toHexString
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     locally {
