@@ -392,6 +392,92 @@ object Versioned {
 
   private[graft] def fileKeyOf(f: String): String = fileKey(f)
 
+  /** Whether the connector may commit executor-staged files directly
+    * (the real V2 write path): tables with generated/identity columns
+    * need in-plan computation, column-mapped tables need
+    * physical-name translation, and partition-structured layouts need
+    * the partition writer — those route through [[append]]'s driver
+    * API instead. */
+  private[graft] def canStageDirect(spark: SparkSession,
+      path: String): Boolean = {
+    val cur = resolve(spark, path, None)
+    generatedColumns(spark, path).isEmpty &&
+      identityColumns(spark, path).isEmpty &&
+      tableSchema(spark, path, Some(cur))
+        .forall(_.fields.forall(f => physicalOf(f) == f.name)) &&
+      !readManifestEntries(spark, path, cur).exists { case (f0, _) =>
+        val k = fileKey(f0)
+        k.indexOf('/') >= 0 && k.substring(k.indexOf('/') + 1).contains("=")
+      }
+  }
+
+  /** Commit a DISTRIBUTED row-level delta — the DSv2
+    * `SupportsDelta`/`WriteDelta` protocol's driver step, shared by
+    * SQL `UPDATE`, `MERGE INTO`, and predicate `DELETE`s Spark can't
+    * express as source filters. Executors have already (a) staged the
+    * INSERTED row images as parquet under the table's `data/gbatch=…`
+    * convention and (b) written their DELETED (file key, row position)
+    * pairs as parquet sidecars; this turns both into ONE merge-on-read
+    * commit: `manifest(cur) ∪ staged` plus `dv(cur) ∪ delta` — zero
+    * pre-existing files rewritten, O(touched rows) I/O, the exact
+    * economics of [[updateVectored]] but computed by Spark's own
+    * row-level rewrite plan on the executors.
+    *
+    * Concurrency: the delta's (file, pos) references are only valid
+    * against a manifest that still CONTAINS those files. Before
+    * committing, every referenced file key is checked against the
+    * current manifest; a concurrent rewrite (merge/compaction) that
+    * dropped one fails the statement loudly — re-running re-plans
+    * against the new snapshot (Delta's serializable-conflict answer).
+    * Concurrent APPENDs keep positions valid and simply retry. */
+  private[graft] def commitRowDelta(spark: SparkSession, path: String,
+      dataFiles: Seq[String], dvStagedDirs: Seq[String],
+      op: String, maxRetries: Int = 5): Long = {
+    require(generatedColumns(spark, path).isEmpty &&
+      identityColumns(spark, path).isEmpty,
+      s"SQL row-level DML refuses generated/identity tables: $path — " +
+        "those writers need Versioned.merge/updateVectored's in-plan " +
+        "machinery")
+    require(!hasColumnMapping(spark, path),
+      s"SQL row-level DML refuses column-mapped tables: $path — the " +
+        "executor writers speak the query schema, which carries no " +
+        "physical-name mapping")
+    val newDv: Option[DataFrame] =
+      if (dvStagedDirs.isEmpty) None
+      else Some(spark.read.schema(dvFields).parquet(dvStagedDirs: _*))
+    if (dataFiles.isEmpty && newDv.isEmpty) return resolve(spark, path, None)
+    if (dataFiles.nonEmpty)
+      enforceConstraints(spark, path,
+        readFiles(spark, path, dataFiles, None, false))
+    val stagedE =
+      if (dataFiles.isEmpty) Seq.empty
+      else stagedEntries(spark, path, dataFiles)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      newDv.foreach { d =>
+        val curKeys = readManifestEntries(spark, path, cur)
+          .map(e => fileKey(e._1)).toSet
+        val stale = d.select("f").distinct().collect()
+          .map(_.getString(0)).filterNot(curKeys)
+        require(stale.isEmpty,
+          s"row-level delta is stale: ${stale.length} referenced " +
+            "file(s) left the manifest (concurrent rewrite?) — re-run " +
+            s"the statement. First: ${stale.take(3).mkString(", ")}")
+      }
+      val combined = (deletionVector(spark, path, Some(cur)), newDv) match {
+        case (Some(prev), Some(n)) => Some(prev.unionByName(n))
+        case (a, b) => b.orElse(a)
+      }
+      if (commit(spark, path, cur + 1,
+          Left(readManifestEntries(spark, path, cur) ++ stagedE),
+          tableSchema(spark, path, Some(cur)), combined, op = Some(op)))
+        return cur + 1
+      attempt += 1
+    }
+    sys.error(s"row-level delta lost ${maxRetries + 1} commit races: $path")
+  }
+
   /** The PART FILES of version `v`'s parquet manifest — the `\$files`
     * metadata table is served by scanning the manifest itself
     * (metadata as data: no driver materialization, one task per
@@ -1352,7 +1438,7 @@ object Versioned {
     * those writers need [[append]]/[[merge]]'s in-plan machinery. */
   private[graft] def appendStaged(spark: SparkSession, path: String,
       files: Seq[String], txn: Option[(String, Long)],
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5, opName: String = "STREAM-APPEND"): Long = {
     require(generatedColumns(spark, path).isEmpty &&
       identityColumns(spark, path).isEmpty,
       s"streaming sink refuses generated/identity tables: $path — " +
@@ -1384,7 +1470,7 @@ object Versioned {
       if (commit(spark, path, next, filesArg,
           tableSchema(spark, path, Some(cur)),
           deletionVector(spark, path, Some(cur)),
-          op = Some("STREAM-APPEND"), extraFiles = extras))
+          op = Some(opName), extraFiles = extras))
         return next
       Thread.sleep(50)
       attempt += 1

@@ -75,6 +75,15 @@ final class LakePartitionReader(file: String, dv: Array[Long],
   private var pos = -1L
   private var cur: Group = _
 
+  // row-id metadata columns (SQL row-level DML's identity): the file's
+  // manifest KEY — the deletion vectors' own keying — and the row's
+  // physical position, which [[next]] counts over ALL physical rows
+  // (deleted ones included), so emitted positions match the file.
+  // Lazy: manifest-scan readers ($files) read files OUTSIDE a data
+  // root, where the key is undefined — and they never request it.
+  private lazy val fileKeyStr =
+    UTF8String.fromString(Versioned.fileKeyOf(file))
+
   private val int96Cache = new java.util.HashMap[Integer, java.lang.Boolean]()
   private def isInt96(idx: Int): Boolean = {
     val hit = int96Cache.get(idx)
@@ -104,11 +113,14 @@ final class LakePartitionReader(file: String, dv: Array[Long],
     val vals = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
+      val name = schema.fields(i).name
       vals(i) =
-        if (t.containsField(phys(i))) {
+        if (name == LakeRowLevel.FileCol) fileKeyStr
+        else if (name == LakeRowLevel.PosCol) pos
+        else if (t.containsField(phys(i))) {
           val idx = t.getFieldIndex(phys(i))
           if (cur.getFieldRepetitionCount(idx) == 0) null
-          else extract(idx, schema.fields(i).dataType, schema.fields(i).name)
+          else extract(idx, schema.fields(i).dataType, name)
         } else partValue(i).orNull
       i += 1
     }

@@ -6,13 +6,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources.{And, IsNotNull, IsNull, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-import org.apache.spark.sql.connector.write.{streaming, LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{streaming, BatchWrite, LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -102,16 +102,58 @@ final class LakeTable(path: String, version: Option[Long],
     tableSchema: StructType, ignoreChanges: Boolean,
     startingVersion: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
-  with SupportsDelete {
+  with SupportsDelete with SupportsRowLevelOperations
+  with SupportsMetadataColumns {
 
   override def name(): String = s"graft-lake:$path"
 
   override def schema(): StructType = tableSchema
 
+  /** Whether writes may take the REAL V2 path (executor-staged
+    * commits). Resolved once per table load; Spark's capability check
+    * requires the declared capability and the produced Write to agree,
+    * so the decision is shared by [[capabilities]] and
+    * [[newWriteBuilder]]. */
+  private lazy val directWrite: Boolean =
+    Versioned.canStageDirect(SparkSession.active, path)
+
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE,
+      if (directWrite) TableCapability.BATCH_WRITE
+      else TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE).asJava
+
+  /** The row-id identity SQL row-level DML keys on — the same
+    * (file key, physical position) pair the engine's deletion vectors
+    * use, surfaced as hidden metadata columns a reader can also
+    * SELECT explicitly for provenance. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = LakeRowLevel.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "manifest file key of the row"
+    },
+    new MetadataColumn {
+      override def name(): String = LakeRowLevel.PosCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "physical row position in its file"
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-filter `DELETE` — Spark's
+    * row-level rewrite plans against [[LakeDeltaOperation]]'s
+    * delta-based write: vectors for deletions, staged files for
+    * images, zero pre-existing files rewritten. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"cannot run row-level DML on a version-pinned table: $path " +
+        s"VERSION AS OF ${version.get}")
+    new LakeRowLevelOperationBuilder(path, tableSchema, info)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, tableSchema, ignoreChanges,
@@ -154,31 +196,44 @@ final class LakeTable(path: String, version: Option[Long],
     Versioned.deleteVectored(SparkSession.active, path, pred)
   }
 
-  /** APPEND-ONLY writes, routed through [[Versioned.append]]'s commit
-    * protocol — CHECK constraints, generated columns and identity
-    * allocation all apply, and a lost commit race re-points the
-    * staged files instead of restaging (appends never conflict).
-    * Everything else (overwrite, row-level DML) is refused: those
-    * must go through the engine's merge/delete primitives. */
+  /** APPEND-ONLY writes. The default is the REAL V2 protocol
+    * ([[LakeBatchWrite]]): executors stage parquet files under the
+    * table's convention and the driver folds their commit messages
+    * into one append-commit — distributed end to end, only file paths
+    * cross the driver. Tables whose writes need in-plan machinery
+    * (generated/identity columns, column mapping, partition layouts)
+    * fall back to a `V1Write` into [[Versioned.append]], which owns
+    * exactly that machinery. Overwrites are refused either way: those
+    * semantics belong to the engine's merge/delete primitives. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       s"cannot write to a version-pinned table: $path VERSION AS OF " +
         version.get)
+    val spark = SparkSession.active
     new WriteBuilder {
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: org.apache.spark.sql.DataFrame,
-                overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                "graft-lake is append-only through SQL: INSERT " +
-                  "OVERWRITE must go through Versioned.merge/delete")
-              Versioned.append(data, path)
+      override def build(): Write =
+        if (directWrite) new Write {
+          override def toBatch: BatchWrite =
+            new LakeBatchWrite(path, info.schema(),
+              new SerializableHadoopConf(
+                spark.sparkContext.hadoopConfiguration))
+          override def toStreaming: streaming.StreamingWrite =
+            new LakeStreamingWrite(path, info.schema(), info.queryId())
+        }
+        else new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "graft-lake is append-only through SQL: INSERT " +
+                    "OVERWRITE must go through Versioned.merge/delete")
+                Versioned.append(data, path)
+              }
             }
-          }
-        override def toStreaming: streaming.StreamingWrite =
-          new LakeStreamingWrite(path, info.schema(), info.queryId())
-      }
+          override def toStreaming: streaming.StreamingWrite =
+            new LakeStreamingWrite(path, info.schema(), info.queryId())
+        }
     }
   }
 }

@@ -111,7 +111,7 @@ final class LakeStreamWriterFactory(path: String, schema: StructType,
     conf: SerializableHadoopConf) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LakeRowWriter(path, schema, partitionId, taskId, epochId, conf)
+    new LakeRowWriter(path, schema, s"se$epochId-$partitionId", conf)
 }
 
 /** One parquet file per (task, epoch), written on the EXECUTOR under
@@ -119,8 +119,7 @@ final class LakeStreamWriterFactory(path: String, schema: StructType,
   * buffered by parquet's own column pages — nothing accumulates in
   * JVM lists. */
 final class LakeRowWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long, epochId: Long,
-    conf: SerializableHadoopConf)
+    tag: String, conf: SerializableHadoopConf)
   extends DataWriter[InternalRow] {
 
   private val phys = schema.fields.map(Versioned.physicalNameOf)
@@ -159,7 +158,7 @@ final class LakeRowWriter(path: String, schema: StructType,
   }
 
   private val file = new Path(new Path(path, "data"),
-    s"${"gbatch"}=se$epochId-$partitionId-" +
+    s"${"gbatch"}=$tag-" +
       s"${java.util.UUID.randomUUID().toString.take(8)}/part-0.parquet")
 
   private val writer = ExampleParquetWriter

@@ -76,7 +76,7 @@ class LakeCatalogSpec extends SparkSuite {
   }
 
   test("DELETE FROM runs as a vectored merge-on-read delete; " +
-      "untranslatable predicates are refused at analysis") {
+      "untranslatable predicates take the row-level delta path") {
     withCatalog()
     val dir = tmp("graft_cat7")
     Versioned.init(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
@@ -88,11 +88,14 @@ class LakeCatalogSpec extends SparkSuite {
     assert(Versioned.files(spark, dir).toSet == v1Files,
       "vectored delete must not rewrite files")
     assert(Versioned.deletionVector(spark, dir).nonEmpty)
-    // a predicate with no source-filter translation fails loudly
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM lake.`$dir` WHERE k % 2 = 0")
-    }
-    assert(Versioned.read(spark, dir).count() == 3L)
+    // a predicate with no source-filter translation used to be refused
+    // at analysis; since the round-10 row-level ops it runs through
+    // Spark's DELETE rewrite + the delta write — same merge-on-read
+    // commit, still zero rewrite
+    spark.sql(s"DELETE FROM lake.`$dir` WHERE k % 2 = 0")
+    assert(Versioned.read(spark, dir).select("k").as[Long]
+      .collect().toSet == Set(1L))
+    assert(v1Files.subsetOf(Versioned.files(spark, dir).toSet))
   }
 
   test("df.writeTo(...).append() lands as an APPEND commit") {
