@@ -314,10 +314,11 @@ object PipelineQueries {
     *
     * Cross-engine determinism: ln agrees between engines (pinned by
     * the PMI/TF-IDF rows), but float SUM order would not — so the
-    * per-doc terms are folded LEFT-TO-RIGHT IN TOKEN ORDER on both
-    * sides (sort_array + aggregate here, list(... ORDER BY tok) +
-    * list_sum there), making the whole score bit-identical before the
-    * 6-dp round. */
+    * per-doc terms are summed on [[Q.gsum]]'s integer grid: each term
+    * quantizes to a bit-identical long on both engines, and an
+    * integer sum is order/layout-independent, so the score is exact
+    * with ORDINARY distributed aggregates — no per-doc term array in
+    * any aggregation buffer (the r9 scale-hygiene migration). */
   def qLmScore(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d).select(col("doc_id"), col("source"),
       explode(TextStats.tokens(col("text"))).as("tok"))
@@ -333,12 +334,10 @@ object PipelineQueries {
       .select(col("doc_id"), col("tok"),
         (col("cnt") * col("logp")).as("term"), col("cnt"))
     perDocTok.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("tok"), col("term"))))
-             .as("terms"),
+      .agg(Q.gsum(col("term")).as("gterm"),
            sum(col("cnt")).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        round(-expr("aggregate(terms, 0d, (acc, x) -> acc + x.term)")
-          / col("n_tokens"), 6).as("lm_score"))
+        round(-col("gterm") / col("n_tokens"), 6).as("lm_score"))
       .orderBy("doc_id")
   }
 
@@ -793,10 +792,9 @@ object PipelineQueries {
          |FROM jac JOIN documents da ON da.doc_id = jac.doc_a
          |         JOIN documents db ON db.doc_id = jac.doc_b
          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
-    // per-source add-one unigram model, per-doc mean -ln p; the float
-    // fold runs left-to-right in token order on BOTH engines (list(..
-    // ORDER BY tok) + list_sum here = sort_array + aggregate there) so
-    // the sum is bit-identical before the round
+    // per-source add-one unigram model, per-doc mean -ln p; per-term
+    // doubles are bit-identical across engines, so the Q.gsum integer
+    // grid makes the sum exact and order-free on BOTH sides
     "q_lm_score" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source, unnest($T) AS tok FROM documents),
@@ -814,11 +812,11 @@ object PipelineQueries {
          |  FROM tok t JOIN model m ON m.source = t.source AND m.tok = t.tok
          |  GROUP BY t.doc_id, t.tok, m.logp),
          |agg AS (
-         |  SELECT doc_id, list(term ORDER BY tok) AS terms,
+         |  SELECT doc_id, ${Q.GSUM("term")} AS gterm,
          |         CAST(sum(cnt) AS BIGINT) AS n_tokens
          |  FROM per_doc_tok GROUP BY doc_id)
          |SELECT doc_id, n_tokens,
-         |  round(-list_sum(terms) / n_tokens, 6) AS lm_score
+         |  round(-gterm / n_tokens, 6) AS lm_score
          |FROM agg ORDER BY doc_id""".stripMargin,
     // identical raw construction via chr() codepoints, then utf8proc's
     // nfc_normalize replaying the JDK cascade: NFC -> lower ->

@@ -64,10 +64,12 @@ object Wave6Queries {
   /** Interpolated bigram LM score per document, model fitted per
     * source on the corpus itself (the self-perplexity quality filter):
     * p(w2|w1) = 0.9·c(w1w2)/c(w1) + 0.1·c(w2)/N, score =
-    * −Σ log p / n_bigrams. The per-doc sum folds in bigram-string
-    * order (same order-pinned fold as `q_lm_score`) so the double
-    * accumulation is bit-reproducible across engines and partition
-    * layouts. Counts are corpus-wide groupBys (uniform keys); the
+    * −Σ log p / n_bigrams. The per-doc sum rides [[Q.gsum]]'s integer
+    * grid (same migration as `q_lm_score`): quantized longs are
+    * bit-identical across engines and an integer sum is order-free,
+    * so no per-doc term array sits in any aggregation buffer and the
+    * score survives any partition layout. Counts are corpus-wide
+    * groupBys (uniform keys); the
     * per-doc join broadcasts nothing and shuffles on (source, bigram)
     * — the shape survives a 100× corpus. */
   def qLmBigram(s: SparkSession, d: String): DataFrame = {
@@ -95,12 +97,10 @@ object Wave6Queries {
       .select(col("doc_id"), col("bg"),
         (col("cnt") * col("logp")).as("term"), col("cnt"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("bg"), col("term"))))
-        .as("terms"),
+      .agg(Q.gsum(col("term")).as("gterm"),
         sum(col("cnt")).as("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-expr("aggregate(terms, 0d, (acc, x) -> acc + x.term)")
-          / col("n_bigrams"), 6).as("lm_score"))
+        round(-col("gterm") / col("n_bigrams"), 6).as("lm_score"))
       .orderBy("doc_id")
   }
 
@@ -231,10 +231,14 @@ object Wave6Queries {
     * the split is the md5 hash-bucket parity from [[graft.ops
     * .Sampling]], NOT doc_id parity, which the generator correlates
     * with source): symmetric KL over the SHARED vocabulary, each
-    * direction's sum folded in token order so the double accumulation
-    * is bit-reproducible. Distributions are normalized over
-    * shared-vocab counts only, so every term is finite by
-    * construction. */
+    * direction summed on [[Q.gsum]]'s integer grid — the per-term
+    * doubles are bit-identical across engines (ln is pinned), the
+    * quantized longs therefore too, and an integer sum is
+    * layout/order-independent, so no per-source vocabulary-sized
+    * array ever sits in an aggregation buffer (the r9 scale-hygiene
+    * note: the old sort_array+fold held the ENTIRE shared vocab in
+    * one reducer row). Distributions are normalized over shared-vocab
+    * counts only, so every term is finite by construction. */
   def qKlDrift(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d).repartition(col("doc_id"))
       .select(col("source"),
@@ -257,15 +261,8 @@ object Wave6Queries {
           .as("term_qp"))
       .groupBy("source")
       .agg(max(col("n_shared")).as("n_shared"),
-        sort_array(collect_list(struct(col("tok"), col("term_pq"))))
-          .as("tpq"),
-        sort_array(collect_list(struct(col("tok"), col("term_qp"))))
-          .as("tqp"))
-      .select(col("source"), col("n_shared"),
-        round(expr("aggregate(tpq, 0d, (acc, x) -> acc + x.term_pq)"), 6)
-          .as("kl_even_odd"),
-        round(expr("aggregate(tqp, 0d, (acc, x) -> acc + x.term_qp)"), 6)
-          .as("kl_odd_even"))
+        round(Q.gsum(col("term_pq")), 6).as("kl_even_odd"),
+        round(Q.gsum(col("term_qp")), 6).as("kl_odd_even"))
       .orderBy("source")
   }
 
@@ -751,11 +748,11 @@ object Wave6Queries {
          |  FROM bg b JOIN model m ON m.source = b.source AND m.bg = b.bg
          |  GROUP BY b.doc_id, b.bg, m.logp),
          |agg AS (
-         |  SELECT doc_id, list(term ORDER BY bg) AS terms,
+         |  SELECT doc_id, ${Q.GSUM("term")} AS gterm,
          |         CAST(sum(cnt) AS BIGINT) AS n_bigrams
          |  FROM per_doc GROUP BY doc_id)
          |SELECT doc_id, n_bigrams,
-         |  round(-list_sum(terms) / n_bigrams, 6) AS lm_score
+         |  round(-gterm / n_bigrams, 6) AS lm_score
          |FROM agg ORDER BY doc_id""".stripMargin
     },
     "q_semantic_dedup" -> {
@@ -1112,12 +1109,10 @@ object Wave6Queries {
          |  FROM counts c JOIN totals t USING (source)),
          |agg AS (
          |  SELECT source, max(n_shared) AS n_shared,
-         |    list(term_pq ORDER BY tok) AS tpq,
-         |    list(term_qp ORDER BY tok) AS tqp
+         |    round(${Q.GSUM("term_pq")}, 6) AS kl_even_odd,
+         |    round(${Q.GSUM("term_qp")}, 6) AS kl_odd_even
          |  FROM terms GROUP BY source)
-         |SELECT source, n_shared,
-         |  round(list_sum(tpq), 6) AS kl_even_odd,
-         |  round(list_sum(tqp), 6) AS kl_odd_even
+         |SELECT source, n_shared, kl_even_odd, kl_odd_even
          |FROM agg ORDER BY source""".stripMargin
     })
 }

@@ -3,7 +3,8 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,7 +33,7 @@ import graft.ops.Versioned
   * OCC); overwrites, row-level DML and DDL are refused — those
   * semantics belong to the engine's merge/delete primitives, never
   * to blind SQL that would bypass them. */
-class LakeCatalog extends TableCatalog {
+class LakeCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Option[String] = None
@@ -115,6 +116,18 @@ class LakeCatalog extends TableCatalog {
             new org.apache.hadoop.fs.Path(s.getPath, "_versions")))
           .map(s => Identifier.of(namespace, s.getPath.getName))
     }
+
+  /** Maintenance procedures: `CALL lake.optimize('/t', 4)` etc. —
+    * see [[LakeProcedures]]. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    LakeProcedures.all.getOrElse(ident.name,
+      throw new IllegalArgumentException(
+        s"unknown procedure $catalogName.${ident.name} — available: " +
+          LakeProcedures.all.keys.toSeq.sorted.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LakeProcedures.all.keys.toSeq.sorted
+      .map(Identifier.of(namespace, _)).toArray
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Versioned
+
+/** Catalog MAINTENANCE as SQL stored procedures (Spark 4's
+  * `ProcedureCatalog`), closing the last "needs the Scala API" gap:
+  *
+  * {{{
+  * CALL lake.optimize('/data/t', 4)     -- compact to ≤4 files/partition
+  * CALL lake.optimize_small('/data/t', 1048576, 1)  -- slivers only
+  * CALL lake.vacuum('/data/t', 2)       -- drop all but the last 2 versions
+  * CALL lake.restore('/data/t', 3)      -- new commit with v3's content
+  * }}}
+  *
+  * Each procedure returns its engine receipt as a one-row result set
+  * (a [[LocalScan]] — the receipts are a handful of scalars computed
+  * by the already-distributed maintenance job, so local rows are the
+  * honest representation). Binding is by position or by name
+  * (`CALL lake.vacuum(path => '/t', keep_last => 2)`), with the same
+  * defaulting rules as any Spark procedure. */
+object LakeProcedures {
+
+  private def spark = SparkSession.active
+
+  private def p(name: String, dt: DataType, comment: String) =
+    ProcedureParameter.in(name, dt).comment(comment).build()
+
+  /** One-row LocalScan over `schema`. */
+  private final class ReceiptScan(schema: StructType, vals: Seq[Any])
+    extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      Array(InternalRow.fromSeq(vals))
+  }
+
+  private def result(schema: StructType, vals: Any*): util.Iterator[Scan] =
+    util.Collections.singletonList(
+      new ReceiptScan(schema, vals.toSeq): Scan).iterator()
+
+  private abstract class Proc(override val name: String,
+      override val description: String) extends UnboundProcedure
+    with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  val all: Map[String, UnboundProcedure] = Seq[Proc](
+
+    new Proc("optimize",
+      "compact the table to <= target_files files per partition; " +
+        "folds outstanding deletion vectors away") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("target_files", IntegerType, "max files per partition after"))
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("files_before", LongType, nullable = false),
+        StructField("files_after", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val before = Versioned.files(spark, path).length.toLong
+        val v = Versioned.compact(spark, path, input.getInt(1))
+        result(out, v, before,
+          Versioned.files(spark, path).length.toLong)
+      }
+    },
+
+    new Proc("optimize_small",
+      "selective compaction: coalesce only files smaller than " +
+        "min_bytes, carrying well-sized files by reference") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("min_bytes", LongType, "files below this size are slivers"),
+        p("target_files", IntegerType, "files the slivers coalesce to"))
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("coalesced", IntegerType, nullable = false),
+        StructField("carried", IntegerType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val c = Versioned.compactSmall(spark,
+          input.getUTF8String(0).toString, input.getLong(1),
+          input.getInt(2))
+        result(out, c.version, c.coalesced, c.carried)
+      }
+    },
+
+    new Proc("vacuum",
+      "drop all manifests but the newest keep_last and delete data " +
+        "files no retained version references") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("keep_last", IntegerType, "number of newest versions to keep"))
+      private val out = StructType(Seq(
+        StructField("removed_files", IntegerType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] =
+        result(out, Versioned.vacuum(spark,
+          input.getUTF8String(0).toString, input.getInt(1)))
+    },
+
+    new Proc("restore",
+      "RESTORE TABLE TO VERSION AS OF: commit a new version carrying " +
+        "the target version's files, schema and deletion vector by " +
+        "reference") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("version", LongType, "historical version to restore"))
+      private val out = StructType(Seq(
+        StructField("restored_as", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] =
+        result(out, Versioned.restore(spark,
+          input.getUTF8String(0).toString, input.getLong(1)))
+    },
+
+    new Proc("history",
+      "the commit log: (version, operation, n_files) per retained " +
+        "version, oldest first") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"))
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("n_files", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val hist = Versioned.history(spark,
+          input.getUTF8String(0).toString)
+          .map(ci => InternalRow(ci.version,
+            UTF8String.fromString(ci.operation), ci.nFiles)).toArray
+        util.Collections.singletonList(new LocalScan {
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] = hist
+        }: Scan).iterator()
+      }
+    }
+  ).map(pr => pr.name -> (pr: UnboundProcedure)).toMap
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Versioned
+
+/** `CALL lake.<proc>(…)` — catalog maintenance through pure SQL. */
+class LakeProceduresSpec extends SparkSuite {
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+
+  private def tmp() = Files.createTempDirectory("graft_proc").toString
+
+  private def rm(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private val base = (1L to 20L).map(k => (k, k.toDouble))
+
+  test("CALL lake.optimize compacts and returns the receipt row") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "p").repartition(6), dir)
+      val r = spark.sql(s"CALL lake.optimize('$dir', 2)").collect()
+      assert(r.length == 1)
+      assert(r(0).getLong(0) == 2L)           // committed version
+      assert(r(0).getLong(1) == 6L)           // files before
+      assert(r(0).getLong(2) <= 2L)           // files after
+      assert(Versioned.read(spark, dir).count() == 20L)
+    } finally rm(dir)
+  }
+
+  test("CALL lake.vacuum drops old versions; named-argument binding") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "p").repartition(4), dir)
+      Versioned.compact(spark, dir, 1)
+      val r = spark.sql(
+        s"CALL lake.vacuum(path => '$dir', keep_last => 1)").collect()
+      assert(r.length == 1 && r(0).getInt(0) >= 4) // the 4 v1 files freed
+      assert(Versioned.history(spark, dir).map(_.version) == Seq(2L))
+      assert(Versioned.read(spark, dir).count() == 20L)
+    } finally rm(dir)
+  }
+
+  test("CALL lake.restore re-commits a historical version; " +
+      "CALL lake.history shows the forward-only log") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "p"), dir)
+      Versioned.deleteVectored(spark, dir, col("k") > 10L)
+      assert(Versioned.read(spark, dir).count() == 10L)
+      val r = spark.sql(s"CALL lake.restore('$dir', 1)").collect()
+      assert(r.length == 1 && r(0).getLong(0) == 3L)
+      assert(Versioned.read(spark, dir).count() == 20L)
+      val h = spark.sql(s"CALL lake.history('$dir')").collect()
+        .map(x => (x.getLong(0), x.getString(1)))
+      assert(h.map(_._1).sameElements(Seq(1L, 2L, 3L)))
+      assert(h.last._2.startsWith("RESTORE"))
+    } finally rm(dir)
+  }
+
+  test("unknown procedure fails with the available list") {
+    val e = intercept[Exception] {
+      spark.sql("CALL lake.frobnicate('/nope')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("optimize")))
+  }
+}

@@ -37,6 +37,27 @@ class LayoutIndependenceSpec extends SparkSuite {
     assert(run("4") == run("32"))
   }
 
+  // the r9 scale-hygiene migration: the three LM/drift scores moved
+  // from per-group sort_array+fold (vocabulary-sized agg buffers) to
+  // Q.gsum's integer grid; byte-identity across layouts is the
+  // property the grid buys, so pin it per query
+  private def pinLayout(name: String,
+      run: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Unit =
+    test(s"$name identical at 4 vs 32 shuffle partitions (Q.gsum grid)") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      def go(parts: String) = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try run(spark, sf("sf0.001")).collect().map(_.toSeq).toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      assert(go("4") == go("32"))
+    }
+
+  pinLayout("q_lm_score", graft.queries.PipelineQueries.qLmScore)
+  pinLayout("q_lm_bigram", graft.queries.Wave6Queries.qLmBigram)
+  pinLayout("q_kl_drift", graft.queries.Wave6Queries.qKlDrift)
+
   test("multi-touch channel credit identical at 4 vs 32 shuffle partitions") {
     import graft.queries.Wave20Queries
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
