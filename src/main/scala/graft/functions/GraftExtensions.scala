@@ -1,10 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TableFunctionRegistry}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** SparkSessionExtensions entry point: registers graft's operator
   * surface for SQL use — the native codegen expression (`vector_dot`)
@@ -17,8 +19,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * plain Spark SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(e.injectFunction)
+    GraftExtensions.tableFunctions.foreach(e.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -74,6 +78,47 @@ object GraftExtensions {
     reg("graft_pii_count", 1)(c => graft.text.TextStats.piiCount(c(0))),
     reg("graft_md5_hash64", 1)(c => graft.text.Dedup.md5Hash64(c(0))))
 
+  // ---- table-valued functions ----
+
+  type TableRegistration =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  private def stringLit(e: Expression, fn: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a string literal, got $other")
+  }
+
+  private def longLit(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got $other")
+  }
+
+  /** `SELECT * FROM lake_changes('/t', 1, 2)` — the row-level change
+    * feed between two lake versions as a SQL table function (Delta's
+    * `table_changes`), splicing [[graft.ops.Versioned.changes]]'s
+    * file-pruned plan into the query: only files the two manifests
+    * don't share are read, the carried-file deletion-vector delta is
+    * picked by position, and the resulting scan is fully distributed —
+    * the TVF builder does manifest-scale work only. Closes the last
+    * CDC "needs the Scala API" gap: incremental consumers (the
+    * `q_incr_mv` maintenance shape) can now be pure SQL end to end. */
+  val lakeChanges: TableRegistration = (
+    FunctionIdentifier("lake_changes"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "lake_changes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "lake_changes expects (path, from_version, to_version)")
+      val fn = "lake_changes"
+      Bridge.plan(graft.ops.Versioned.changes(SparkSession.active,
+        stringLit(children(0), fn),
+        longLit(children(1), fn), longLit(children(2), fn)).df)
+    })
+
+  val tableFunctions: Seq[TableRegistration] = Seq(lakeChanges)
+
   /** Session-scoped registration for an already-built session (tests,
     * REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -81,6 +126,11 @@ object GraftExtensions {
       .asInstanceOf[FunctionRegistry]
     all.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
+    }
+    val tvfRegistry = spark.sessionState.tableFunctionRegistry
+      .asInstanceOf[TableFunctionRegistry]
+    tableFunctions.foreach { case (id, info, builder) =>
+      tvfRegistry.registerFunction(id, info, builder)
     }
   }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.io.Tables
 import graft.ops.Versioned
 import graft.text.Dedup
 
@@ -21,12 +22,21 @@ import graft.text.Dedup
   *    the table content to prove maintenance never touched a logical
   *    row.
   *
+  *  - `q_sql_changes`: CDC as a SQL table function —
+  *    `SELECT … FROM lake_changes('/t', 1, 2)` (the
+  *    [[graft.functions.GraftExtensions]] TVF) replays the SAME
+  *    partition-confined merge as `q_cdc_pruned` and aggregates the
+  *    I/D feed entirely in SQL; the feed's plan reads only the files
+  *    the two manifests don't share.
+  *
   * 100 TB story: OPTIMIZE/VACUUM are the operations a petabyte table
   * lives or dies by, and they were Scala-only; `CALL` puts them in the
-  * warehouse user's hands. The procedures return the engine's own
-  * receipts as result sets, so an operator can audit file counts from
-  * SQL — no metastore round-trip, no driver-side listing beyond the
-  * manifest the maintenance job already reads.
+  * warehouse user's hands, and `lake_changes` does the same for
+  * incremental consumers — a downstream MV maintainer can now be pure
+  * SQL end to end. The procedures return the engine's own receipts as
+  * result sets, so an operator can audit file counts from SQL — no
+  * metastore round-trip, no driver-side listing beyond the manifest
+  * the maintenance job already reads.
   */
 object Wave65Queries {
 
@@ -70,8 +80,48 @@ object Wave65Queries {
     }
   }
 
+  def qSqlChanges(s: SparkSession, d: String): DataFrame = {
+    val dir = LakeFixtures.cloneOf(s,
+      LakeFixtures.ordersByStatus(s, d), "graft_sqlcdc")
+    try {
+      val f = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .filter(col("o_orderstatus") === "F")
+      val batch =
+        f.filter(col("o_orderkey") % 7 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+          .withColumn("is_delete", lit(false))
+        .unionByName(f.filter(col("o_orderkey") % 13 === 0 &&
+            col("o_orderkey") % 7 =!= 3)
+          .withColumn("is_delete", lit(true)))
+        .unionByName(f.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+          .withColumn("is_delete", lit(false)))
+      Versioned.merge(batch, dir, Seq("o_orderkey"),
+        partitionCol = Some("o_orderstatus"), deleteCol = Some("is_delete"))
+      val rows = s.sql(
+        s"""SELECT op, count(*) AS n_rows,
+           |  ${Q.DSUM_SPARK("o_totalprice")} AS sum_price,
+           |  bit_xor(shiftrightunsigned(graft_md5_hash64(
+           |    concat_ws('#', o_orderkey, o_orderstatus,
+           |      CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))), 4))
+           |    AS xor_fp
+           |FROM lake_changes('$dir', 1, 2)
+           |GROUP BY op ORDER BY op""".stripMargin)
+        .collect().toSeq
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+        .toDF("op", "n_rows", "sum_price", "xor_fp")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sql_optimize" -> qSqlOptimize)
+    "q_sql_optimize" -> qSqlOptimize,
+    "q_sql_changes"  -> qSqlChanges)
 
   val oracles: Map[String, String] = Map(
     "q_sql_optimize" ->
@@ -87,5 +137,25 @@ object Wave65Queries {
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  'ok' AS compacted, 'ok' AS vacuumed, 'ok' AS history_ok
-         |FROM fp""".stripMargin)
+         |FROM fp""".stripMargin,
+    "q_sql_changes" ->
+      s"""WITH f AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+         |    o_totalprice AS p
+         |  FROM orders WHERE o_orderstatus = 'F'),
+         |d AS (SELECT k, st, p FROM f
+         |  WHERE k % 7 = 3 OR (k % 13 = 0 AND k % 7 <> 3)),
+         |i AS (SELECT k, st, p + 100 AS p FROM f WHERE k % 7 = 3
+         |  UNION ALL
+         |  SELECT k + 100000000, st, p FROM f WHERE k % 101 = 0),
+         |tagged AS (
+         |  SELECT 'D' AS op, k, st, p FROM d
+         |  UNION ALL SELECT 'I', k, st, p FROM i),
+         |fp AS (SELECT op, p,
+         |    md5_number_upper(CAST(k AS VARCHAR) || '#' || st || '#' ||
+         |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+         |      >> 4 AS fp
+         |  FROM tagged)
+         |SELECT op, count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
+         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp
+         |FROM fp GROUP BY op ORDER BY op""".stripMargin)
 }

@@ -106,6 +106,21 @@ object LakeProcedures {
           input.getUTF8String(0).toString, input.getInt(1)))
     },
 
+    new Proc("vacuum_older_than",
+      "age-based retention (VACUUM ... RETAIN): drop every version " +
+        "committed before the cutoff except the tip and tag-protected " +
+        "versions, then delete unreferenced data files") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("cutoff_millis", LongType,
+          "epoch-millis commit-time cutoff (exclusive)"))
+      private val out = StructType(Seq(
+        StructField("removed_files", IntegerType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] =
+        result(out, Versioned.vacuumOlderThan(spark,
+          input.getUTF8String(0).toString, input.getLong(1)))
+    },
+
     new Proc("restore",
       "RESTORE TABLE TO VERSION AS OF: commit a new version carrying " +
         "the target version's files, schema and deletion vector by " +

@@ -23,4 +23,13 @@ object Bridge {
     * (Unevaluable), which explodes at codegen if left in the plan. */
   def expressionTree(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame → its logical plan, for TableFunctionRegistry builders
+    * (a SQL table-valued function body built with the DataFrame API
+    * splices in as the TVF's plan; the analyzer resolves it like any
+    * subquery). Classic-only, like the rest of this bridge. */
+  def plan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.logical
 }

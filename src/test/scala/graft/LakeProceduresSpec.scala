@@ -64,6 +64,22 @@ class LakeProceduresSpec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("CALL lake.vacuum_older_than drops versions by commit age") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "p").repartition(4), dir)
+      Versioned.compact(spark, dir, 1)
+      // everything committed so far is older than now+1s
+      val cutoff = System.currentTimeMillis() + 1000L
+      val r = spark.sql(
+        s"CALL lake.vacuum_older_than('$dir', ${cutoff}L)").collect()
+      assert(r.length == 1 && r(0).getInt(0) >= 4) // the 4 v1 files freed
+      // the tip always survives age-based retention
+      assert(Versioned.history(spark, dir).map(_.version) == Seq(2L))
+      assert(Versioned.read(spark, dir).count() == 20L)
+    } finally rm(dir)
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] {
       spark.sql("CALL lake.frobnicate('/nope')")
