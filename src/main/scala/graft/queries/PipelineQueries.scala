@@ -173,7 +173,10 @@ object PipelineQueries {
     * formula, so any decode defect (stride, channel order, color model)
     * breaks the hash. */
   def qMultimodalFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.imagePixelStats(Multimodal.syntheticImages(docs(s, d)))
+    // Q.spread: the PNG encode→decode ladder is pure per-row compute;
+    // the single-row-group test parquet would otherwise pin it to one
+    // core (no-op at production split counts)
+    Multimodal.imagePixelStats(Multimodal.syntheticImages(Q.spread(docs(s, d))))
       .orderBy("media_id")
 
   /** REAL resize path, cross-engine verified: the synthetic PNGs
@@ -187,7 +190,7 @@ object PipelineQueries {
   def qResize(s: SparkSession, d: String): DataFrame =
     Multimodal.imagePixelStats(
       Multimodal.resizeImages(
-        Multimodal.syntheticImages(docs(s, d)), targetW = 12, targetH = 9))
+        Multimodal.syntheticImages(Q.spread(docs(s, d))), targetW = 12, targetH = 9))
       .orderBy("media_id")
 
   /** PII scrubbing, oracle-checked end-to-end: deterministic synthetic
@@ -462,7 +465,8 @@ object PipelineQueries {
     * parser defect (syncsafe size, LE/BE mixup, granule clock,
     * pre-skip) breaks the hash. */
   def qAudioContainer(s: SparkSession, d: String): DataFrame =
-    Multimodal.audioMetadata(Multimodal.syntheticAudioContainers(docs(s, d)))
+    Multimodal.audioMetadata(
+        Multimodal.syntheticAudioContainers(Q.spread(docs(s, d))))
       .select(col("media_id"), col("format"), col("sample_rate"),
               col("channels"), col("bitrate_kbps"),
               round(col("duration_ms"), 6).as("duration_ms"),
@@ -479,7 +483,7 @@ object PipelineQueries {
     * Any walk defect (v1 offsets, largesize, unsigned sizes, handler
     * dispatch) breaks the hash. */
   def qVideoContainer(s: SparkSession, d: String): DataFrame =
-    Multimodal.videoMetadata(Multimodal.syntheticVideos(docs(s, d)))
+    Multimodal.videoMetadata(Multimodal.syntheticVideos(Q.spread(docs(s, d))))
       .select(col("media_id"), col("format"), col("brand"),
               col("timescale"), round(col("duration_ms"), 6).as("duration_ms"),
               col("n_tracks"), col("n_video"), col("width"), col("height"))
@@ -495,7 +499,8 @@ object PipelineQueries {
     * the oracle recomputes frame selection (integer division
     * f·(F−1)/3) and every per-frame pixel stat analytically. */
   def qFrameSample(s: SparkSession, d: String): DataFrame =
-    Multimodal.sampleFrameStats(Multimodal.syntheticGifs(docs(s, d)), nFrames = 4)
+    Multimodal.sampleFrameStats(
+        Multimodal.syntheticGifs(Q.spread(docs(s, d))), nFrames = 4)
       .orderBy("media_id", "frame_idx")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

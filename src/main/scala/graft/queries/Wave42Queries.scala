@@ -177,7 +177,7 @@ object Wave42Queries {
          |  FROM orders
          |  WHERE o_orderstatus = 'F' AND o_orderkey % 101 = 0)
          |SELECT o_orderstatus, count(*) AS n,
-         |  sum(CAST(floor(p * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+         |  CAST(sum(CAST(floor(p * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
          |  'ok' AS matches_full, 'ok' AS pruned
          |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -65,7 +65,9 @@ object Wave7Queries {
       transform(TextStats.tokens(col("text")),
         w => size(regexp_extract_all(w, lit("(?s)."), lit(0))).cast("long")),
       lit(0L), (acc, x) => acc + x), lit(0L))
-    docs(s, d).select(col("doc_id"),
+    // Q.spread: the BPE merge ladder is pure per-row compute — spread
+    // the single-row-group test scan across cores (no-op at scale)
+    Q.spread(docs(s, d)).select(col("doc_id"),
         TextStats.tokenCount(col("text")).as("n_ws_tokens"),
         TextStats.regexTokenCount(col("text")).as("n_regex_tokens"),
         nChars.as("n_chars"),

@@ -21,13 +21,26 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: no spark output"); fail += 1; continue
     try:
         got = con.sql(f"SELECT * FROM '{files[0]}'").fetchall()
-        gotcols = [d[0] for d in con.sql(f"SELECT * FROM '{files[0]}' LIMIT 0").description]
+        gotrel = con.sql(f"SELECT * FROM '{files[0]}' LIMIT 0")
+        gotcols, gottypes = list(gotrel.columns), [str(t) for t in gotrel.types]
         exp = con.sql(sql).fetchall()
-        expcols = [d[0] for d in con.sql(f"SELECT * FROM ({sql}) LIMIT 0").description]
+        exprel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        expcols, exptypes = list(exprel.columns), [str(t) for t in exprel.types]
     except Exception as e:
         print(f"FAIL {name}: {e}"); fail += 1; continue
     if sorted(gotcols) != sorted(expcols):
         print(f"FAIL {name}: cols {sorted(gotcols)} != {sorted(expcols)}"); fail += 1; continue
+    # The driver's hash is TYPED: a value-exact result still fails if the
+    # oracle SQL types a column differently from the Spark parquet (the
+    # classic: DuckDB types an integer sum() as HUGEINT, Spark writes
+    # BIGINT — two rounds were lost to exactly that on q_incr_mv). Compare
+    # the DuckDB-inferred type of every column so the mismatch dies HERE.
+    gt = dict(zip(gotcols, gottypes)); et = dict(zip(expcols, exptypes))
+    typebad = [(c, gt[c], et[c]) for c in sorted(gotcols) if gt[c] != et[c]]
+    if typebad:
+        print(f"FAIL {name}: column types differ (spark-parquet vs oracle): " +
+              ", ".join(f"{c} {g}!={e}" for c, g, e in typebad))
+        fail += 1; continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fail += 1; continue
     gi = [gotcols.index(c) for c in sorted(gotcols)]
