@@ -30,11 +30,19 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: {e}"); fail += 1; continue
     if sorted(gotcols) != sorted(expcols):
         print(f"FAIL {name}: cols {sorted(gotcols)} != {sorted(expcols)}"); fail += 1; continue
-    # The driver's hash is TYPED: a value-exact result still fails if the
-    # oracle SQL types a column differently from the Spark parquet (the
-    # classic: DuckDB types an integer sum() as HUGEINT, Spark writes
-    # BIGINT — two rounds were lost to exactly that on q_incr_mv). Compare
-    # the DuckDB-inferred type of every column so the mismatch dies HERE.
+    # The driver's hash is TYPED, but only as far as pandas dtypes
+    # stringify: INTEGER/BIGINT/UBIGINT all print the same value, so
+    # width mismatches are benign (10 long-green queries have them).
+    # HUGEINT is the killer — pandas degrades int128 to float64, so the
+    # stringified value changes and the hash breaks (q_incr_mv, rounds
+    # 9-10). DECIMAL-vs-DOUBLE and FLOAT-vs-DOUBLE also change the
+    # printed value, so those stay flagged too.
+    def norm(t):
+        return ("INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                               "UTINYINT", "USMALLINT", "UINTEGER",
+                               "UBIGINT") else t)
+    gottypes = [norm(t) for t in gottypes]
+    exptypes = [norm(t) for t in exptypes]
     gt = dict(zip(gotcols, gottypes)); et = dict(zip(expcols, exptypes))
     typebad = [(c, gt[c], et[c]) for c in sorted(gotcols) if gt[c] != et[c]]
     if typebad:
