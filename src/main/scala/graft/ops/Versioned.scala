@@ -403,6 +403,10 @@ object Versioned {
     val cur = resolve(spark, path, None)
     generatedColumns(spark, path).isEmpty &&
       identityColumns(spark, path).isEmpty &&
+      // a registered partition layout (DDL-created) must route through
+      // appendAuto so batches land partitioned, even while the table is
+      // still empty of partition directories
+      hiddenTransform(spark, path).isEmpty &&
       tableSchema(spark, path, Some(cur))
         .forall(_.fields.forall(f => physicalOf(f) == f.name)) &&
       !readManifestEntries(spark, path, cur).exists { case (f0, _) =>
@@ -442,6 +446,13 @@ object Versioned {
       s"SQL row-level DML refuses column-mapped tables: $path — the " +
         "executor writers speak the query schema, which carries no " +
         "physical-name mapping")
+    require(hiddenTransform(spark, path).forall(t =>
+        tableSchema(spark, path, Some(resolve(spark, path, None)))
+          .exists(_.fieldNames.contains(t))),
+      s"SQL row-level DML refuses hidden-transform tables: $path — " +
+        "updated row images would lack the derived partition column; " +
+        "use Versioned.mergeHidden/updateVectored (identity layouts " +
+        "are fine: the partition column is a real user column)")
     val newDv: Option[DataFrame] =
       if (dvStagedDirs.isEmpty) None
       else Some(spark.read.schema(dvFields).parquet(dvStagedDirs: _*))
@@ -663,8 +674,20 @@ object Versioned {
     require(fileList.nonEmpty,
       s"empty manifest for $path — a versioned table must always " +
         "reference at least one (possibly schema-only) data file")
+    // a manifest may also mix directory DEPTHS under one root: batch
+    // dirs holding files directly (delta row images, schema-only
+    // placeholders) next to batch dirs with partition subdirectories.
+    // Spark's partition discovery refuses that mix inside one scan
+    // (CONFLICTING_PARTITION_COLUMN_NAMES), so depth joins the group
+    // key: each class scans alone, partition columns reconstruct from
+    // its own structure, and flat files carry them as data columns.
+    def depth(f: String): Int = {
+      val i = f.lastIndexOf(s"/data/$batchCol=")
+      f.substring(i).count(_ == '/') - 3
+    }
     val mapped = schemaOpt.exists(hasMapping)
-    fileList.groupBy(root).toSeq.sortBy(_._1).map { case (base, fps) =>
+    fileList.groupBy(f => (root(f), depth(f))).toSeq.sortBy(_._1)
+      .map { case ((base, _), fps) =>
       val rdr0 = spark.read.option("basePath", base)
       val rdr = schemaOpt.fold(rdr0) { s0 =>
         // read under PHYSICAL names (what the files and partition
@@ -878,7 +901,8 @@ object Versioned {
   def init(df: DataFrame, path: String,
       partitionCol: Option[String] = None,
       statsCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      opName: String = "INIT"): Long = {
     val spark = df.sparkSession
     require(currentVersion(spark, path).isEmpty,
       s"table already initialized: $path")
@@ -891,10 +915,15 @@ object Versioned {
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
-    val (_, staged) = stage(df, path, 1L, partitionCol)
+    // a dynamic-partition write of an EMPTY frame creates zero files
+    // (SQL CREATE TABLE … PARTITIONED BY lands here); fall back to one
+    // schema-only file so v1 is readable
+    val (dir, staged0) = stage(df, path, 1L, partitionCol)
+    val staged = ensureManifestNonEmpty(df, path, dir, staged0,
+      carriedNonEmpty = false)
     require(commit(spark, path, 1L,
       Left(stagedEntries(spark, path, staged)), Some(df.schema),
-      op = Some("INIT")),
+      op = Some(opName)),
       s"init lost a commit race: $path")
     1L
   }
@@ -2271,6 +2300,134 @@ object Versioned {
       partitionCol = Some(gpCol), statsCols = statsCols)
   }
 
+  /** CREATE an EMPTY table — the SQL-DDL primitive behind
+    * `CREATE TABLE` / CTAS through [[graft.sources.LakeCatalog]].
+    *
+    * `partitionExpr` registers the table's layout as a transform
+    * property either way (so every later SQL `INSERT` routes through
+    * [[appendAuto]] without restating it): a bare column name is an
+    * IDENTITY layout (files land under real `col=value` directories,
+    * partition pruning sees the user's column); any other expression
+    * is Iceberg-style hidden partitioning (the derived [[gpCol]] is
+    * appended to the LOGGED schema and materialized per batch; SQL
+    * surfaces hide it again). Version 1 is a single schema-only
+    * parquet file — the manifest's sole, unpartitioned entry, which
+    * [[merge]] always rewrites rather than carries, so the layout
+    * stays consistent from the first real batch on. */
+  def create(spark: SparkSession, path: String, schema: StructType,
+      partitionExpr: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    require(currentVersion(spark, path).isEmpty,
+      s"table already initialized: $path")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    partitionExpr match {
+      case None =>
+        init(empty, path, None, statsCols, bloomCols, opName = "CREATE")
+      case Some(e) =>
+        val f = fs(spark, path)
+        f.mkdirs(manifestDir(path))
+        val out = f.create(transformPath(path), true)
+        try out.write(e.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (schema.fieldNames.contains(e))
+          init(empty, path, Some(e), statsCols, bloomCols,
+            opName = "CREATE")
+        else
+          init(empty.withColumn(gpCol, expr(e)), path, Some(gpCol),
+            statsCols, bloomCols, opName = "CREATE")
+    }
+  }
+
+  /** DROP the table: remove its data, manifest and history from the
+    * filesystem. Returns false when there was no table at `path`. */
+  def dropTable(spark: SparkSession, path: String): Boolean = {
+    if (currentVersion(spark, path).isEmpty) false
+    else fs(spark, path).delete(new Path(path), true)
+  }
+
+  /** RENAME (move) the table directory. Data, deletion vectors,
+    * schema log and history travel with the move (DV and stats
+    * entries key on RELATIVE file keys), but manifests reference
+    * data files by ABSOLUTE path — so after the one-filesystem-op
+    * move, every surviving version's manifest gets its `<src>/data/`
+    * prefix rewritten to `<dst>/data/` (entries under OTHER roots —
+    * clone sources — are left untouched: those files did not move).
+    * O(versions) driver metadata work, zero data I/O. */
+  def renameTable(spark: SparkSession, src: String, dst: String): Unit = {
+    val cur = currentVersion(spark, src).getOrElse(
+      sys.error(s"not a versioned lake table: $src"))
+    require(currentVersion(spark, dst).isEmpty,
+      s"rename target already exists: $dst")
+    val f = fs(spark, src)
+    val dstPath = new Path(dst)
+    Option(dstPath.getParent).foreach(f.mkdirs)
+    require(f.rename(new Path(src), dstPath),
+      s"filesystem refused rename $src -> $dst")
+    // normalize scheme-qualified entry prefixes by suffix match: an
+    // entry `file:/a/t/data/gbatch=…` moves when its root core ends
+    // with the src path's core
+    def core(p: String): String = {
+      val u = new java.net.URI(p)
+      Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
+    }
+    val (srcCore, dstCore) = (core(src), core(dst))
+    manifestCache.clear()
+    (1L to cur).foreach { v =>
+      try {
+        val entries = readManifestEntries(spark, dst, v)
+        val rewritten = entries.map { case (e, sj) =>
+          val i = e.lastIndexOf(s"/data/$batchCol=")
+          if (i > 0 && core(e.substring(0, i)) == srcCore)
+            // dropping the core keeps the entry's own scheme spelling
+            (e.substring(0, i).dropRight(srcCore.length) + dstCore +
+              e.substring(i), sj)
+          else (e, sj)
+        }
+        if (rewritten != entries) {
+          val dir = manifestPath(dst, v)
+          val tmp = new Path(dir.getParent, s".rename-$v-tmp")
+          f.delete(tmp, true)
+          f.mkdirs(tmp)
+          writeManifestDirect(spark, new Path(tmp, "part-00000.parquet"),
+            rewritten)
+          require(f.delete(dir, true) && f.rename(tmp, dir),
+            s"manifest rewrite failed for $dst v$v")
+        }
+      } catch { case _: java.io.FileNotFoundException => () /* vacuumed */ }
+    }
+    manifestCache.clear()
+  }
+
+  /** The hidden derived-partition column's name — SQL surfaces
+    * (catalog schemas) hide it; the engine materializes it. */
+  private[graft] val hiddenPartColName: String = gpCol
+
+  /** Resolve a write batch's partition layout from the table's
+    * registered transform: an IDENTITY transform (the expression is
+    * exactly one of the batch's columns) partitions by that column
+    * directly — no derived column, and partition-directory pruning
+    * sees the real name; any other expression derives [[gpCol]]
+    * in-plan, the Iceberg hidden-partitioning mechanic. */
+  private def withLayout(source: DataFrame,
+      path: String): (DataFrame, Option[String]) =
+    hiddenTransform(source.sparkSession, path) match {
+      case None => (source, None)
+      case Some(t) if source.columns.contains(t) => (source, Some(t))
+      case Some(t) => (source.withColumn(gpCol, expr(t)), Some(gpCol))
+    }
+
+  /** APPEND with the table's registered partition layout applied
+    * automatically (identity column, hidden transform, or none) —
+    * what SQL `INSERT INTO` routes through: the writer states WHAT
+    * to append, the table owns HOW it is laid out. */
+  def appendAuto(source: DataFrame, path: String,
+      maxRetries: Int = 5): Long = {
+    val (src, pc) = withLayout(source, path)
+    append(src, path, partitionCol = pc, maxRetries = maxRetries)
+  }
+
   /** MERGE into a hidden-partitioned table: the layout is resolved
     * from the table property and the source batch's partition values
     * derive IN-PLAN — callers state WHAT to merge, never HOW the
@@ -2279,11 +2436,11 @@ object Versioned {
   def mergeHidden(source: DataFrame, path: String, keys: Seq[String],
       deleteCol: Option[String] = None, maxRetries: Int = 5): Long = {
     val spark = source.sparkSession
-    val t = hiddenTransform(spark, path).getOrElse(sys.error(
+    require(hiddenTransform(spark, path).isDefined,
       s"no hidden partition transform registered at $path — " +
-        "use merge() for explicit layouts"))
-    merge(source.withColumn(gpCol, expr(t)), path, keys,
-      partitionCol = Some(gpCol), deleteCol = deleteCol,
+        "use merge() for explicit layouts")
+    val (src, pc) = withLayout(source, path)
+    merge(src, path, keys, partitionCol = pc, deleteCol = deleteCol,
       maxRetries = maxRetries)
   }
 

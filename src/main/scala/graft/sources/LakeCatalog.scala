@@ -27,12 +27,20 @@ import graft.ops.Versioned
   * `<root>/db/t`. `VERSION AS OF` lands on [[TableCatalog.loadTable]]'s
   * version overload and pins the manifest exactly like
   * [[Versioned.read]]'s version argument; `TIMESTAMP AS OF` resolves
-  * through [[Versioned.versionAsOf]]. SQL writes are APPEND-ONLY:
-  * `INSERT INTO` routes through [[Versioned.append]]'s commit
-  * protocol (constraints, generated columns, identity allocation,
-  * OCC); overwrites, row-level DML and DDL are refused — those
-  * semantics belong to the engine's merge/delete primitives, never
-  * to blind SQL that would bypass them. */
+  * through [[Versioned.versionAsOf]].
+  *
+  * The full SQL lifecycle runs through this catalog: `CREATE TABLE`
+  * (+ CTAS, `PARTITIONED BY` identity/years/months/days/hours/bucket
+  * transforms, `TBLPROPERTIES('stats_cols'='a,b')` for data
+  * skipping), `ALTER TABLE ADD/RENAME/DROP COLUMN` (metadata-only
+  * commits on the column-mapping layer), `DROP TABLE`,
+  * `ALTER TABLE … RENAME TO`, `INSERT INTO` (append-only, through
+  * [[Versioned.appendAuto]]'s commit protocol — constraints,
+  * generated columns, identity allocation, OCC, the table's
+  * registered partition layout), row-level `UPDATE` / `MERGE INTO` /
+  * `DELETE` (merge-on-read deltas), and `CALL` maintenance
+  * procedures. `INSERT OVERWRITE` stays refused: blind overwrite
+  * would bypass the engine's merge/delete semantics. */
 class LakeCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
@@ -47,7 +55,10 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
   override def name(): String = catalogName
 
   private def pathOf(ident: Identifier): String =
-    if (ident.name.startsWith("/") && ident.namespace.isEmpty) ident.name
+    // `RENAME TO lake.`/p`` arrives with the catalog name still in the
+    // namespace (Spark does not strip it from the target identifier)
+    if (ident.name.startsWith("/") && (ident.namespace.isEmpty ||
+        ident.namespace.sameElements(Array(catalogName)))) ident.name
     else root match {
       case Some(r) => (r +: ident.namespace :+ ident.name).mkString("/")
       case None => throw new IllegalArgumentException(
@@ -76,8 +87,14 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
     require(Versioned.currentVersion(spark, path).isDefined,
       s"not a versioned lake table: $path")
     val v = Versioned.resolveVersion(spark, path, version)
-    val schema = Versioned.tableSchema(spark, path, Some(v)).getOrElse(
+    val full = Versioned.tableSchema(spark, path, Some(v)).getOrElse(
       Versioned.read(spark, path, Some(v)).schema)
+    // the derived hidden-partition column is the engine's, not the
+    // user's: SQL reads never request it (the scan projects), and SQL
+    // INSERTs are validated against the user columns only — appendAuto
+    // re-derives it per batch
+    val schema = StructType(full.fields.filterNot(
+      _.name == Versioned.hiddenPartColName))
     new LakeTable(path, version, schema, ignoreChanges = false)
   }
 
@@ -129,22 +146,97 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
     LakeProcedures.all.keys.toSeq.sorted
       .map(Identifier.of(namespace, _)).toArray
 
-  private def readOnly(op: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"$catalogName is read-only: $op must go through the engine's " +
-        "commit protocol (Versioned.init/merge/delete/…)")
+  /** SQL partition transform → the engine's transform-expression
+    * property. One transform max ([[Versioned]] layouts are
+    * single-expression); identity keeps the real column name so
+    * partition-directory pruning sees it, the rest are Iceberg-style
+    * hidden derivations. */
+  private def transformExpr(partitions: Array[Transform],
+      schema: StructType): Option[String] = {
+    require(partitions.length <= 1,
+      "graft-lake tables take at most ONE partition transform " +
+        s"(got ${partitions.length}: ${partitions.mkString(", ")}) — " +
+        "compose a multi-column layout as a single expression via the " +
+        "Scala API (Versioned.initHidden)")
+    partitions.headOption.map { t =>
+      def ref: String = {
+        val refs = t.references()
+        require(refs.length == 1 && refs(0).fieldNames().length == 1,
+          s"unsupported partition reference in $t")
+        val n = refs(0).fieldNames()(0)
+        require(schema.fieldNames.contains(n),
+          s"partition column not in schema: $n")
+        n
+      }
+      t.name() match {
+        case "identity" => ref
+        case "years" => s"year($ref)"
+        case "months" => s"(year($ref) * 100 + month($ref))"
+        case "days" => s"to_date($ref)"
+        case "hours" => s"date_format($ref, 'yyyy-MM-dd-HH')"
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a bucket count: $t"))
+          s"pmod(hash($ref), $n)"
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform '$other' — supported: " +
+            "identity, years, months, days, hours, bucket(n)")
+      }
+    }
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      properties: util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    require(!path.endsWith("$files") && !path.endsWith("$history"),
+      s"cannot create a metadata table: $path")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.toString)
+    def csv(k: String): Seq[String] = Option(properties.get(k)).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    Versioned.create(spark, path, schema,
+      partitionExpr = transformExpr(partitions, schema),
+      statsCols = csv("stats_cols"), bloomCols = csv("bloom_cols"))
+    loadTable(ident)
+  }
 
+  /** `ALTER TABLE` routed to the engine's METADATA-ONLY column
+    * evolution commits: add appends to the logged schema (carried
+    * files surface NULL through the schema-projected read), rename
+    * and drop ride the column-mapping layer — zero data files are
+    * read or written by any of them. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"nested ADD COLUMN unsupported: ${a.fieldNames().mkString(".")}")
+        Versioned.addColumn(spark, path, a.fieldNames()(0), a.dataType())
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"nested RENAME COLUMN unsupported: ${r.fieldNames().mkString(".")}")
+        Versioned.renameColumn(spark, path, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"nested DROP COLUMN unsupported: ${d.fieldNames().mkString(".")}")
+        Versioned.dropColumn(spark, path, d.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other — supported: " +
+          "ADD COLUMN, RENAME COLUMN, DROP COLUMN")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
-    readOnly("DROP TABLE")
+    Versioned.dropTable(spark, pathOf(ident))
 
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+      newIdent: Identifier): Unit =
+    Versioned.renameTable(spark, pathOf(oldIdent), pathOf(newIdent))
 }

@@ -154,6 +154,49 @@ object LakeProcedures {
           override def rows(): Array[InternalRow] = hist
         }: Scan).iterator()
       }
+    },
+
+    new Proc("describe",
+      "table health snapshot (Delta DESCRIBE DETAIL analog): current " +
+        "version, live file / deletion-vector counts, partition " +
+        "layout, schema width, registered skipping columns, commits") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"))
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_dv_rows", LongType, nullable = false),
+        StructField("partition_transform", StringType, nullable = false),
+        StructField("n_columns", IntegerType, nullable = false),
+        StructField("stats_cols", StringType, nullable = false),
+        StructField("bloom_cols", StringType, nullable = false),
+        StructField("n_commits", LongType, nullable = false),
+        StructField("column_mapped", BooleanType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val v = Versioned.currentVersion(spark, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"not a versioned lake table: $path"))
+        val schema = Versioned.tableSchema(spark, path, Some(v))
+        val nCols = schema.map(_.fields.length).getOrElse(
+          Versioned.read(spark, path).schema.fields.length)
+        val mapped = schema.exists(s0 => s0.fields.exists(f =>
+          Versioned.physicalNameOf(f) != f.name))
+        result(out,
+          v,
+          Versioned.files(spark, path).length.toLong,
+          Versioned.deletionVector(spark, path).map(_.count())
+            .getOrElse(0L),
+          UTF8String.fromString(
+            Versioned.hiddenTransform(spark, path).getOrElse("none")),
+          nCols,
+          UTF8String.fromString(
+            Versioned.statsColumns(spark, path).mkString(",")),
+          UTF8String.fromString(
+            Versioned.bloomColumns(spark, path).mkString(",")),
+          Versioned.history(spark, path).length.toLong,
+          mapped)
+      }
     }
   ).map(pr => pr.name -> (pr: UnboundProcedure)).toMap
 }

@@ -228,7 +228,9 @@ final class LakeTable(path: String, version: Option[Long],
                 if (overwrite) throw new UnsupportedOperationException(
                   "graft-lake is append-only through SQL: INSERT " +
                     "OVERWRITE must go through Versioned.merge/delete")
-                Versioned.append(data, path)
+                // appendAuto applies the table's registered partition
+                // layout (DDL PARTITIONED BY) before the commit
+                Versioned.appendAuto(data, path)
               }
             }
           override def toStreaming: streaming.StreamingWrite =
