@@ -2344,7 +2344,14 @@ object Versioned {
     * filesystem. Returns false when there was no table at `path`. */
   def dropTable(spark: SparkSession, path: String): Boolean = {
     if (currentVersion(spark, path).isEmpty) false
-    else fs(spark, path).delete(new Path(path), true)
+    else {
+      val ok = fs(spark, path).delete(new Path(path), true)
+      // the caches are JVM-lifetime keyed (path, version): without
+      // this, DROP followed by CREATE at the same path would serve the
+      // OLD table's schema and manifests
+      invalidate(path)
+      ok
+    }
   }
 
   /** RENAME (move) the table directory. Data, deletion vectors,
@@ -2354,17 +2361,19 @@ object Versioned {
     * move, every surviving version's manifest gets its `<src>/data/`
     * prefix rewritten to `<dst>/data/` (entries under OTHER roots —
     * clone sources — are left untouched: those files did not move).
-    * O(versions) driver metadata work, zero data I/O. */
+    * O(versions) driver metadata work, zero data I/O.
+    *
+    * Crash safety: the in-flight rewrite is JOURNALED (`_rename_from`
+    * under the destination's manifest dir, written right after the
+    * directory move) and each per-version manifest swap is two atomic
+    * renames (old aside, then rewritten in) instead of
+    * delete-then-rename — so a crash mid-rename never loses a
+    * manifest, and re-running the SAME `renameTable(src, dst)` after
+    * a crash resumes and completes the rewrite (the per-version swap
+    * is idempotent; versions already rewritten compare equal and are
+    * skipped). */
   def renameTable(spark: SparkSession, src: String, dst: String): Unit = {
-    val cur = currentVersion(spark, src).getOrElse(
-      sys.error(s"not a versioned lake table: $src"))
-    require(currentVersion(spark, dst).isEmpty,
-      s"rename target already exists: $dst")
     val f = fs(spark, src)
-    val dstPath = new Path(dst)
-    Option(dstPath.getParent).foreach(f.mkdirs)
-    require(f.rename(new Path(src), dstPath),
-      s"filesystem refused rename $src -> $dst")
     // normalize scheme-qualified entry prefixes by suffix match: an
     // entry `file:/a/t/data/gbatch=…` moves when its root core ends
     // with the src path's core
@@ -2373,8 +2382,45 @@ object Versioned {
       Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
     }
     val (srcCore, dstCore) = (core(src), core(dst))
-    manifestCache.clear()
+    val journal = new Path(manifestDir(dst), "_rename_from")
+    currentVersion(spark, src) match {
+      case Some(_) =>
+        require(currentVersion(spark, dst).isEmpty,
+          s"rename target already exists: $dst")
+        val dstPath = new Path(dst)
+        Option(dstPath.getParent).foreach(f.mkdirs)
+        require(f.rename(new Path(src), dstPath),
+          s"filesystem refused rename $src -> $dst")
+        val out = f.create(journal, true)
+        try out.write(srcCore.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      case None =>
+        // src gone: resume ONLY a journaled in-flight rename of this
+        // exact src — anything else is a caller error
+        val resumable = currentVersion(spark, dst).isDefined &&
+          f.exists(journal) && {
+            val in = f.open(journal)
+            val from = try scala.io.Source
+              .fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+            from == srcCore
+          }
+        require(resumable, s"not a versioned lake table: $src")
+    }
+    invalidate(src)
+    invalidate(dst)
+    val cur = currentVersion(spark, dst).getOrElse(
+      sys.error(s"rename lost the table: $dst"))
     (1L to cur).foreach { v =>
+      val dir = manifestPath(dst, v)
+      val old = new Path(dir.getParent, s".rename-$v-old")
+      val tmp = new Path(dir.getParent, s".rename-$v-tmp")
+      // recovery: a crash between the two swap renames below left the
+      // old manifest aside and the rewritten one never landed
+      if (!f.exists(dir) && f.exists(old))
+        require(f.rename(old, dir), s"manifest recovery failed: $dst v$v")
+      f.delete(tmp, true)
+      f.delete(old, true)
       try {
         val entries = readManifestEntries(spark, dst, v)
         val rewritten = entries.map { case (e, sj) =>
@@ -2386,18 +2432,17 @@ object Versioned {
           else (e, sj)
         }
         if (rewritten != entries) {
-          val dir = manifestPath(dst, v)
-          val tmp = new Path(dir.getParent, s".rename-$v-tmp")
-          f.delete(tmp, true)
           f.mkdirs(tmp)
           writeManifestDirect(spark, new Path(tmp, "part-00000.parquet"),
             rewritten)
-          require(f.delete(dir, true) && f.rename(tmp, dir),
+          require(f.rename(dir, old) && f.rename(tmp, dir),
             s"manifest rewrite failed for $dst v$v")
+          f.delete(old, true)
         }
       } catch { case _: java.io.FileNotFoundException => () /* vacuumed */ }
     }
-    manifestCache.clear()
+    f.delete(journal, true)
+    invalidate(dst)
   }
 
   /** The hidden derived-partition column's name — SQL surfaces

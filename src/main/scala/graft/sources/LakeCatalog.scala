@@ -92,9 +92,17 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
     // the derived hidden-partition column is the engine's, not the
     // user's: SQL reads never request it (the scan projects), and SQL
     // INSERTs are validated against the user columns only — appendAuto
-    // re-derives it per batch
-    val schema = StructType(full.fields.filterNot(
-      _.name == Versioned.hiddenPartColName))
+    // re-derives it per batch. Only hide it when a NON-IDENTITY
+    // transform is registered (identity layouts partition by the real
+    // column); a user table whose own column happens to carry the
+    // engine's name stays fully visible
+    val engineDerived = Versioned.hiddenTransform(spark, path)
+      .exists(t => !full.fieldNames.contains(t))
+    val schema =
+      if (engineDerived)
+        StructType(full.fields.filterNot(
+          _.name == Versioned.hiddenPartColName))
+      else full
     new LakeTable(path, version, schema, ignoreChanges = false)
   }
 

@@ -48,7 +48,8 @@ class LakeCatalogSpec extends SparkSuite {
   }
 
   test("INSERT INTO appends through the commit protocol; constraints " +
-      "veto violating batches; DDL stays refused") {
+      "veto violating batches; INSERT OVERWRITE stays refused; " +
+      "DROP TABLE removes the table") {
     withCatalog()
     val dir = tmp("graft_cat3")
     Versioned.init(Seq((1L, 10.0)).toDF("k", "p"), dir)
@@ -68,11 +69,16 @@ class LakeCatalogSpec extends SparkSuite {
       s"unexpected error: ${messages(bad)}")
     // the vetoed batch committed NOTHING
     assert(Versioned.read(spark, dir).count() == 2L)
-    val ddl = intercept[Exception] {
-      spark.sql(s"DROP TABLE lake.`$dir`")
+    // blind INSERT OVERWRITE stays refused (it would bypass the
+    // engine's merge/delete semantics) …
+    val ow = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE lake.`$dir` VALUES (11, 1.0)")
     }
-    assert(messages(ddl).exists(m => m.contains("read-only") ||
-      m.contains("commit protocol")), s"unexpected: ${messages(ddl)}")
+    assert(messages(ow).nonEmpty)
+    assert(Versioned.read(spark, dir).count() == 2L)
+    // … but DDL is real since wave 66: DROP TABLE removes the table
+    spark.sql(s"DROP TABLE lake.`$dir`")
+    assert(Versioned.currentVersion(spark, dir).isEmpty)
   }
 
   test("DELETE FROM runs as a vectored merge-on-read delete; " +

@@ -169,6 +169,112 @@ class LakeDdlSpec extends SparkSuite {
     } finally rm(root)
   }
 
+  test("DROP then CREATE at the same path serves the NEW table — " +
+      "no stale schema or manifests from JVM-lifetime caches") {
+    val root = tmp(); val dir = s"$root/t"
+    try {
+      spark.sql(s"CREATE TABLE lake.`$dir` (k BIGINT, old_col STRING)")
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (1, 'gone')")
+      // warm both caches through a read
+      assert(spark.sql(s"SELECT * FROM lake.`$dir`").count() == 1L)
+      spark.sql(s"DROP TABLE lake.`$dir`")
+      spark.sql(s"CREATE TABLE lake.`$dir` (k BIGINT, fresh DOUBLE)")
+      assert(spark.sql(s"SELECT * FROM lake.`$dir`").columns.toSeq ==
+        Seq("k", "fresh"), "recreated table must not serve the old schema")
+      assert(spark.sql(s"SELECT * FROM lake.`$dir`").count() == 0L,
+        "recreated table must not serve the old table's rows")
+    } finally rm(root)
+  }
+
+  test("RENAME TO invalidates both caches: a table recreated at the " +
+      "old path is independent of the moved one") {
+    val root = tmp(); val a = s"$root/a"; val b = s"$root/b"
+    try {
+      spark.sql(s"CREATE TABLE lake.`$a` (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO lake.`$a` VALUES (1, 'moved')")
+      assert(spark.sql(s"SELECT * FROM lake.`$a`").count() == 1L) // warm
+      spark.sql(s"ALTER TABLE lake.`$a` RENAME TO lake.`$b`")
+      spark.sql(s"CREATE TABLE lake.`$a` (id BIGINT, p DOUBLE)")
+      assert(spark.sql(s"SELECT * FROM lake.`$a`").columns.toSeq ==
+        Seq("id", "p"))
+      assert(spark.sql(s"SELECT * FROM lake.`$a`").count() == 0L)
+      assert(spark.sql(s"SELECT v FROM lake.`$b`").head().getString(0) ==
+        "moved")
+    } finally rm(root)
+  }
+
+  test("a crashed RENAME resumes: re-running renameTable completes the " +
+      "journaled manifest rewrite") {
+    val root = tmp(); val a = s"$root/a"; val b = s"$root/b"
+    try {
+      spark.sql(s"CREATE TABLE lake.`$a` (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO lake.`$a` VALUES (1, 'x')")
+      spark.sql(s"INSERT INTO lake.`$a` VALUES (2, 'y')")
+      // simulate a crash right after the directory move + journal
+      // write, before any manifest rewrite ran
+      val hp = new org.apache.hadoop.fs.Path(a)
+      val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(f.rename(hp, new org.apache.hadoop.fs.Path(b)))
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(s"$b/_versions/_rename_from"), true)
+      out.write(a.getBytes("UTF-8")); out.close()
+      // the re-run resumes and completes
+      Versioned.renameTable(spark, a, b)
+      assert(spark.sql(s"SELECT * FROM lake.`$b` ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "x"), (2L, "y")))
+      assert(Versioned.files(spark, b).forall(_.contains("/b/data/")),
+        "resumed rewrite must land the NEW root in every manifest")
+      assert(!f.exists(
+        new org.apache.hadoop.fs.Path(s"$b/_versions/_rename_from")),
+        "journal must be cleared once the rewrite completes")
+      // and a rename whose src never existed stays a loud error
+      intercept[Exception] { Versioned.renameTable(spark, s"$root/no", b) }
+    } finally rm(root)
+  }
+
+  test("ALTER refuses to rename or drop the registered partition " +
+      "column — the layout would dangle") {
+    val root = tmp(); val dir = s"$root/t"
+    try {
+      spark.sql(s"CREATE TABLE lake.`$dir` (k BIGINT, st STRING) " +
+        "PARTITIONED BY (st)")
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (1, 'F')")
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val rn = intercept[Exception] {
+        spark.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN st TO s2")
+      }
+      assert(msgs(rn).exists(_.contains("transform")), msgs(rn))
+      // bucket transforms guard their source column the same way
+      val dir2 = s"$root/t2"
+      spark.sql(s"CREATE TABLE lake.`$dir2` (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      val dp = intercept[Exception] {
+        spark.sql(s"ALTER TABLE lake.`$dir2` DROP COLUMN k")
+      }
+      assert(msgs(dp).exists(_.contains("transform")), msgs(dp))
+      // both tables still fully writable after the refused ALTERs
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (2, 'O')")
+      spark.sql(s"INSERT INTO lake.`$dir2` VALUES (5, 'v5')")
+      assert(spark.sql(s"SELECT count(*) FROM lake.`$dir`")
+        .head().getLong(0) == 2L)
+    } finally rm(root)
+  }
+
+  test("a user table with a REAL __gpart column keeps it visible " +
+      "through SQL (no transform registered)") {
+    val root = tmp(); val dir = s"$root/t"
+    try {
+      Versioned.init(Seq((1L, "a"), (2L, "b")).toDF("k", "__gpart"), dir)
+      assert(spark.sql(s"SELECT * FROM lake.`$dir`").columns.toSeq ==
+        Seq("k", "__gpart"))
+      assert(spark.sql(s"SELECT __gpart FROM lake.`$dir` WHERE k = 2")
+        .head().getString(0) == "b")
+    } finally rm(root)
+  }
+
   test("unsupported DDL shapes fail loudly, not silently") {
     val root = tmp(); val dir = s"$root/t"
     try {
