@@ -88,7 +88,8 @@ object SparkEntry {
     graft.queries.Wave62Queries.queries ++
     graft.queries.Wave63Queries.queries ++
     graft.queries.Wave64Queries.queries ++
-    graft.queries.Wave65Queries.queries
+    graft.queries.Wave65Queries.queries ++
+    graft.queries.Wave66Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -163,5 +164,6 @@ object SparkEntry {
     graft.queries.Wave62Queries.oracles ++
     graft.queries.Wave63Queries.oracles ++
     graft.queries.Wave64Queries.oracles ++
-    graft.queries.Wave65Queries.oracles
+    graft.queries.Wave65Queries.oracles ++
+    graft.queries.Wave66Queries.oracles
 }
