@@ -95,17 +95,19 @@ object Wave25Queries {
         .withColumnRenamed("xor_fp", "x2")
       val out = after.join(before, Seq("st"), "full_outer")
         .select(col("st").as("o_orderstatus"), col("n_rows"),
-          col("sum_price"), col("xor_fp"),
-          (col("n_rows") === col("n2") && col("sum_price") === col("s2") &&
-            col("xor_fp") === col("x2")).cast("int").as("ok"),
-          lit(nFiles).as("n_files_after"),
-          lit(v3.toInt).as("version"))
+          col("sum_price"), col("xor_fp"), col("n2"), col("s2"), col("x2"))
         .orderBy("o_orderstatus")
         .collect().toSeq
       import s.implicits._
-      out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-          r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6)))
-        .toDF("o_orderstatus", "n_rows", "sum_price", "xor_fp", "ok",
+      out.map { r =>
+        val (n, sp, xf) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+        (r.getString(0), n, sp, xf,
+          Q.receipt(!r.isNullAt(4) && n == r.getLong(4) &&
+              sp == r.getDouble(5) && xf == r.getLong(6),
+            s"post-compact n=$n sum=$sp xor=$xf vs pre ${r.get(4)}/" +
+              s"${r.get(5)}/${r.get(6)}"),
+          nFiles, v3.toInt)
+      }.toDF("o_orderstatus", "n_rows", "sum_price", "xor_fp", "ok",
           "n_files_after", "version")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -127,15 +129,17 @@ object Wave25Queries {
         .map(_.getPath.getName)
         .count(n => n.startsWith("v") && n.endsWith(".manifest"))
       val v1Gone =
-        try { Versioned.files(s, dir, Some(1L)); 0 }
-        catch { case _: java.io.FileNotFoundException => 1 }
+        try { Versioned.files(s, dir, Some(1L)); false }
+        catch { case _: java.io.FileNotFoundException => true }
       val r = rowFp(Versioned.read(s, dir))
         .agg(count(lit(1)).as("n_rows"),
           Q.dsum(col("p")).as("sum_price"),
           expr("bit_xor(fp)").as("xor_fp")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2), nManifests,
-          v3.toInt, v1Gone, if (deleted > 0) 1 else 0))
+          v3.toInt,
+          Q.receipt(v1Gone, "v1 manifest still readable after vacuum"),
+          Q.receipt(deleted > 0, s"deleted=$deleted")))
         .toDF("n_rows", "sum_price", "xor_fp", "n_manifests",
           "current_version", "v1_gone", "deleted_gt0")
     } finally {
@@ -181,7 +185,7 @@ object Wave25Queries {
          |SELECT st AS o_orderstatus, count(*) AS n_rows,
          |  ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS ok, 4 AS n_files_after, 3 AS version
+         |  'ok' AS ok, 4 AS n_files_after, 3 AS version
          |FROM fp GROUP BY st ORDER BY st""".stripMargin,
     "q_vacuum" ->
       s"""$v2Cte
@@ -189,6 +193,6 @@ object Wave25Queries {
          |  ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  1 AS n_manifests, 3 AS current_version,
-         |  1 AS v1_gone, 1 AS deleted_gt0
+         |  'ok' AS v1_gone, 'ok' AS deleted_gt0
          |FROM fp""".stripMargin)
 }

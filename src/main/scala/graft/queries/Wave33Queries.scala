@@ -83,10 +83,15 @@ object Wave33Queries {
       if (published) Versioned.merge(clean, dir, Seq("k"))
       val (rowsFinal, xorFinal) = contentReceipt()
       import s.implicits._
-      Seq((n1, g1, d1, if (rejected) 1 else 0,
-          (vAfterReject == vBefore).compare(false),
+      Seq((n1, g1, d1,
+          Q.receipt(rejected,
+            s"audit passed a poisoned batch: nulls=$n1 negs=$g1 dups=$d1"),
+          Q.receipt(vAfterReject == vBefore,
+            s"version moved $vBefore->$vAfterReject on a rejected batch"),
           rowsAfterReject, xorAfterReject,
-          n2 + g2 + d2, if (published) 1 else 0,
+          n2 + g2 + d2,
+          Q.receipt(published,
+            s"clean batch rejected: nulls=$n2 negs=$g2 dups=$d2"),
           Versioned.currentVersion(s, dir).get.toInt, rowsFinal, xorFinal))
         .toDF("bad_null_keys", "bad_neg_money", "bad_dup_keys",
           "bad_rejected", "version_held", "rows_after_reject",
@@ -123,14 +128,17 @@ object Wave33Queries {
           Q.dsum(col("p")).as("sum_price"), expr("bit_xor(fp)").as("xor_fp"))
         .withColumn("evolved_version", lit(2))
         .withColumn("final_version", lit(3))
-        .withColumn("carried_gt0", lit(if (carried > 0) 1 else 0))
+        .withColumn("carried_gt0",
+          lit(Q.receipt(carried > 0, s"carried=$carried")))
         .withColumn("untouched_by_ref",
-          lit(if (untouchedCarried) 1 else 0))
+          lit(Q.receipt(untouchedCarried,
+            "untouched-partition files not carried by reference")))
         .orderBy("st")
         .collect().toSeq
       import s.implicits._
       out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-          r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+          r.getLong(3), r.getInt(4), r.getInt(5), r.getString(6),
+          r.getString(7)))
         .toDF("st", "n_rows", "sum_price", "xor_fp", "evolved_version",
           "final_version", "carried_gt0", "untouched_by_ref")
     } finally {
@@ -168,11 +176,11 @@ object Wave33Queries {
          |  (SELECT count(*) FROM lake WHERE k % 6 = 0) AS bad_neg_money,
          |  (SELECT count(*) FROM lake WHERE k % 8 = 0 AND k % 6 <> 0)
          |    AS bad_dup_keys,
-         |  1 AS bad_rejected, 1 AS version_held,
+         |  'ok' AS bad_rejected, 'ok' AS version_held,
          |  (SELECT count(*) FROM l) AS rows_after_reject,
          |  (SELECT CAST(bit_xor(fp) AS BIGINT) FROM l) AS xor_after_reject,
          |  CAST(0 AS BIGINT) AS clean_violations,
-         |  1 AS clean_published, 2 AS final_version,
+         |  'ok' AS clean_published, 2 AS final_version,
          |  (SELECT count(*) FROM r) AS rows_final,
          |  (SELECT CAST(bit_xor(fp) AS BIGINT) FROM r) AS xor_final""".stripMargin,
     "q_partition_evolution" ->
@@ -193,6 +201,6 @@ object Wave33Queries {
          |SELECT st, count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  2 AS evolved_version, 3 AS final_version,
-         |  1 AS carried_gt0, 1 AS untouched_by_ref
+         |  'ok' AS carried_gt0, 'ok' AS untouched_by_ref
          |FROM r GROUP BY st ORDER BY st""".stripMargin)
 }

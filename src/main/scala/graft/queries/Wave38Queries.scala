@@ -58,10 +58,12 @@ object Wave38Queries {
           expr("bit_xor(fp)").as("xor_fp")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2), e.deletedRows,
-          if (e.rewritten == 1) 1 else 0,
-          if (e.carried == nFilesV1 - 1) 1 else 0,
-          if (v1Match == e.deletedRows) 1 else 0,
-          if (curMatch == 0L) 1 else 0,
+          Q.receipt(e.rewritten == 1, s"rewritten=${e.rewritten}"),
+          Q.receipt(e.carried == nFilesV1 - 1,
+            s"carried=${e.carried} of ${nFilesV1 - 1}"),
+          Q.receipt(v1Match == e.deletedRows,
+            s"v1 matches=$v1Match deleted=${e.deletedRows}"),
+          Q.receipt(curMatch == 0L, s"current matches=$curMatch"),
           e.version.toInt))
         .toDF("n_rows", "sum_price", "xor_fp", "deleted_rows",
           "one_file_rewritten", "carried_rest", "v1_intact", "cur_clean",
@@ -89,7 +91,7 @@ object Wave38Queries {
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  (SELECT count(*) FROM b WHERE c = 1) AS deleted_rows,
-         |  1 AS one_file_rewritten, 1 AS carried_rest, 1 AS v1_intact,
-         |  1 AS cur_clean, 2 AS version
+         |  'ok' AS one_file_rewritten, 'ok' AS carried_rest,
+         |  'ok' AS v1_intact, 'ok' AS cur_clean, 2 AS version
          |FROM fp""".stripMargin)
 }

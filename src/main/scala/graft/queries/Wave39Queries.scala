@@ -83,13 +83,17 @@ object Wave39Queries {
       import s.implicits._
       Seq((afterDel.getLong(0), afterDel.getDouble(1), afterDel.getLong(2),
           e.deletedRows,
-          if (e.rewritten == 0) 1 else 0,
-          if (e.carried == v1Files.length) 1 else 0,
-          if (filesIdentical) 1 else 0,
-          if (v1Match == e.deletedRows) 1 else 0,
-          if (dvPresent) 1 else 0,
-          if (dvCleared) 1 else 0,
-          if (fpStable) 1 else 0,
+          Q.receipt(e.rewritten == 0, s"rewritten=${e.rewritten}"),
+          Q.receipt(e.carried == v1Files.length,
+            s"carried=${e.carried} of ${v1Files.length}"),
+          Q.receipt(filesIdentical, "v2 file list differs from v1"),
+          Q.receipt(v1Match == e.deletedRows,
+            s"v1 matches=$v1Match deleted=${e.deletedRows}"),
+          Q.receipt(dvPresent, "no deletion vector before compact"),
+          Q.receipt(dvCleared, "deletion vector survived compact"),
+          Q.receipt(fpStable,
+            s"n ${afterDel.getLong(0)}->${afterCompact.getLong(0)} xor " +
+              s"${afterDel.getLong(2)}->${afterCompact.getLong(2)}"),
           e.version.toInt))
         .toDF("n_rows", "sum_price", "xor_fp", "deleted_rows",
           "zero_rewritten", "carried_all", "files_identical", "v1_intact",
@@ -157,9 +161,10 @@ object Wave39Queries {
           a.getLong(2) == b.getLong(2)
       import s.implicits._
       Seq((native.getLong(0), native.getDouble(1), native.getLong(2),
-          if (same(native, ext)) 1 else 0,
-          if (same(nativeV1, extV0)) 1 else 0,
-          if (latestLog == 1L) 1 else 0,
+          Q.receipt(same(native, ext), s"native=$native ext=$ext"),
+          Q.receipt(same(nativeV1, extV0),
+            s"nativeV1=$nativeV1 extV0=$extV0"),
+          Q.receipt(latestLog == 1L, s"latestLog=$latestLog"),
           ExternalLog.versions(s, dir).length))
         .toDF("n_rows", "sum_price", "xor_fp", "current_matches",
           "history_matches", "log_is_tail", "n_log_versions")
@@ -190,9 +195,9 @@ object Wave39Queries {
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  (SELECT count(*) FROM b WHERE c = 1) AS deleted_rows,
-         |  1 AS zero_rewritten, 1 AS carried_all, 1 AS files_identical,
-         |  1 AS v1_intact, 1 AS dv_present, 1 AS dv_cleared,
-         |  1 AS fp_stable, 2 AS version
+         |  'ok' AS zero_rewritten, 'ok' AS carried_all,
+         |  'ok' AS files_identical, 'ok' AS v1_intact, 'ok' AS dv_present,
+         |  'ok' AS dv_cleared, 'ok' AS fp_stable, 2 AS version
          |FROM fp""".stripMargin,
     "q_lake_schema_evolution" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
@@ -221,7 +226,7 @@ object Wave39Queries {
          |fp AS (SELECT p, $fpB AS fp FROM b)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS current_matches, 1 AS history_matches, 1 AS log_is_tail,
-         |  2 AS n_log_versions
+         |  'ok' AS current_matches, 'ok' AS history_matches,
+         |  'ok' AS log_is_tail, 2 AS n_log_versions
          |FROM fp""".stripMargin)
 }

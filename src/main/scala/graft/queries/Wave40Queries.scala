@@ -57,7 +57,8 @@ object Wave40Queries {
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
           pr.filesRead, pr.filesTotal,
-          if (r.getLong(0) == full) 1 else 0))
+          Q.receipt(r.getLong(0) == full,
+            s"pruned=${r.getLong(0)} full=$full")))
         .toDF("n_rows", "sum_price", "xor_fp", "files_read", "files_total",
           "superset_ok")
     }
@@ -85,11 +86,13 @@ object Wave40Queries {
         cur.getLong(2) == after.getLong(2)
       import s.implicits._
       Seq((cur.getLong(0), cur.getDouble(1), cur.getLong(2), u.updatedRows,
-          if (u.carried == 16) 1 else 0,
-          if (v1Touched == 0L) 1 else 0,
-          if (dvPresent) 1 else 0,
-          if (dvCleared) 1 else 0,
-          if (fpStable) 1 else 0,
+          Q.receipt(u.carried == 16, s"carried=${u.carried} of 16"),
+          Q.receipt(v1Touched == 0L, s"v1 touched=$v1Touched"),
+          Q.receipt(dvPresent, "no deletion vector before compact"),
+          Q.receipt(dvCleared, "deletion vector survived compact"),
+          Q.receipt(fpStable,
+            s"n ${cur.getLong(0)}->${after.getLong(0)} xor " +
+              s"${cur.getLong(2)}->${after.getLong(2)}"),
           u.version.toInt))
         .toDF("n_rows", "sum_price", "xor_fp", "updated_rows",
           "carried_all", "v1_intact", "dv_present", "dv_cleared",
@@ -122,7 +125,7 @@ object Wave40Queries {
          |  (SELECT CAST(count(*) AS INTEGER) FROM bk
          |     WHERE mn <= 90 AND mx >= 20) AS files_read,
          |  (SELECT CAST(count(*) AS INTEGER) FROM bk) AS files_total,
-         |  1 AS superset_ok""".stripMargin,
+         |  'ok' AS superset_ok""".stripMargin,
     "q_update_vectored" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_custkey AS c,
          |    CASE WHEN o_custkey % 10 = 7 THEN 'X'
@@ -140,7 +143,7 @@ object Wave40Queries {
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  (SELECT count(*) FROM orders WHERE o_custkey % 10 = 7)
          |    AS updated_rows,
-         |  1 AS carried_all, 1 AS v1_intact, 1 AS dv_present,
-         |  1 AS dv_cleared, 1 AS fp_stable, 2 AS version
+         |  'ok' AS carried_all, 'ok' AS v1_intact, 'ok' AS dv_present,
+         |  'ok' AS dv_cleared, 'ok' AS fp_stable, 2 AS version
          |FROM fp""".stripMargin)
 }

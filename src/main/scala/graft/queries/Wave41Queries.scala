@@ -65,12 +65,13 @@ object Wave41Queries {
           Q.dsum(col("o_totalprice")).as("sum_price"),
           expr("bit_xor(fp)").as("xor_fp"))
         .withColumn("pruned",
-          lit(if (cf.filesOpened < cf.filesUnion) 1 else 0))
+          lit(Q.receipt(cf.filesOpened < cf.filesUnion,
+            s"opened=${cf.filesOpened} union=${cf.filesUnion}")))
         .orderBy("op")
         .collect().toSeq
       import s.implicits._
       out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-          r.getLong(3), r.getInt(4)))
+          r.getLong(3), r.getString(4)))
         .toDF("op", "n_rows", "sum_price", "xor_fp", "pruned")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -96,8 +97,10 @@ object Wave41Queries {
           expr("bit_xor(fp)").as("xor_fp")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (before.filesRead == before.filesTotal) 1 else 0,
-          if (after.filesRead < after.filesTotal) 1 else 0,
+          Q.receipt(before.filesRead == before.filesTotal,
+            s"pre-cluster read=${before.filesRead} of ${before.filesTotal}"),
+          Q.receipt(after.filesRead < after.filesTotal,
+            s"post-cluster read=${after.filesRead} of ${after.filesTotal}"),
           after.filesTotal))
         .toDF("n_rows", "sum_price", "xor_fp", "unclustered_reads_all",
           "clustered_prunes", "files_total")
@@ -130,7 +133,7 @@ object Wave41Queries {
          |      >> 4 AS fp
          |  FROM tagged)
          |SELECT op, count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
-         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp, 1 AS pruned
+         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp, 'ok' AS pruned
          |FROM fp GROUP BY op ORDER BY op""".stripMargin,
     "q_cluster_compact" ->
       s"""WITH hit AS (SELECT o_orderkey AS k, o_custkey AS c,
@@ -142,7 +145,7 @@ object Wave41Queries {
          |  FROM orders WHERE o_custkey BETWEEN 100 AND 180)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS unclustered_reads_all, 1 AS clustered_prunes,
+         |  'ok' AS unclustered_reads_all, 'ok' AS clustered_prunes,
          |  8 AS files_total
          |FROM hit""".stripMargin)
 }

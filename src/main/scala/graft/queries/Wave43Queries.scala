@@ -42,7 +42,7 @@ object Wave43Queries {
     val m = Versioned.metadataStats(s, dir, "c")
     import s.implicits._
     Seq((m.rows, m.min.toLong, m.max.toLong,
-        if (m.files >= 2) 1 else 0))
+        Q.receipt(m.files >= 2, s"files=${m.files}")))
       .toDF("n_rows", "min_c", "max_c", "multi_file")
   }
 
@@ -62,10 +62,14 @@ object Wave43Queries {
     val fr = receipt(full)
     import s.implicits._
     Seq((hr.getLong(0), hr.getLong(1),
-        if (rangeProbe.filesRead == rangeProbe.filesTotal) 1 else 0,
-        if (pp.filesRead < pp.filesTotal) 1 else 0,
-        if (hr.getLong(0) == fr.getLong(0) &&
-          hr.getLong(1) == fr.getLong(1)) 1 else 0))
+        Q.receipt(rangeProbe.filesRead == rangeProbe.filesTotal,
+          s"range read=${rangeProbe.filesRead} of ${rangeProbe.filesTotal}"),
+        Q.receipt(pp.filesRead < pp.filesTotal,
+          s"bloom read=${pp.filesRead} of ${pp.filesTotal}"),
+        Q.receipt(hr.getLong(0) == fr.getLong(0) &&
+            hr.getLong(1) == fr.getLong(1),
+          s"pruned n=${hr.getLong(0)} xor=${hr.getLong(1)} vs full " +
+            s"n=${fr.getLong(0)} xor=${fr.getLong(1)}")))
       .toDF("n_rows", "xor_fp", "without_bloom_reads_all", "bloom_prunes",
         "matches_full_read")
   }
@@ -78,7 +82,7 @@ object Wave43Queries {
     "q_metadata_agg" ->
       """SELECT count(*) AS n_rows,
         |  min(o_custkey) AS min_c, max(o_custkey) AS max_c,
-        |  1 AS multi_file
+        |  'ok' AS multi_file
         |FROM orders""".stripMargin,
     "q_point_lookup" ->
       """WITH hit AS (SELECT o_orderkey AS k, o_custkey AS c,
@@ -90,7 +94,7 @@ object Wave43Queries {
         |  FROM orders WHERE o_orderkey = 1)
         |SELECT count(*) AS n_rows,
         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-        |  1 AS without_bloom_reads_all, 1 AS bloom_prunes,
-        |  1 AS matches_full_read
+        |  'ok' AS without_bloom_reads_all, 'ok' AS bloom_prunes,
+        |  'ok' AS matches_full_read
         |FROM hit""".stripMargin)
 }

@@ -92,8 +92,9 @@ object Wave44Queries {
         .agg(count(lit(1)).as("n_rows"), Q.dsum(col("p")).as("sum_price"),
           expr("bit_xor(fp)").as("xor_fp")).head()
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (filesIdentical) 1 else 0,
-          if (dvRows == v1Erased) 1 else 0,
+          Q.receipt(filesIdentical, "final file list differs from v1"),
+          Q.receipt(dvRows == v1Erased,
+            s"dvRows=$dvRows v1Erased=$v1Erased"),
           nv.toInt))
         .toDF("n_rows", "sum_price", "xor_fp", "zero_rewrite",
           "dv_complete", "n_versions")
@@ -121,6 +122,6 @@ object Wave44Queries {
          |  FROM b)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS zero_rewrite, 1 AS dv_complete, 4 AS n_versions
+         |  'ok' AS zero_rewrite, 'ok' AS dv_complete, 4 AS n_versions
          |FROM fp""".stripMargin)
 }

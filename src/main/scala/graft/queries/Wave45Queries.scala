@@ -59,8 +59,11 @@ object Wave45Queries {
           expr("bit_xor(fp)").as("xor_fp")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (carried) 1 else 0, if (rewritten) 1 else 0,
-          if (colsHidden) 1 else 0, 2))
+          Q.receipt(carried,
+            s"untouched=${untouched.length} not all carried into v2"),
+          Q.receipt(rewritten, "touched-bucket v1 files survived into v2"),
+          Q.receipt(colsHidden, s"columns=${cur.columns.mkString(",")}"),
+          2))
         .toDF("n_rows", "sum_price", "xor_fp", "untouched_carried",
           "touched_rewritten", "layout_hidden", "version")
     } finally {
@@ -86,7 +89,7 @@ object Wave45Queries {
          |  FROM b)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS untouched_carried, 1 AS touched_rewritten,
-         |  1 AS layout_hidden, 2 AS version
+         |  'ok' AS untouched_carried, 'ok' AS touched_rewritten,
+         |  'ok' AS layout_hidden, 2 AS version
          |FROM fp""".stripMargin)
 }

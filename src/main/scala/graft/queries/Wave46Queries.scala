@@ -106,13 +106,17 @@ object Wave46Queries {
       val rk = agg(zK, "k", kLo, kHi)
       val rc = agg(zC, "c", cLo, cHi)
       import s.implicits._
+      val zBeats = Q.receipt(zC.filesRead < linC.filesRead,
+        s"z c-probe read=${zC.filesRead} linear=${linC.filesRead}")
       Seq(
         ("k", rk.getLong(0), rk.getDouble(1), rk.getLong(2),
-          if (zK.filesRead < zK.filesTotal) 1 else 0,
-          if (zC.filesRead < linC.filesRead) 1 else 0),
+          Q.receipt(zK.filesRead < zK.filesTotal,
+            s"z k-probe read=${zK.filesRead} of ${zK.filesTotal}"),
+          zBeats),
         ("c", rc.getLong(0), rc.getDouble(1), rc.getLong(2),
-          if (zC.filesRead < zC.filesTotal) 1 else 0,
-          if (zC.filesRead < linC.filesRead) 1 else 0))
+          Q.receipt(zC.filesRead < zC.filesTotal,
+            s"z c-probe read=${zC.filesRead} of ${zC.filesTotal}"),
+          zBeats))
         .toDF("probe", "n_rows", "sum_price", "xor_fp", "z_prunes",
           "z_beats_linear")
         .orderBy("probe")
@@ -160,11 +164,11 @@ object Wave46Queries {
          |SELECT 'c' AS probe, count(*) AS n_rows,
          |  ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS z_prunes, 1 AS z_beats_linear
+         |  'ok' AS z_prunes, 'ok' AS z_beats_linear
          |FROM b WHERE c BETWEEN 40 AND 110
          |UNION ALL
          |SELECT 'k', count(*), ${Q.DSUM("p")},
-         |  CAST(bit_xor(fp) AS BIGINT), 1, 1
+         |  CAST(bit_xor(fp) AS BIGINT), 'ok', 'ok'
          |FROM b WHERE k BETWEEN 100 AND 600
          |ORDER BY probe""".stripMargin)
 }

@@ -67,8 +67,9 @@ object Wave47Queries {
       val v3n = Versioned.read(s, dir, Some(3L)).count()
       import s.implicits._
       Seq((n, sp, xf, v,
-          if (n == n1 && xf == xf1) 1 else 0,
-          if (v3n < n) 1 else 0))
+          Q.receipt(n == n1 && xf == xf1,
+            s"restored n=$n xor=$xf vs v1 n=$n1 xor=$xf1"),
+          Q.receipt(v3n < n, s"v3 rows=$v3n restored rows=$n")))
         .toDF("n_rows", "sum_price", "xor_fp", "version",
           "equals_v1", "bad_history_kept")
     } finally {
@@ -113,15 +114,20 @@ object Wave47Queries {
       val poisoned = base.filter(col("k") % 2 === 1 && col("k") % 5 === 0)
         .withColumn("p", when(col("k") % 25 === 0, -col("p"))
           .otherwise(col("p")))
-      val badRejected =
-        try { Versioned.merge(poisoned, dir, Seq("k")); 0 }
-        catch { case _: Versioned.ConstraintViolation => 1 }
-      val unchanged =
-        if (Versioned.currentVersion(s, dir).get == vBefore) 1 else 0
+      val badRejected = Q.receipt(
+        try { Versioned.merge(poisoned, dir, Seq("k")); false }
+        catch { case _: Versioned.ConstraintViolation => true },
+        "poisoned batch committed past the CHECK constraint")
+      val vAfter = Versioned.currentVersion(s, dir).get
+      val unchanged = Q.receipt(vAfter == vBefore,
+        s"version moved $vBefore->$vAfter on a rejected batch")
       // a constraint the existing data violates cannot be added
-      val addRejected =
-        try { Versioned.addConstraint(s, dir, "impossible", "p > 1000000"); 0 }
-        catch { case _: IllegalArgumentException => 1 }
+      val addRejected = Q.receipt(
+        try {
+          Versioned.addConstraint(s, dir, "impossible", "p > 1000000")
+          false
+        } catch { case _: IllegalArgumentException => true },
+        "snapshot-violating constraint was accepted")
       // the clean slice of the same batch commits under the constraint
       Versioned.merge(poisoned.filter(col("p") >= 0), dir, Seq("k"))
       val (n, sp, xf) = priceFp(s,
@@ -157,7 +163,7 @@ object Wave47Queries {
          |  FROM b)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  4 AS version, 1 AS equals_v1, 1 AS bad_history_kept
+         |  4 AS version, 'ok' AS equals_v1, 'ok' AS bad_history_kept
          |FROM fp""".stripMargin,
     "q_lake_history" ->
       s"""WITH b AS ($evens),
@@ -189,6 +195,7 @@ object Wave47Queries {
          |  FROM m)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS bad_rejected, 1 AS version_unchanged, 1 AS add_rejected
+         |  'ok' AS bad_rejected, 'ok' AS version_unchanged,
+         |  'ok' AS add_rejected
          |FROM fp""".stripMargin)
 }

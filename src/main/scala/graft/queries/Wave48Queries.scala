@@ -82,7 +82,10 @@ object Wave48Queries {
       val nB2 = Catalog.read(s, root, "b", Some(2L)).count()
       import s.implicits._
       Seq((n2, sp2, xf2, nA2, nB2,
-          if (n1 == n2 && xf1 == xf2 && sp1 == sp2) 1 else 0, 2))
+          Q.receipt(n1 == n2 && xf1 == xf2 && sp1 == sp2,
+            s"pre-tx n=$n1 sum=$sp1 xor=$xf1 vs post-tx " +
+              s"n=$n2 sum=$sp2 xor=$xf2"),
+          2))
         .toDF("n_total", "sum_price", "xor_fp", "n_a", "n_b",
           "conserved", "cat_version")
     } finally {
@@ -129,6 +132,6 @@ object Wave48Queries {
          |    WHERE k % 2 = 0 AND k % 10 <> 6) AS n_a,
          |  (SELECT count(*) FROM b
          |    WHERE k % 2 = 1 OR k % 10 = 6) AS n_b,
-         |  1 AS conserved, 2 AS cat_version
+         |  'ok' AS conserved, 2 AS cat_version
          |FROM fp""".stripMargin)
 }

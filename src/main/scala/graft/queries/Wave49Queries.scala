@@ -54,8 +54,11 @@ object Wave49Queries {
           expr("bit_xor(fp)").as("xf")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (r0.droppedFiles > 0) 1 else 0,
-          if (metadataOnly) 1 else 0, r0.version))
+          Q.receipt(r0.droppedFiles > 0,
+            s"droppedFiles=${r0.droppedFiles}"),
+          Q.receipt(metadataOnly,
+            s"v2 wrote ${(v2Files -- v1Files).size} new files"),
+          r0.version))
         .toDF("n_rows", "sum_price", "xor_fp", "dropped_some",
           "metadata_only", "version")
     } finally {
@@ -83,7 +86,10 @@ object Wave49Queries {
       val curN = Versioned.read(s, dir).count()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (stillTagged) 1 else 0, if (curN == r.getLong(0)) 1 else 0))
+          Q.receipt(stillTagged,
+            s"tags=${Versioned.tags(s, dir)}"),
+          Q.receipt(curN == r.getLong(0),
+            s"current n=$curN tagged n=${r.getLong(0)}")))
         .toDF("n_rows", "sum_price", "xor_fp", "tag_survived_vacuum",
           "count_preserved")
     } finally {
@@ -135,7 +141,11 @@ object Wave49Queries {
         baseAgg.getLong(1) + netCents == curAgg.getLong(1)
       import s.implicits._
       Seq((curAgg.getLong(0), curAgg.getLong(1), n1, n2,
-          if (exactlyOnce) 1 else 0, if (reconciled) 1 else 0))
+          Q.receipt(exactlyOnce, s"consumed versions=${seen.mkString(",")}"),
+          Q.receipt(reconciled,
+            s"base n=${baseAgg.getLong(0)}+$netRows cents=" +
+              s"${baseAgg.getLong(1)}+$netCents vs current " +
+              s"n=${curAgg.getLong(0)} cents=${curAgg.getLong(1)}")))
         .toDF("n_rows", "sum_cents", "run1_versions", "run2_versions",
           "exactly_once", "reconciled")
     } finally {
@@ -169,7 +179,7 @@ object Wave49Queries {
          |  FROM b)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS dropped_some, 1 AS metadata_only, 2 AS version
+         |  'ok' AS dropped_some, 'ok' AS metadata_only, 2 AS version
          |FROM fp""".stripMargin,
     "q_tagged_snapshot" ->
       s"""WITH b AS ($evens),
@@ -180,7 +190,7 @@ object Wave49Queries {
          |  FROM b)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS tag_survived_vacuum, 1 AS count_preserved
+         |  'ok' AS tag_survived_vacuum, 'ok' AS count_preserved
          |FROM fp""".stripMargin,
     "q_lake_follow" ->
       s"""WITH b AS ($evens),
@@ -197,6 +207,6 @@ object Wave49Queries {
          |  CAST(sum(CAST(floor(p * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
          |    AS sum_cents,
          |  1 AS run1_versions, 2 AS run2_versions,
-         |  1 AS exactly_once, 1 AS reconciled
+         |  'ok' AS exactly_once, 'ok' AS reconciled
          |FROM v4""".stripMargin)
 }

@@ -40,14 +40,16 @@ object Wave50Queries {
       val carried = untouched.nonEmpty && untouched.forall(v2Files.contains)
       // a supplied-but-wrong generated value is vetoed pre-staging
       val vBefore = Versioned.currentVersion(s, dir).get
-      val badRejected =
+      val badRejected = Q.receipt(
         try {
           Versioned.merge(batch.withColumn("bkt", lit(999L)),
             dir, Seq("k"), partitionCol = Some("bkt"))
-          0
-        } catch { case _: Versioned.ConstraintViolation => 1 }
-      val unchanged =
-        if (Versioned.currentVersion(s, dir).get == vBefore) 1 else 0
+          false
+        } catch { case _: Versioned.ConstraintViolation => true },
+        "wrong supplied generated value was accepted")
+      val vAfter = Versioned.currentVersion(s, dir).get
+      val unchanged = Q.receipt(vAfter == vBefore,
+        s"version moved $vBefore->$vAfter on a rejected batch")
       val r = Versioned.read(s, dir)
         .withColumn("fp", fpCol(col("k"), col("c"), col("bkt"),
           floor(col("p") * lit(100.0) + lit(0.5)).cast("long")))
@@ -55,7 +57,9 @@ object Wave50Queries {
           expr("bit_xor(fp)").as("xf")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (carried) 1 else 0, badRejected, unchanged))
+          Q.receipt(carried,
+            s"untouched=${untouched.length} not all carried into v2"),
+          badRejected, unchanged))
         .toDF("n_rows", "sum_price", "xor_fp", "untouched_carried",
           "bad_rejected", "version_unchanged")
     } finally {
@@ -83,7 +87,7 @@ object Wave50Queries {
          |  FROM b)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS untouched_carried, 1 AS bad_rejected,
-         |  1 AS version_unchanged
+         |  'ok' AS untouched_carried, 'ok' AS bad_rejected,
+         |  'ok' AS version_unchanged
          |FROM fp""".stripMargin)
 }

@@ -46,7 +46,8 @@ object Wave51Queries {
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
           stats.merged, stats.diverted, qRow.getLong(0),
-          if (qRow.getLong(0) == qRow.getLong(1)) 1 else 0))
+          Q.receipt(qRow.getLong(0) == qRow.getLong(1),
+            s"quarantined=${qRow.getLong(0)} named=${qRow.getLong(1)}")))
         .toDF("n_rows", "sum_price", "xor_fp", "merged", "diverted",
           "q_rows", "q_named")
     } finally {
@@ -84,6 +85,6 @@ object Wave51Queries {
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  (SELECT count(*) FROM ins) AS merged,
          |  (SELECT n FROM badn) AS diverted,
-         |  (SELECT n FROM badn) AS q_rows, 1 AS q_named
+         |  (SELECT n FROM badn) AS q_rows, 'ok' AS q_named
          |FROM fp""".stripMargin)
 }

@@ -46,7 +46,8 @@ object Wave52Queries {
           expr("bit_xor(fp)").as("xf")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (metadataOnly) 1 else 0, if (oldNameKept) 1 else 0, 3))
+          Q.receipt(metadataOnly, "rename commit touched data files"),
+          Q.receipt(oldNameKept, "v1 time travel lost the old name"), 3))
         .toDF("n_rows", "sum_amount", "xor_fp", "metadata_only",
           "old_name_kept", "version")
     } finally {
@@ -83,8 +84,10 @@ object Wave52Queries {
           expr("bit_xor(fp)").as("xf")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (metadataOnly) 1 else 0, if (oldNameKept) 1 else 0,
-          if (deadBytesDead) 1 else 0))
+          Q.receipt(metadataOnly, "drop commit touched data files"),
+          Q.receipt(oldNameKept, "v1 time travel lost the old column"),
+          Q.receipt(deadBytesDead,
+            "carried rows surfaced the dropped column's dead bytes")))
         .toDF("n_rows", "sum_price", "xor_fp", "metadata_only",
           "old_name_kept", "dead_bytes_dead")
     } finally {
@@ -115,7 +118,8 @@ object Wave52Queries {
          |  FROM m)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS metadata_only, 1 AS old_name_kept, 1 AS dead_bytes_dead
+         |  'ok' AS metadata_only, 'ok' AS old_name_kept,
+         |  'ok' AS dead_bytes_dead
          |FROM fp""".stripMargin,
     "q_rename_column" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
@@ -129,6 +133,6 @@ object Wave52Queries {
          |  FROM b)
          |SELECT count(*) AS n_rows, ${Q.DSUM("amount")} AS sum_amount,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS metadata_only, 1 AS old_name_kept, 3 AS version
+         |  'ok' AS metadata_only, 'ok' AS old_name_kept, 3 AS version
          |FROM fp""".stripMargin)
 }

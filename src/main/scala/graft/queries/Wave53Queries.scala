@@ -43,7 +43,7 @@ object Wave53Queries {
         .agg(count(lit(1)).as("n_orders"),
           Q.dsum(col("o_totalprice")).as("revenue"))
         .withColumn("exchange_free_join",
-          lit(if (exchanges == 0) 1 else 0))
+          lit(Q.receipt(exchanges == 0, s"exchanges=$exchanges")))
         .orderBy("c_mktsegment")
       // materialize before dropping the tables underneath the plan
       val rows = agg.collect()
@@ -64,7 +64,7 @@ object Wave53Queries {
     "q_bucketed_join" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          |  ${Q.DSUM("o_totalprice")} AS revenue,
-         |  1 AS exchange_free_join
+         |  'ok' AS exchange_free_join
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin)

@@ -55,7 +55,7 @@ object Wave57Queries {
       !plan.contains("PushedFilters: []")
     import s.implicits._
     Seq((r.getLong(0), r.getDouble(1), r.getLong(2), planned, total,
-        if (pushedShown) 1 else 0))
+        Q.receipt(pushedShown, "PushedFilters missing or empty in plan")))
       .toDF("n_rows", "sum_price", "xor_fp", "files_read", "files_total",
         "pushed_shown")
   }
@@ -115,7 +115,7 @@ object Wave57Queries {
          |  (SELECT CAST(count(*) AS INTEGER) FROM bk
          |     WHERE mn <= 90 AND mx >= 20) AS files_read,
          |  (SELECT CAST(count(*) AS INTEGER) FROM bk) AS files_total,
-         |  1 AS pushed_shown""".stripMargin,
+         |  'ok' AS pushed_shown""".stripMargin,
     "q_dsv2_stream" ->
       s"""WITH m AS (SELECT o_orderkey AS k, o_orderstatus AS st,
          |    o_totalprice AS p

@@ -49,7 +49,8 @@ object Wave58Queries {
       import s.implicits._
       Seq((cur.getLong(0), cur.getDouble(1), cur.getLong(2),
           v1.getLong(0), v1.getDouble(1), v1.getLong(2),
-          if (cur.getLong(0) == v1.getLong(0)) 1 else 0))
+          Q.receipt(cur.getLong(0) == v1.getLong(0),
+            s"current n=${cur.getLong(0)} v1 n=${v1.getLong(0)}")))
         .toDF("n_rows", "sum_price", "xor_fp",
           "v1_rows", "v1_sum_price", "v1_xor_fp", "count_stable")
     } finally {
@@ -88,5 +89,5 @@ object Wave58Queries {
          |  (SELECT count(*) FROM f1) AS v1_rows,
          |  (SELECT ${Q.DSUM("p")} FROM f1) AS v1_sum_price,
          |  (SELECT CAST(bit_xor(fp) AS BIGINT) FROM f1) AS v1_xor_fp,
-         |  1 AS count_stable""".stripMargin)
+         |  'ok' AS count_stable""".stripMargin)
 }

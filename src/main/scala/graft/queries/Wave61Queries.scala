@@ -51,7 +51,9 @@ object Wave61Queries {
           expr("bit_xor(fp)").as("xf")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (carried) 1 else 0, if (appended) 1 else 0))
+          Q.receipt(carried, "v1 files not all carried by the append"),
+          Q.receipt(appended,
+            s"history=${Versioned.history(s, dir).map(_.operation)}")))
         .toDF("n_rows", "sum_price", "xor_fp", "no_rewrite", "appended")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -77,6 +79,6 @@ object Wave61Queries {
          |  FROM m)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS no_rewrite, 1 AS appended
+         |  'ok' AS no_rewrite, 'ok' AS appended
          |FROM fp""".stripMargin)
 }

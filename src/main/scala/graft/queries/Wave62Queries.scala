@@ -46,8 +46,11 @@ object Wave62Queries {
           expr("bit_xor(fp)").as("xf")).head()
       import s.implicits._
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (noRewrite) 1 else 0, if (dvPresent) 1 else 0,
-          if (opOk) 1 else 0))
+          Q.receipt(noRewrite,
+            s"v2 wrote ${(v2Files -- v1Files).size} new files"),
+          Q.receipt(dvPresent, "no deletion vector after SQL DELETE"),
+          Q.receipt(opOk,
+            s"last op=${Versioned.history(s, dir).last.operation}")))
         .toDF("n_rows", "sum_price", "xor_fp", "no_rewrite",
           "dv_present", "op_ok")
     } finally {
@@ -71,6 +74,6 @@ object Wave62Queries {
          |  FROM m)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS no_rewrite, 1 AS dv_present, 1 AS op_ok
+         |  'ok' AS no_rewrite, 'ok' AS dv_present, 'ok' AS op_ok
          |FROM fp""".stripMargin)
 }

@@ -51,7 +51,10 @@ object Wave63Queries {
         .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp"),
           expr("bit_xor(fp)").as("xf")).head()
       Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
-          if (opOk) 1 else 0, if (txnOk && cur >= 2L) 1 else 0))
+          Q.receipt(opOk,
+            s"last op=${Versioned.history(s, dst).last.operation}"),
+          Q.receipt(txnOk && cur >= 2L,
+            s"current version=$cur txnOk=$txnOk")))
         .toDF("n_rows", "sum_price", "xor_fp", "op_ok", "committed")
     } finally {
       val p = new org.apache.hadoop.fs.Path(work.toString)
@@ -75,6 +78,6 @@ object Wave63Queries {
          |  FROM m)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-         |  1 AS op_ok, 1 AS committed
+         |  'ok' AS op_ok, 'ok' AS committed
          |FROM fp""".stripMargin)
 }

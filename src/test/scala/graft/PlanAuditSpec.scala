@@ -98,6 +98,10 @@ class PlanAuditSpec extends SparkSuite {
     // the customer filter (TPC-H's scalar subquery, decorrelated as the
     // standard single-row broadcast).
     "q_tpch_q22",
+    // wave 67: q_tpch_q11's HAVING compares each group against the
+    // 1-row grand-total frame (TPC-H's scalar subquery, same
+    // decorrelated single-row broadcast as q_tpch_q22).
+    "q_tpch_q11",
     // wave 31: q_rm3_search runs TWO BM25 passes, each inheriting the
     // 1-row corpus-stats cross (the q_bm25_search shape).
     "q_rm3_search",

@@ -13,7 +13,7 @@ class Wave25to31Spec extends SparkSuite {
     val rows = SparkEntry.queries("q_compaction")(spark, d).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Int]("ok") == 1, s"receipt mismatch: $r")
+      assert(r.getAs[String]("ok") == "ok", s"receipt mismatch: $r")
       assert(r.getAs[Int]("n_files_after") == 4)
       assert(r.getAs[Int]("version") == 3)
     }
@@ -22,8 +22,8 @@ class Wave25to31Spec extends SparkSuite {
   test("q_vacuum: current survives, history is gone, files reclaimed") {
     val r = SparkEntry.queries("q_vacuum")(spark, d).head()
     assert(r.getAs[Int]("n_manifests") == 1)
-    assert(r.getAs[Int]("v1_gone") == 1)
-    assert(r.getAs[Int]("deleted_gt0") == 1)
+    assert(r.getAs[String]("v1_gone") == "ok")
+    assert(r.getAs[String]("deleted_gt0") == "ok")
     assert(r.getAs[Long]("n_rows") > 0)
   }
 
