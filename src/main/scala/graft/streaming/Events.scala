@@ -87,7 +87,13 @@ object Events {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    if (!wideState) spark.conf.set("spark.sql.shuffle.partitions",
+    // state-store count = shuffle partitions, and EVERY store pays
+    // setup + per-batch commit — for RocksDB that's a native instance
+    // and a changelog each. The keyspaces here are bounded (event
+    // types, active users), so the store count is a pure fixed cost:
+    // size it to the keyspace, not to the batch shuffle width. On a
+    // real cluster the same knob spreads stores across executors.
+    spark.conf.set("spark.sql.shuffle.partitions",
       spark.conf.get("graft.streaming.statePartitions", "8"))
     // a no-data batch exists to advance the watermark: fire event-time
     // timers and evict expired state. Queries whose RESULT doesn't

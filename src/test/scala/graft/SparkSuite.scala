@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * Verify/Bench (UTC, non-ANSI, AQE, few shuffle partitions). */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
