@@ -89,7 +89,8 @@ object SparkEntry {
     graft.queries.Wave63Queries.queries ++
     graft.queries.Wave64Queries.queries ++
     graft.queries.Wave65Queries.queries ++
-    graft.queries.Wave66Queries.queries
+    graft.queries.Wave66Queries.queries ++
+    graft.queries.Wave68Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -165,5 +166,6 @@ object SparkEntry {
     graft.queries.Wave63Queries.oracles ++
     graft.queries.Wave64Queries.oracles ++
     graft.queries.Wave65Queries.oracles ++
-    graft.queries.Wave66Queries.oracles
+    graft.queries.Wave66Queries.oracles ++
+    graft.queries.Wave68Queries.oracles
 }

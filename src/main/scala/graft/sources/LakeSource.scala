@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, S
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources.{And, IsNotNull, IsNull, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{streaming, BatchWrite, LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
@@ -288,9 +288,40 @@ final class LakeScanBuilder(path: String, version: Option[Long],
 final class LakeScan(path: String, version: Option[Long],
     required: StructType, pushed: Array[Filter], ignoreChanges: Boolean,
     startingVersion: Option[String] = None)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Planner statistics from the MANIFEST, filter-aware: row count =
+    * the per-file `#rows` stats (logged by every commit) summed over
+    * exactly the files the pushed filters keep, size = rows × the
+    * pruned read schema's width estimate. Metadata-only — no file is
+    * opened, no FileSystem call per file — so a 100 TB lake table
+    * joins with a CORRECT broadcast decision: without this, a DSv2
+    * relation reports `spark.sql.defaultSizeInBytes` (effectively
+    * infinite) and a 100-row filtered dimension still sort-merges.
+    * The estimate is a superset (outstanding deletion-vector rows not
+    * subtracted), which can only make the planner more conservative. */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val counts = plannedFiles(spark).flatMap { case (_, stats) =>
+      stats.flatMap(rowCountRe.findFirstMatchIn(_).map(_.group(1).toLong))
+    }
+    new Statistics {
+      override def numRows(): java.util.OptionalLong =
+        if (counts.length == plannedFiles(spark).length && counts.nonEmpty)
+          java.util.OptionalLong.of(counts.sum)
+        else java.util.OptionalLong.empty()
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (counts.length == plannedFiles(spark).length && counts.nonEmpty)
+          java.util.OptionalLong.of(
+            counts.sum * math.max(1, required.defaultSize))
+        else java.util.OptionalLong.empty()
+    }
+  }
+
+  private val rowCountRe =
+    """"#rows":\{"t":"l","mnl":(\d+)""".r
 
   override def description(): String =
     s"graft-lake $path ${version.fold("")(v => s"v$v ")}" +
@@ -298,10 +329,14 @@ final class LakeScan(path: String, version: Option[Long],
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The pruned file list (with each file's manifest stats JSON),
+    * computed ONCE per scan and shared by [[estimateStatistics]] (the
+    * optimizer may ask before execution) and [[planInputPartitions]] —
+    * the estimate and the actual scan always agree on the footprint. */
+  private lazy val prunedEntries: Seq[(String, Option[String])] = {
     val spark = SparkSession.active
     val v = Versioned.resolveVersion(spark, path, version)
-    val total = Versioned.manifestEntries(spark, path, v).length
+    val entries = Versioned.manifestEntries(spark, path, v)
     // interval skipping through the manifest (engine-side)
     val ranges = pushed.toSeq.flatMap {
       case EqualTo(c, x: Number) =>
@@ -340,7 +375,18 @@ final class LakeScan(path: String, version: Option[Long],
         }
       }
     }
-    LakeSource.lastPlanned.set((files.length, total))
+    LakeSource.lastPlanned.set((files.length, entries.length))
+    val keep = files.toSet
+    entries.filter { case (f, _) => keep(f) }
+  }
+
+  private def plannedFiles(spark: SparkSession): Seq[(String, Option[String])] =
+    prunedEntries
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val v = Versioned.resolveVersion(spark, path, version)
+    val files = prunedEntries.map(_._1)
     val dv: Map[String, Array[Long]] =
       Versioned.deletionVector(spark, path, Some(v)) match {
         case None => Map.empty
