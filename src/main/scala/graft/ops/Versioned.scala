@@ -3280,6 +3280,78 @@ object Versioned {
     fs(spark, path).delete(tagPath(path, name), false)
 
   // ------------------------------------------------------------------
+  // branches (writable refs with OCC squash publish)
+  // ------------------------------------------------------------------
+
+  private def branchBasePath(path: String) =
+    new Path(manifestDir(path), "_branch_base")
+
+  /** Create a writable BRANCH of `src` at `dst`: a zero-copy [[clone]]
+    * of the current snapshot plus the recorded (source, base-version)
+    * ref. Commits on the branch are ordinary table versions —
+    * invisible to `src` — until [[publish]] folds the branch head
+    * back. The Iceberg-branch workflow on the linear commit log:
+    * branch = clone (metadata-only), publish = one OCC reference
+    * commit (metadata-only), so an experiment against a 100 TB table
+    * costs only the files IT stages. */
+  def branch(spark: SparkSession, src: String, dst: String): Long = {
+    val base = resolve(spark, src, None)
+    val v = Versioned.clone(spark, src, dst)
+    atomicWrite(fs(spark, dst), branchBasePath(dst),
+      s"$src\t$base\n".getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  /** The (source path, base version) a branch was cut from. */
+  def branchBase(spark: SparkSession, path: String): Option[(String, Long)] = {
+    val f = fs(spark, path)
+    val p = branchBasePath(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val i = txt.lastIndexOf('\t')
+      Some((txt.substring(0, i), txt.substring(i + 1).toLong))
+    }
+  }
+
+  /** PUBLISH a branch back to its source: ONE squash commit on the
+    * source referencing the branch head's manifest / schema / deletion
+    * vector — zero data movement (branch-staged files are referenced
+    * in place, exactly like [[clone]]'s mixed-root reads; the branch
+    * directory must outlive the published version, the shallow-clone
+    * contract — a [[compact]] on the source localizes the files).
+    * Optimistic concurrency: the commit targets base+1, so it wins
+    * ONLY if the source hasn't moved since the branch was cut — a
+    * concurrent source commit (or an already-published sibling branch)
+    * refuses the publish LOUDLY with ZERO effect on the source;
+    * re-branching from the new tip is the rebase. Identity-bearing
+    * branches are refused (two allocators would both extend the
+    * source's high-water — the same reason identity merges opt out of
+    * the OCC rebase fast path). */
+  def publish(spark: SparkSession, branchPath: String): Long = {
+    val (src, base) = branchBase(spark, branchPath).getOrElse(
+      sys.error(s"not a branch (no _branch_base): $branchPath"))
+    require(identityColumns(spark, branchPath).isEmpty,
+      s"cannot publish an identity-bearing branch: $branchPath")
+    val head = resolve(spark, branchPath, None)
+    val nCommits = head - 1L // branch v1 = the clone of base
+    require(nCommits >= 1L,
+      s"branch has no commits to publish: $branchPath")
+    val v = base + 1L
+    val ok = commit(spark, src, v,
+      Left(readManifestEntries(spark, branchPath, head)),
+      tableSchema(spark, branchPath, Some(head)),
+      deletionVector(spark, branchPath, Some(head)),
+      op = Some(s"PUBLISH($nCommits commits)"))
+    require(ok, s"publish refused: $src moved past v$base since the " +
+      "branch was cut — re-branch from the current tip and replay")
+    v
+  }
+
+  // ------------------------------------------------------------------
   // checkpointed incremental consumption (follow the commit log)
   // ------------------------------------------------------------------
 

@@ -72,10 +72,98 @@ object Wave68Queries {
     }
   }
 
+  /** Branch workflow ([[Versioned.branch]]/[[Versioned.publish]]):
+    * cut a writable branch (zero-copy clone + recorded base), commit
+    * an experiment on it (reprice + erase), prove the source never
+    * saw the work, publish — ONE OCC squash reference commit, zero
+    * data movement — and prove a STALE sibling branch is refused
+    * with zero effect. */
+  def qBranchPublish(s: SparkSession, d: String): DataFrame = {
+    val fpCol = (cols: Seq[org.apache.spark.sql.Column]) =>
+      shiftrightunsigned(graft.text.Dedup.md5Hash64(
+        concat_ws("#", cols: _*)), 4)
+    def receipt(df: DataFrame) = {
+      val r = df.withColumn("fp", fpCol(Seq(col("k"), col("st"),
+          floor(col("p") * lit(100.0) + lit(0.5)).cast("long"))))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp"),
+          expr("bit_xor(fp)").as("xf")).head()
+      (r.getLong(0), r.getDouble(1), r.getLong(2))
+    }
+    val main = LakeFixtures.cloneOf(s, LakeFixtures.ordersEvens16(s, d),
+      "graft_brmain")
+    val work = java.nio.file.Files.createTempDirectory("graft_br")
+    val br = work.resolve("b1").toString
+    val stale = work.resolve("b2").toString
+    try {
+      val (n0, sp0, xf0) = receipt(Versioned.read(s, main))
+      Versioned.branch(s, main, br)
+      Versioned.branch(s, main, stale) // sibling cut at the same base
+      // two commits on the branch: reprice %3, erase %7 (not %3)
+      Versioned.merge(Versioned.read(s, br).filter(col("k") % 3 === 0)
+          .withColumn("p", col("p") + lit(10.0)), br, Seq("k"))
+      Versioned.deleteVectored(s, br,
+        col("k") % 7 === 0 && col("k") % 3 =!= 0)
+      // invisibility: the source is untouched while the branch works
+      val (n1, sp1, xf1) = receipt(Versioned.read(s, main))
+      val invisible = n1 == n0 && sp1 == sp0 && xf1 == xf0 &&
+        Versioned.currentVersion(s, main).contains(1L)
+      val headFiles = Versioned.files(s, br).toSet
+      val v = Versioned.publish(s, br)
+      // metadata-only: the published version references the branch
+      // head's files in place — the file set is identical
+      val metadataOnly =
+        Versioned.files(s, main, Some(v)).toSet == headFiles
+      val opOk = Versioned.history(s, main).last.operation
+        .startsWith("PUBLISH(")
+      // OCC: the sibling's base is stale now — refused, zero effect
+      val staleRefused =
+        try { Versioned.publish(s, stale); false }
+        catch { case _: IllegalArgumentException => true }
+      val unmoved = Versioned.currentVersion(s, main).contains(v)
+      val (n2, sp2, xf2) = receipt(Versioned.read(s, main))
+      import s.implicits._
+      Seq((n2, sp2, xf2,
+          Q.receipt(invisible,
+            s"main moved under the branch: n $n0->$n1 xor $xf0->$xf1"),
+          Q.receipt(metadataOnly, "published file set != branch head"),
+          Q.receipt(opOk,
+            s"op=${Versioned.history(s, main).last.operation}"),
+          Q.receipt(staleRefused && unmoved,
+            s"staleRefused=$staleRefused version=" +
+              s"${Versioned.currentVersion(s, main)}"),
+          v.toInt))
+        .toDF("n_rows", "sum_price", "xor_fp", "branch_invisible",
+          "publish_metadata_only", "op_ok", "stale_refused", "version")
+    } finally {
+      Seq(main, work.toString).foreach { dd =>
+        val p = new org.apache.hadoop.fs.Path(dd)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_lake_cbo" -> qLakeCbo)
+    "q_lake_cbo"        -> qLakeCbo,
+    "q_branch_publish"  -> qBranchPublish)
 
   val oracles: Map[String, String] = Map(
+    "q_branch_publish" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+         |    o_totalprice AS p
+         |  FROM orders WHERE o_orderkey % 2 = 0),
+         |v AS (SELECT k, st,
+         |    CASE WHEN k % 3 = 0 THEN p + 10.0 ELSE p END AS p
+         |  FROM b WHERE NOT (k % 7 = 0 AND k % 3 <> 0)),
+         |fp AS (SELECT p,
+         |    md5_number_upper(CAST(k AS VARCHAR) || '#' || st || '#' ||
+         |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+         |      >> 4 AS fp
+         |  FROM v)
+         |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
+         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+         |  'ok' AS branch_invisible, 'ok' AS publish_metadata_only,
+         |  'ok' AS op_ok, 'ok' AS stale_refused, 2 AS version
+         |FROM fp""".stripMargin,
     "q_lake_cbo" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          |  ${Q.DSUM("o_totalprice")} AS revenue,
