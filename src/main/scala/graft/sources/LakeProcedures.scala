@@ -156,6 +156,38 @@ object LakeProcedures {
       }
     },
 
+    new Proc("branch",
+      "cut a writable branch: a zero-copy clone of the source's " +
+        "current snapshot plus the recorded (source, base) ref — " +
+        "commits on the branch stay invisible to the source until " +
+        "publish") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("source", StringType, "lake table directory to branch from"),
+        p("branch", StringType, "directory for the new branch"))
+      private val out = StructType(Seq(
+        StructField("branch_version", LongType, nullable = false),
+        StructField("base_version", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val src = input.getUTF8String(0).toString
+        val dst = input.getUTF8String(1).toString
+        val v = Versioned.branch(spark, src, dst)
+        result(out, v, Versioned.branchBase(spark, dst).get._2)
+      }
+    },
+
+    new Proc("publish",
+      "fold a branch head back onto its source as ONE reference " +
+        "commit (zero data movement); refused loudly with zero " +
+        "effect if the source moved since the branch was cut") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("branch", StringType, "branch directory to publish"))
+      private val out = StructType(Seq(
+        StructField("published_as", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] =
+        result(out, Versioned.publish(spark,
+          input.getUTF8String(0).toString))
+    },
+
     new Proc("describe",
       "table health snapshot (Delta DESCRIBE DETAIL analog): current " +
         "version, live file / deletion-vector counts, partition " +

@@ -77,6 +77,24 @@ class LakeBranchSpec extends SparkSuite {
     } finally rm(main, b1, b2)
   }
 
+  test("the branch workflow runs through pure SQL (CALL lake.branch " +
+      "/ lake.publish)") {
+    spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+    val (main, br) = (tmp("graft_bs4m"), tmp("graft_bs4b"))
+    try {
+      Versioned.init(base().repartition(2), main)
+      val cut = spark.sql(
+        s"CALL lake.branch('$main', '$br')").head()
+      assert(cut.getLong(0) == 1L && cut.getLong(1) == 1L)
+      Versioned.merge(Versioned.read(spark, br)
+        .withColumn("p", col("p") + lit(3.0)), br, Seq("k"))
+      val pub = spark.sql(s"CALL lake.publish('$br')").head()
+      assert(pub.getLong(0) == 2L)
+      assert(Versioned.history(spark, main).last.operation ==
+        "PUBLISH(1 commits)")
+    } finally rm(main, br)
+  }
+
   test("a branch with no commits refuses publish; a non-branch " +
       "refuses publish") {
     val (main, br) = (tmp("graft_bs3m"), tmp("graft_bs3b"))
