@@ -142,11 +142,77 @@ object Wave68Queries {
     }
   }
 
+  /** The branch workflow through PURE SQL: `CALL lake.branch`, an
+    * `INSERT INTO` on the branch through the catalog, `CALL
+    * lake.publish`, `SELECT` from the source — no Scala API in the
+    * user path. Receipts pin cut/publish versions, invisibility
+    * while the branch works, and the PUBLISH history label. */
+  def qSqlBranch(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+    val main = LakeFixtures.cloneOf(s, LakeFixtures.ordersEvens16(s, d),
+      "graft_sqlbrm")
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlbr")
+    val br = work.resolve("b1").toString
+    try {
+      val cut = s.sql(s"CALL lake.branch('$main', '$br')").head()
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 5 === 0)
+        .createOrReplaceTempView("graft_sqlbr_src")
+      s.sql(
+        s"""INSERT INTO lake.`$br`
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM graft_sqlbr_src""".stripMargin)
+      val mainHeld = Versioned.currentVersion(s, main).contains(1L)
+      val pub = s.sql(s"CALL lake.publish('$br')").head().getLong(0)
+      val opOk = Versioned.history(s, main).last.operation
+        .startsWith("PUBLISH(")
+      val r = s.sql(s"SELECT k, c, st, p FROM lake.`$main`")
+        .withColumn("fp", shiftrightunsigned(graft.text.Dedup.md5Hash64(
+          concat_ws("#", col("k"), col("c"), col("st"),
+            floor(col("p") * lit(100.0) + lit(0.5)).cast("long"))), 4))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp"),
+          expr("bit_xor(fp)").as("xf")).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
+          Q.receipt(cut.getLong(0) == 1L && cut.getLong(1) == 1L,
+            s"cut=(${cut.getLong(0)},${cut.getLong(1)})"),
+          Q.receipt(mainHeld, "source moved while the branch worked"),
+          Q.receipt(opOk,
+            s"op=${Versioned.history(s, main).last.operation}"),
+          pub.toInt))
+        .toDF("n_rows", "sum_price", "xor_fp", "cut_ok",
+          "branch_invisible", "op_ok", "published_as")
+    } finally {
+      Seq(main, work.toString).foreach { dd =>
+        val p = new org.apache.hadoop.fs.Path(dd)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lake_cbo"        -> qLakeCbo,
-    "q_branch_publish"  -> qBranchPublish)
+    "q_branch_publish"  -> qBranchPublish,
+    "q_sql_branch"      -> qSqlBranch)
 
   val oracles: Map[String, String] = Map(
+    "q_sql_branch" ->
+      s"""WITH m AS (SELECT o_orderkey AS k, o_custkey AS c,
+         |    o_orderstatus AS st, o_totalprice AS p
+         |  FROM orders
+         |  WHERE o_orderkey % 2 = 0
+         |     OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)),
+         |fp AS (SELECT p,
+         |    md5_number_upper(CAST(k AS VARCHAR) || '#' ||
+         |      CAST(c AS VARCHAR) || '#' || st || '#' ||
+         |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+         |      >> 4 AS fp
+         |  FROM m)
+         |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
+         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+         |  'ok' AS cut_ok, 'ok' AS branch_invisible, 'ok' AS op_ok,
+         |  2 AS published_as
+         |FROM fp""".stripMargin,
     "q_branch_publish" ->
       s"""WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
          |    o_totalprice AS p
