@@ -95,6 +95,42 @@ class LakeBranchSpec extends SparkSuite {
     } finally rm(main, br)
   }
 
+  test("racing publishes from sibling branches: exactly one wins, " +
+      "the loser has zero effect") {
+    val (main, b1, b2) = (tmp("graft_bs5m"), tmp("graft_bs5a"),
+      tmp("graft_bs5b"))
+    try {
+      Versioned.init(base().repartition(4), main)
+      Seq(b1, b2).foreach(Versioned.branch(spark, main, _))
+      Versioned.merge(Versioned.read(spark, b1)
+        .withColumn("p", col("p") + lit(1.0)), b1, Seq("k"))
+      Versioned.merge(Versioned.read(spark, b2)
+        .withColumn("p", col("p") + lit(2.0)), b2, Seq("k"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val attempts = Seq(b1, b2).map { br =>
+        Future {
+          gate.await()
+          try Right(Versioned.publish(spark, br))
+          catch { case e: IllegalArgumentException => Left(e) }
+        }
+      }
+      gate.countDown()
+      val results = attempts.map(Await.result(_, 5.minutes))
+      assert(results.count(_.isRight) == 1,
+        s"exactly one publish must win: $results")
+      assert(Versioned.currentVersion(spark, main).contains(2L))
+      // the surviving content is exactly ONE sibling's work
+      val sums = Seq(b1, b2).map(br => Versioned.read(spark, br)
+        .agg(sum(col("p"))).head().getDouble(0))
+      val got = Versioned.read(spark, main)
+        .agg(sum(col("p"))).head().getDouble(0)
+      assert(sums.contains(got), s"main sum $got not one of $sums")
+    } finally rm(main, b1, b2)
+  }
+
   test("a branch with no commits refuses publish; a non-branch " +
       "refuses publish") {
     val (main, br) = (tmp("graft_bs3m"), tmp("graft_bs3b"))
