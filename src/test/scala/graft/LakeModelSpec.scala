@@ -33,11 +33,17 @@ class LakeModelSpec extends SparkSuite {
       val rnd = new scala.util.Random(seed)
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_model_$seed").toString
+      // published branches are referenced IN PLACE by main's
+      // manifests (the shallow-clone contract), so branch roots
+      // live until the end-of-run history check
+      val branchRoot = java.nio.file.Files
+        .createTempDirectory(s"graft_model_br_$seed")
       try {
         var model: Model = (1L to 30L).map(k => k -> k * 10L).toMap
         Versioned.init(df(model.toSeq).repartition(3), dir,
           statsCols = Seq("k"))
         val history = mutable.ArrayBuffer[Model](model)
+        var branchNo = 0
 
         def commitExpected(newModel: Model): Unit = {
           model = newModel
@@ -45,7 +51,7 @@ class LakeModelSpec extends SparkSuite {
         }
 
         (1 to 14).foreach { step =>
-          rnd.nextInt(6) match {
+          rnd.nextInt(7) match {
             case 0 => // merge: upsert a random batch
               val keys = (1 to 1 + rnd.nextInt(6))
                 .map(_ => 1L + rnd.nextInt(40)).distinct
@@ -95,6 +101,25 @@ class LakeModelSpec extends SparkSuite {
                 // no-op (version -1) when fewer than two slivers exist
                 if (c.version > 0) commitExpected(model)
               }
+            case 6 => // branch, mutate on the branch, squash publish
+              branchNo += 1
+              val br = branchRoot.resolve(s"b$branchNo").toString
+              Versioned.branch(spark, dir, br)
+              val keys = (1 to 1 + rnd.nextInt(5))
+                .map(_ => 1L + rnd.nextInt(40)).distinct
+              val batch = keys.map(k => k -> (3000L * step + k))
+              Versioned.merge(df(batch), br, Seq("k"))
+              var expected = model ++ batch
+              if (rnd.nextBoolean()) {
+                val m = 2 + rnd.nextInt(5)
+                val r = rnd.nextInt(m)
+                val e = Versioned.deleteVectored(spark, br,
+                  col("k") % m === r)
+                if (e.version > 0)
+                  expected = expected.filterNot { case (k, _) => k % m == r }
+              }
+              Versioned.publish(spark, br)
+              commitExpected(expected)
           }
           assert(readState(dir) == model,
             s"seed=$seed step=$step: current snapshot diverged from model")
@@ -105,9 +130,11 @@ class LakeModelSpec extends SparkSuite {
             s"seed=$seed: version ${i + 1} no longer matches its model")
         }
       } finally {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+        Seq(dir, branchRoot.toString).foreach { d0 =>
+          val p = new org.apache.hadoop.fs.Path(d0)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
       }
     }
   }
