@@ -74,6 +74,46 @@ object LakeProcedures {
       }
     },
 
+    new Proc("optimize_cluster",
+      "OPTIMIZE with linear clustering: rewrite into target_files " +
+        "files range-clustered on the given columns so manifest " +
+        "stats prune the leading dimension") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("target_files", IntegerType, "files after the rewrite"),
+        p("cols", StringType, "comma-separated clustering columns"))
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("files_after", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val v = Versioned.compact(spark, path, input.getInt(1),
+          clusterBy = input.getUTF8String(2).toString
+            .split(",").map(_.trim).toSeq)
+        result(out, v, Versioned.files(spark, path).length.toLong)
+      }
+    },
+
+    new Proc("optimize_zorder",
+      "OPTIMIZE ... ZORDER BY: rewrite into target_files files " +
+        "Morton-clustered on two columns so the SAME manifest stats " +
+        "prune BOTH probe dimensions") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("target_files", IntegerType, "files after the rewrite"),
+        p("cols", StringType, "comma-separated z-order columns (two)"))
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("files_after", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val v = Versioned.compact(spark, path, input.getInt(1),
+          zOrderBy = input.getUTF8String(2).toString
+            .split(",").map(_.trim).toSeq)
+        result(out, v, Versioned.files(spark, path).length.toLong)
+      }
+    },
+
     new Proc("optimize_small",
       "selective compaction: coalesce only files smaller than " +
         "min_bytes, carrying well-sized files by reference") {

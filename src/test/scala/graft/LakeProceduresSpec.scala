@@ -34,6 +34,32 @@ class LakeProceduresSpec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("CALL lake.optimize_cluster / optimize_zorder rewrite with a " +
+      "layout and the stats prune afterwards") {
+    val dir = tmp()
+    try {
+      val rows = (1L to 400L).map(k => (k, (k * 37L) % 400L, k.toDouble))
+      Versioned.init(rows.toDF("k", "c", "p").repartition(8), dir,
+        statsCols = Seq("k", "c"))
+      val rc = spark.sql(
+        s"CALL lake.optimize_cluster('$dir', 8, 'k')").collect()
+      assert(rc(0).getLong(0) == 2L && rc(0).getLong(1) == 8L)
+      val kProbe = Versioned.readRange(spark, dir, "k", 1d, 50d)
+      assert(kProbe.filesRead < kProbe.filesTotal,
+        s"linear cluster must prune k: ${kProbe.filesRead} of " +
+          s"${kProbe.filesTotal}")
+      val rz = spark.sql(
+        s"CALL lake.optimize_zorder('$dir', 8, 'k, c')").collect()
+      assert(rz(0).getLong(0) == 3L && rz(0).getLong(1) == 8L)
+      val zK = Versioned.readRange(spark, dir, "k", 1d, 50d)
+      val zC = Versioned.readRange(spark, dir, "c", 1d, 50d)
+      assert(zK.filesRead < zK.filesTotal && zC.filesRead < zC.filesTotal,
+        s"z-order must prune both dims: k=${zK.filesRead}/" +
+          s"${zK.filesTotal} c=${zC.filesRead}/${zC.filesTotal}")
+      assert(Versioned.read(spark, dir).count() == 400L)
+    } finally rm(dir)
+  }
+
   test("CALL lake.vacuum drops old versions; named-argument binding") {
     val dir = tmp()
     try {
