@@ -313,8 +313,27 @@ object Versioned {
   private def statsJsonFor(spark: SparkSession, path: String,
       staged: Seq[String], cols: Seq[String],
       bloomCols: Seq[String]): Map[String, String] = {
-    if ((cols.isEmpty && bloomCols.isEmpty) || staged.isEmpty)
-      return Map.empty
+    if (staged.isEmpty) return Map.empty
+    if (cols.isEmpty && bloomCols.isEmpty) {
+      // No registered stats columns: still log per-file `#rows`
+      // (the Delta numRecords discipline) so COUNT(*) answers from
+      // the manifest and the DSv2 scan can report planner statistics
+      // on ANY table. Parquet FOOTERS only — zero data read, one tiny
+      // distributed job over the staged paths.
+      val hconf = new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      val counts = spark.sparkContext
+        .parallelize(staged, math.max(1, math.min(staged.size, 32)))
+        .map { p0 =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(p0), hconf.value))
+          try (p0, r.getRecordCount) finally r.close()
+        }.collect()
+      return counts.map { case (p0, n) =>
+        fileKey(p0) -> s"""{"#rows":{"t":"l","mnl":$n,"mxl":$n}}"""
+      }.toMap
+    }
     val df = readFiles(spark, path, staged, None, meta = true)
     val schema = df.schema
     val present = cols.filter(c => schema.fieldNames.contains(c))
@@ -362,8 +381,9 @@ object Versioned {
     }.toMap
   }
 
-  /** Staged paths → manifest entries carrying freshly computed stats
-    * (when the table registered stats columns). */
+  /** Staged paths → manifest entries carrying freshly computed stats:
+    * per-file `#rows` ALWAYS (footer-read when nothing else is
+    * registered), min/max + Bloom for the registered columns. */
   private def stagedEntries(spark: SparkSession, path: String,
       staged: Seq[String]): Seq[(String, Option[String])] = {
     val stats = statsJsonFor(spark, path, staged,

@@ -32,11 +32,12 @@ object Wave68Queries {
     val dir = java.nio.file.Files.createTempDirectory("graft_cbo")
       .resolve("t").toString
     try {
-      // statsCols registers per-file stats in the manifest — the
-      // `#rows` entries are what the scan's Statistics read
+      // no statsCols on purpose: every commit logs per-file `#rows`
+      // unconditionally (parquet footers), so planner statistics are
+      // universal — not an opt-in of range-stats registration
       Versioned.init(Tables.load(s, d, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-        .repartition(4), dir, statsCols = Seq("c_custkey"))
+        .repartition(4), dir)
       val dim = s.read.format("graft-lake").option("path", dir).load()
       val joined = Tables.load(s, d, "orders")
         .select(col("o_custkey"), col("o_totalprice"))

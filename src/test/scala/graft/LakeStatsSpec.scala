@@ -17,13 +17,14 @@ class LakeStatsSpec extends SparkSuite {
       case r: DataSourceV2ScanRelation => r.stats
     }.getOrElse(fail("no DSv2 scan relation in the plan"))
 
-  test("unfiltered scan reports the manifest's exact row count") {
+  test("unfiltered scan reports the manifest's exact row count — " +
+      "even with NO registered stats columns (universal #rows)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_st1").toString
     try {
       val base = graft.io.Tables.load(spark, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
           col("o_totalprice").as("p"))
-      Versioned.init(base.repartition(4), dir, statsCols = Seq("c"))
+      Versioned.init(base.repartition(4), dir)
       val n = base.count()
       val st = scanStats(
         spark.read.format("graft-lake").option("path", dir).load())
