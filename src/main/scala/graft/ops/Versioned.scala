@@ -318,18 +318,38 @@ object Versioned {
       // No registered stats columns: still log per-file `#rows`
       // (the Delta numRecords discipline) so COUNT(*) answers from
       // the manifest and the DSv2 scan can report planner statistics
-      // on ANY table. Parquet FOOTERS only — zero data read, one tiny
-      // distributed job over the staged paths.
-      val hconf = new graft.sources.SerializableHadoopConf(
-        spark.sparkContext.hadoopConfiguration)
-      val counts = spark.sparkContext
-        .parallelize(staged, math.max(1, math.min(staged.size, 32)))
-        .map { p0 =>
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new Path(p0), hconf.value))
-          try (p0, r.getRecordCount) finally r.close()
-        }.collect()
+      // on ANY table. Parquet FOOTERS only — zero data read. Staged
+      // batches are bounded by the COMMIT, not the table, so a small
+      // driver thread pool beats a Spark job's scheduling floor;
+      // outsized batches fall back to one distributed pass.
+      def footerRows(p0: String,
+          conf: org.apache.hadoop.conf.Configuration): Long = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p0), conf))
+        try r.getRecordCount finally r.close()
+      }
+      val counts: Seq[(String, Long)] =
+        if (staged.size <= 4096) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(math.min(16, staged.size))
+          try {
+            staged.map { p0 =>
+              p0 -> pool.submit(
+                new java.util.concurrent.Callable[Long] {
+                  override def call(): Long = footerRows(p0, conf)
+                })
+            }.map { case (p0, f) => (p0, f.get()) }
+          } finally pool.shutdown()
+        } else {
+          val hconf = new graft.sources.SerializableHadoopConf(
+            spark.sparkContext.hadoopConfiguration)
+          spark.sparkContext
+            .parallelize(staged, math.max(1, math.min(staged.size, 256)))
+            .map(p0 => (p0, footerRows(p0, hconf.value)))
+            .collect().toSeq
+        }
       return counts.map { case (p0, n) =>
         fileKey(p0) -> s"""{"#rows":{"t":"l","mnl":$n,"mxl":$n}}"""
       }.toMap
