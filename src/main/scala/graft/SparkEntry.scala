@@ -90,7 +90,8 @@ object SparkEntry {
     graft.queries.Wave64Queries.queries ++
     graft.queries.Wave65Queries.queries ++
     graft.queries.Wave66Queries.queries ++
-    graft.queries.Wave68Queries.queries
+    graft.queries.Wave68Queries.queries ++
+    graft.queries.Wave69Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -167,5 +168,6 @@ object SparkEntry {
     graft.queries.Wave64Queries.oracles ++
     graft.queries.Wave65Queries.oracles ++
     graft.queries.Wave66Queries.oracles ++
-    graft.queries.Wave68Queries.oracles
+    graft.queries.Wave68Queries.oracles ++
+    graft.queries.Wave69Queries.oracles
 }

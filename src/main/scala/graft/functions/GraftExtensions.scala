@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(e.injectFunction)
     GraftExtensions.tableFunctions.foreach(e.injectTableFunction)
+    // `DESCRIBE DETAIL lake.`/p`` → `CALL lake.describe('/p')`
+    e.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
   }
 }
 

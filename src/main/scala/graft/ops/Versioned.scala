@@ -302,6 +302,57 @@ object Versioned {
   private val bloomExpected = 20000L
   private val bloomBits = 160000L
 
+  /** Run `f` over every staged file with a bounded driver thread pool
+    * — staged batches are bounded by the COMMIT, not the table, so a
+    * small pool beats a Spark job's scheduling floor — falling back to
+    * ONE distributed pass past 4096 files. Each pooled task gets its
+    * OWN `Configuration` copy (Hadoop's Configuration is not safe to
+    * share across threads under mutation, and a copy is cheap next to
+    * any filesystem call), and a task failure rethrows its ORIGINAL
+    * cause, not the pool's ExecutionException wrapper — a footer
+    * IOException must surface as itself in commit failure reports. */
+  private def perStagedFile[T](spark: SparkSession, staged: Seq[String])(
+      f: (String, org.apache.hadoop.conf.Configuration) => T)(
+      implicit ct: scala.reflect.ClassTag[T]): Seq[(String, T)] = {
+    if (staged.isEmpty) Seq.empty
+    else if (staged.size <= 4096) {
+      val base = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(16, staged.size))
+      try {
+        staged.map { p0 =>
+          val conf = new org.apache.hadoop.conf.Configuration(base)
+          p0 -> pool.submit(new java.util.concurrent.Callable[T] {
+            override def call(): T = f(p0, conf)
+          })
+        }.map { case (p0, fut) =>
+          (p0, try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause })
+        }
+      } finally pool.shutdown()
+    } else {
+      val hconf = new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext
+        .parallelize(staged, math.max(1, math.min(staged.size, 256)))
+        .map(p0 => (p0, f(p0, hconf.value)))
+        .collect().toSeq
+    }
+  }
+
+  /** Per-staged-file ON-DISK byte size (one FileStatus call each,
+    * commit-bounded) — logged as `#bytes` so the DSv2 connector can
+    * report a size estimate grounded in the files' ACTUAL footprint
+    * (the Delta `add.size` discipline) instead of a fixed per-type
+    * width guess. Keyed by file NAME. */
+  private def stagedBytes(spark: SparkSession,
+      staged: Seq[String]): Map[String, Long] =
+    perStagedFile(spark, staged) { (p0, conf) =>
+      val p = new Path(p0)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.map { case (p0, n) => fileKey(p0) -> n }.toMap
+
   /** Exact per-staged-file min/max of the registered stats columns —
     * ONE bounded aggregate over the just-staged batch (not the
     * table), grouped by file. Long-family columns render as
@@ -309,7 +360,8 @@ object Versioned {
     * {"t":"d","mnd":…,"mxd":…}; other types carry no stats (never
     * pruned — conservative and exact). All-NULL columns carry no
     * entry either (kept on probe; their rows can't match a range
-    * anyway). Returned map is keyed by file NAME. */
+    * anyway). Every staged file additionally carries `#rows` and
+    * `#bytes`. Returned map is keyed by file NAME. */
   private def statsJsonFor(spark: SparkSession, path: String,
       staged: Seq[String], cols: Seq[String],
       bloomCols: Seq[String]): Map[String, String] = {
@@ -318,42 +370,21 @@ object Versioned {
       // No registered stats columns: still log per-file `#rows`
       // (the Delta numRecords discipline) so COUNT(*) answers from
       // the manifest and the DSv2 scan can report planner statistics
-      // on ANY table. Parquet FOOTERS only — zero data read. Staged
-      // batches are bounded by the COMMIT, not the table, so a small
-      // driver thread pool beats a Spark job's scheduling floor;
-      // outsized batches fall back to one distributed pass.
-      def footerRows(p0: String,
-          conf: org.apache.hadoop.conf.Configuration): Long = {
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(p0), conf))
-        try r.getRecordCount finally r.close()
-      }
-      val counts: Seq[(String, Long)] =
-        if (staged.size <= 4096) {
-          val conf = spark.sparkContext.hadoopConfiguration
-          val pool = java.util.concurrent.Executors
-            .newFixedThreadPool(math.min(16, staged.size))
-          try {
-            staged.map { p0 =>
-              p0 -> pool.submit(
-                new java.util.concurrent.Callable[Long] {
-                  override def call(): Long = footerRows(p0, conf)
-                })
-            }.map { case (p0, f) => (p0, f.get()) }
-          } finally pool.shutdown()
-        } else {
-          val hconf = new graft.sources.SerializableHadoopConf(
-            spark.sparkContext.hadoopConfiguration)
-          spark.sparkContext
-            .parallelize(staged, math.max(1, math.min(staged.size, 256)))
-            .map(p0 => (p0, footerRows(p0, hconf.value)))
-            .collect().toSeq
-        }
-      return counts.map { case (p0, n) =>
-        fileKey(p0) -> s"""{"#rows":{"t":"l","mnl":$n,"mxl":$n}}"""
+      // on ANY table, plus `#bytes` (the file's actual footprint —
+      // same open, `HadoopInputFile` carries the FileStatus).
+      // Parquet FOOTERS only — zero data read.
+      return perStagedFile(spark, staged) { (p0, conf) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(p0), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try r.getRecordCount finally r.close()
+        (rows, in.getLength)
+      }.map { case (p0, (n, b)) =>
+        fileKey(p0) -> (s"""{"#rows":{"t":"l","mnl":$n,"mxl":$n},""" +
+          s""""#bytes":{"t":"l","mnl":$b,"mxl":$b}}""")
       }.toMap
     }
+    val bytes = stagedBytes(spark, staged)
     val df = readFiles(spark, path, staged, None, meta = true)
     val schema = df.schema
     val present = cols.filter(c => schema.fieldNames.contains(c))
@@ -371,6 +402,8 @@ object Versioned {
       val rowCount = r.getLong(r.fieldIndex("__n"))
       val extras =
         Seq(s""""#rows":{"t":"l","mnl":$rowCount,"mxl":$rowCount}""") ++
+        bytes.get(r.getString(r.fieldIndex(metaF))).map(b =>
+          s""""#bytes":{"t":"l","mnl":$b,"mxl":$b}""") ++
         bloomPresent.flatMap { c =>
           val i = r.fieldIndex(s"bl_$c")
           if (r.isNullAt(i)) None
@@ -2385,6 +2418,27 @@ object Versioned {
   def dropTable(spark: SparkSession, path: String): Boolean = {
     if (currentVersion(spark, path).isEmpty) false
     else {
+      // zero-copy publish contract: a branch the source still READS
+      // THROUGH refuses to die — dropping it would corrupt the
+      // source's published version(s). Clears once the source
+      // localizes (compact) and vacuums the referencing versions, or
+      // is itself dropped.
+      publishedInfo(spark, path).foreach { case (src, pv) =>
+        val refs = foreignRefsInto(spark, src, path)
+        if (refs.nonEmpty) throw new IllegalStateException(
+          s"cannot drop published branch $path: source $src still " +
+            s"references ${refs.size} of its files (published as " +
+            s"v$pv). Localize first (publish(localize) or compact + " +
+            "vacuum on the source), then drop.")
+      }
+      // branch hygiene: reclaim the source-side named ref
+      branchBase(spark, path).foreach { case (src, _) =>
+        if (currentVersion(spark, src).isDefined) {
+          val name = new Path(path).getName
+          if (branchTarget(spark, src, name).contains(path))
+            fs(spark, src).delete(branchRefPath(src, name), false)
+        }
+      }
       val ok = fs(spark, path).delete(new Path(path), true)
       // the caches are JVM-lifetime keyed (path, version): without
       // this, DROP followed by CREATE at the same path would serve the
@@ -3336,10 +3390,53 @@ object Versioned {
     * costs only the files IT stages. */
   def branch(spark: SparkSession, src: String, dst: String): Long = {
     val base = resolve(spark, src, None)
+    // a source-side NAMED REF (`branch.<basename>` in the source's
+    // manifest dir) makes the branch addressable from the source path
+    // in pure SQL: `SELECT … FROM lake.`<src>@<name>``. LAST WINS:
+    // cutting a second branch with the same basename re-points the
+    // ref (the branch's identity stays its directory — only the SQL
+    // shorthand moves); give branches distinct basenames for stable
+    // addressing.
+    val name = new Path(dst).getName
+    val f = fs(spark, src)
+    val ref = branchRefPath(src, name)
     val v = Versioned.clone(spark, src, dst)
     atomicWrite(fs(spark, dst), branchBasePath(dst),
       s"$src\t$base\n".getBytes(StandardCharsets.UTF_8))
+    atomicWrite(f, ref, dst.getBytes(StandardCharsets.UTF_8))
     v
+  }
+
+  private def branchRefPath(src: String, name: String) =
+    new Path(manifestDir(src), s"branch.$name")
+
+  /** The directory a source-side branch ref points at, if the ref
+    * exists. Does NOT check liveness — callers decide. */
+  def branchTarget(spark: SparkSession, src: String,
+      name: String): Option[String] = {
+    val f = fs(spark, src)
+    val p = branchRefPath(src, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close())
+    }
+  }
+
+  /** Branch refs recorded on `src`: name → branch directory. */
+  def branches(spark: SparkSession, src: String): Map[String, String] = {
+    val f = fs(spark, src)
+    val dir = manifestDir(src)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).map(_.getPath).collect {
+      case p if p.getName.startsWith("branch.") =>
+        val in = f.open(p)
+        val t =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        p.getName.stripPrefix("branch.") -> t
+    }.toMap
   }
 
   /** The (source path, base version) a branch was cut from. */
@@ -3359,10 +3456,19 @@ object Versioned {
 
   /** PUBLISH a branch back to its source: ONE squash commit on the
     * source referencing the branch head's manifest / schema / deletion
-    * vector — zero data movement (branch-staged files are referenced
-    * in place, exactly like [[clone]]'s mixed-root reads; the branch
-    * directory must outlive the published version, the shallow-clone
-    * contract — a [[compact]] on the source localizes the files).
+    * vector. By default zero data movement — branch-staged files are
+    * referenced IN PLACE, exactly like [[clone]]'s mixed-root reads —
+    * and the source records the dependency: the publish stamps a
+    * `published` marker in the branch's manifest dir, which
+    * [[dropTable]] and [[vacuum]] on the BRANCH respect (a branch the
+    * source still reads through refuses to die; its source-referenced
+    * files are vacuum-protected). `localize = true` instead COPIES the
+    * branch-staged files under the source's own data root inside the
+    * same commit — one bounded copy of exactly the files the branch
+    * staged (never the table), after which the branch directory is
+    * disposable. A [[compact]] on the source localizes a zero-copy
+    * publish after the fact.
+    *
     * Optimistic concurrency: the commit targets base+1, so it wins
     * ONLY if the source hasn't moved since the branch was cut — a
     * concurrent source commit (or an already-published sibling branch)
@@ -3371,7 +3477,8 @@ object Versioned {
     * branches are refused (two allocators would both extend the
     * source's high-water — the same reason identity merges opt out of
     * the OCC rebase fast path). */
-  def publish(spark: SparkSession, branchPath: String): Long = {
+  def publish(spark: SparkSession, branchPath: String,
+      localize: Boolean = false): Long = {
     val (src, base) = branchBase(spark, branchPath).getOrElse(
       sys.error(s"not a branch (no _branch_base): $branchPath"))
     require(identityColumns(spark, branchPath).isEmpty,
@@ -3380,15 +3487,97 @@ object Versioned {
     val nCommits = head - 1L // branch v1 = the clone of base
     require(nCommits >= 1L,
       s"branch has no commits to publish: $branchPath")
+    val entries0 = readManifestEntries(spark, branchPath, head)
+    val entries =
+      if (!localize) entries0
+      else {
+        // copy every branch-rooted file under the source's data root,
+        // PRESERVING the file key (`gbatch=<n>/<part>`): deletion
+        // vectors and stats key on the relative key, so the copies
+        // inherit both untouched. Bounded by the branch's staged
+        // files; part names carry write-UUIDs, so a key collision
+        // means an aliased directory, not bad luck — refuse it.
+        val toCopy = entries0.map(_._1).filter(isUnderDataRoot(_, branchPath))
+        val dstFor: Map[String, String] = toCopy.map { e =>
+          val dst = new Path(new Path(src, "data"), fileKey(e))
+          e -> fs(spark, src).makeQualified(dst).toString
+        }.toMap
+        perStagedFile(spark, toCopy) { (p0, conf) =>
+          val sp = new Path(p0)
+          val dp = new Path(dstFor(p0))
+          val dfs = dp.getFileSystem(conf)
+          require(!dfs.exists(dp),
+            s"localize collision: $dp already exists")
+          dfs.mkdirs(dp.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(conf), sp, dfs, dp, false, false, conf)
+        }
+        entries0.map { case (f0, stats) =>
+          (dstFor.getOrElse(f0, f0), stats)
+        }
+      }
     val v = base + 1L
-    val ok = commit(spark, src, v,
-      Left(readManifestEntries(spark, branchPath, head)),
+    val ok = commit(spark, src, v, Left(entries),
       tableSchema(spark, branchPath, Some(head)),
       deletionVector(spark, branchPath, Some(head)),
       op = Some(s"PUBLISH($nCommits commits)"))
     require(ok, s"publish refused: $src moved past v$base since the " +
       "branch was cut — re-branch from the current tip and replay")
+    if (!localize)
+      // shallow-publish contract marker: the source now reads through
+      // this branch directory — branch dropTable/vacuum check it
+      atomicWrite(fs(spark, branchPath), publishedPath(branchPath),
+        s"$src\t$v\n".getBytes(StandardCharsets.UTF_8))
     v
+  }
+
+  private def publishedPath(path: String) =
+    new Path(manifestDir(path), "published")
+
+  /** The (source, version) a zero-copy publish of this branch landed
+    * as, if one did. */
+  def publishedInfo(spark: SparkSession,
+      path: String): Option[(String, Long)] = {
+    val f = fs(spark, path)
+    val p = publishedPath(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val i = txt.lastIndexOf('\t')
+      Some((txt.substring(0, i), txt.substring(i + 1).toLong))
+    }
+  }
+
+  /** Whether manifest entry `e` lives under `root`'s data directory
+    * (scheme-insensitive, the [[renameTable]] core convention). */
+  private def isUnderDataRoot(e: String, root: String): Boolean = {
+    def core(p: String): String = {
+      val u = new java.net.URI(p)
+      Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
+    }
+    core(e).startsWith(core(root) + "/data/")
+  }
+
+  /** Files under `root`'s data dir that `src`'s SURVIVING versions
+    * still reference — the zero-copy publish dependency set. Empty
+    * once the source has compacted past the publish and vacuumed the
+    * referencing versions (or been dropped). O(source versions ×
+    * manifest) driver metadata, only ever paid by branch-side
+    * dropTable/vacuum of a published branch. */
+  private def foreignRefsInto(spark: SparkSession, src: String,
+      root: String): Set[String] = {
+    if (currentVersion(spark, src).isEmpty) return Set.empty
+    val f = fs(spark, src)
+    val dir = manifestDir(src)
+    val versions = f.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong
+    }
+    versions.iterator.flatMap(v => readManifest(spark, src, v))
+      .filter(isUnderDataRoot(_, root)).toSet
   }
 
   // ------------------------------------------------------------------
@@ -3482,7 +3671,15 @@ object Versioned {
     val (drop0, keep0) = split(versions.toSeq, f)
     val (dropTagged, drop) = drop0.partition(tagged.contains)
     val keep = (keep0 ++ dropTagged).sorted
-    val live = keep.flatMap(v => readManifest(spark, path, v)).toSet
+    // zero-copy publish contract: files of THIS table that the
+    // publish SOURCE still references are live even if no surviving
+    // local version names them (e.g. the branch compacted after
+    // publishing) — the source reads through them
+    val foreignLive = publishedInfo(spark, path).map { case (src, _) =>
+      foreignRefsInto(spark, src, path)
+    }.getOrElse(Set.empty)
+    val live = keep.flatMap(v => readManifest(spark, path, v)).toSet ++
+      foreignLive
     val dataDir = new Path(path, "data")
     var deleted = 0
     if (f.exists(dataDir)) {

@@ -150,14 +150,18 @@ object Wave66Queries {
       s.sql(s"DELETE FROM lake.`$dir` WHERE k % 30 = 0")
       s.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN p TO price")
       val r = s.sql(s"CALL lake.describe('$dir')").head()
+      // Delta-habituated sugar: `DESCRIBE DETAIL lake.`<p>`` (a parser
+      // rewrite onto the same procedure) returns the IDENTICAL row
+      val sugar = s.sql(s"DESCRIBE DETAIL lake.`$dir`").head()
       import s.implicits._
       Seq((r.getLong(0),
           Q.receipt(r.getLong(1) > 0L, s"n_files=${r.getLong(1)}"),
           r.getLong(2), r.getString(3), r.getInt(4), r.getString(5),
-          r.getString(6), r.getLong(7), r.getBoolean(8)))
+          r.getString(6), r.getLong(7), r.getBoolean(8),
+          Q.receipt(sugar == r, s"DESCRIBE DETAIL row $sugar != $r")))
         .toDF("version", "files_gt0", "n_dv_rows", "partition_transform",
           "n_columns", "stats_cols", "bloom_cols", "n_commits",
-          "column_mapped")
+          "column_mapped", "describe_detail_sugar")
     } finally rm(s, dir)
   }
 
@@ -280,7 +284,8 @@ object Wave66Queries {
          |    AS n_dv_rows,
          |  'st' AS partition_transform, CAST(3 AS INTEGER) AS n_columns,
          |  'p' AS stats_cols, 'k' AS bloom_cols, CAST(4 AS BIGINT)
-         |    AS n_commits, true AS column_mapped""".stripMargin,
+         |    AS n_commits, true AS column_mapped,
+         |  'ok' AS describe_detail_sugar""".stripMargin,
     "q_tpch_q2" ->
       s"""WITH $PARTSUPP,
          |es AS (SELECT s_suppkey, s_name, s_acctbal, n_name

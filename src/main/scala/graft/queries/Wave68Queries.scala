@@ -122,8 +122,32 @@ object Wave68Queries {
         catch { case _: IllegalArgumentException => true }
       val unmoved = Versioned.currentVersion(s, main).contains(v)
       val (n2, sp2, xf2) = receipt(Versioned.read(s, main))
+      // durability: the source reads THROUGH the zero-copy-published
+      // branch directory — dropping the branch refuses loudly and the
+      // source keeps reading
+      val dropGuarded =
+        (try { Versioned.dropTable(s, br); false }
+        catch { case _: IllegalStateException => true }) && {
+          val (ng, spg, xfg) = receipt(Versioned.read(s, main))
+          ng == n2 && spg == sp2 && xfg == xf2
+        }
+      // localize: a publish that COPIES its staged files under the
+      // source root makes the branch directory disposable — drop it
+      // for real and the source still reads
+      val b3 = work.resolve("b3").toString
+      Versioned.branch(s, main, b3)
+      Versioned.merge(Versioned.read(s, b3).filter(col("k") % 11 === 0)
+        .withColumn("p", col("p") + lit(5.0)), b3, Seq("k"))
+      val v3 = Versioned.publish(s, b3, localize = true)
+      // main is itself a zero-copy clone, so v3 may reference the
+      // shared fixture and the FIRST branch's roots — the localize
+      // contract is that nothing references the DISPOSED branch
+      val allLocal = !Versioned.files(s, main, Some(v3))
+        .exists(_.contains(b3))
+      val disposed = Versioned.dropTable(s, b3)
+      val (n3, sp3, xf3) = receipt(Versioned.read(s, main))
       import s.implicits._
-      Seq((n2, sp2, xf2,
+      Seq((n3, sp3, xf3,
           Q.receipt(invisible,
             s"main moved under the branch: n $n0->$n1 xor $xf0->$xf1"),
           Q.receipt(metadataOnly, "published file set != branch head"),
@@ -132,9 +156,15 @@ object Wave68Queries {
           Q.receipt(staleRefused && unmoved,
             s"staleRefused=$staleRefused version=" +
               s"${Versioned.currentVersion(s, main)}"),
-          v.toInt))
+          Q.receipt(dropGuarded,
+            s"published-branch dropTable must refuse and keep the " +
+              s"source readable"),
+          Q.receipt(allLocal && disposed,
+            s"allLocal=$allLocal disposed=$disposed"),
+          v3.toInt))
         .toDF("n_rows", "sum_price", "xor_fp", "branch_invisible",
-          "publish_metadata_only", "op_ok", "stale_refused", "version")
+          "publish_metadata_only", "op_ok", "stale_refused",
+          "drop_guarded", "localized_disposable", "version")
     } finally {
       Seq(main, work.toString).foreach { dd =>
         val p = new org.apache.hadoop.fs.Path(dd)
@@ -221,15 +251,19 @@ object Wave68Queries {
          |v AS (SELECT k, st,
          |    CASE WHEN k % 3 = 0 THEN p + 10.0 ELSE p END AS p
          |  FROM b WHERE NOT (k % 7 = 0 AND k % 3 <> 0)),
+         |w AS (SELECT k, st,
+         |    CASE WHEN k % 11 = 0 THEN p + 5.0 ELSE p END AS p
+         |  FROM v),
          |fp AS (SELECT p,
          |    md5_number_upper(CAST(k AS VARCHAR) || '#' || st || '#' ||
          |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
          |      >> 4 AS fp
-         |  FROM v)
+         |  FROM w)
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  'ok' AS branch_invisible, 'ok' AS publish_metadata_only,
-         |  'ok' AS op_ok, 'ok' AS stale_refused, 2 AS version
+         |  'ok' AS op_ok, 'ok' AS stale_refused, 'ok' AS drop_guarded,
+         |  'ok' AS localized_disposable, 3 AS version
          |FROM fp""".stripMargin,
     "q_lake_cbo" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,

@@ -68,22 +68,47 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
 
   private def spark = SparkSession.active
 
+  /** `<src>@<name>` addresses the branch the source-side named ref
+    * points at (Iceberg's `table.branch_x` precedent, spelled with
+    * `@` inside the path identifier so it composes with the Delta
+    * path convention): `SELECT … FROM lake.`/data/t@b1`` reads the
+    * branch head, `INSERT INTO lake.`/data/t@b1`` commits to the
+    * branch, and time travel / `$files` / `$history` compose. Only a
+    * RECORDED ref rewrites — a literal directory whose name contains
+    * `@` still resolves as itself; a ref whose branch directory is
+    * gone fails loudly instead of falling through to the source. */
+  private def resolveBranchRef(raw: String): String = {
+    val i = raw.lastIndexOf('@')
+    if (i <= 0) return raw
+    val (src, name) = (raw.substring(0, i), raw.substring(i + 1))
+    if (name.isEmpty || name.contains('/')) return raw
+    if (Versioned.currentVersion(spark, src).isEmpty) return raw
+    Versioned.branchTarget(spark, src, name) match {
+      case None => raw
+      case Some(dst) =>
+        require(Versioned.currentVersion(spark, dst).isDefined,
+          s"stale branch ref: $src@$name points at $dst, which no " +
+            "longer holds a table")
+        dst
+    }
+  }
+
   private def table(ident: Identifier, version: Option[Long]): Table = {
     val raw = pathOf(ident)
     // Iceberg-style metadata tables: `…$files` / `…$history`
     if (raw.endsWith("$files")) {
-      val path = raw.stripSuffix("$files")
+      val path = resolveBranchRef(raw.stripSuffix("$files"))
       require(Versioned.currentVersion(spark, path).isDefined,
         s"not a versioned lake table: $path")
       return new LakeFilesTable(path, version)
     }
     if (raw.endsWith("$history")) {
-      val path = raw.stripSuffix("$history")
+      val path = resolveBranchRef(raw.stripSuffix("$history"))
       require(Versioned.currentVersion(spark, path).isDefined,
         s"not a versioned lake table: $path")
       return new LakeHistoryTable(path)
     }
-    val path = raw
+    val path = resolveBranchRef(raw)
     require(Versioned.currentVersion(spark, path).isDefined,
       s"not a versioned lake table: $path")
     val v = Versioned.resolveVersion(spark, path, version)
@@ -122,8 +147,9 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    Versioned.currentVersion(spark, pathOf(ident)
-      .stripSuffix("$files").stripSuffix("$history")).isDefined
+    try Versioned.currentVersion(spark, resolveBranchRef(pathOf(ident)
+      .stripSuffix("$files").stripSuffix("$history"))).isDefined
+    catch { case _: IllegalArgumentException => false } // stale ref
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     root match {

@@ -217,15 +217,24 @@ object LakeProcedures {
 
     new Proc("publish",
       "fold a branch head back onto its source as ONE reference " +
-        "commit (zero data movement); refused loudly with zero " +
-        "effect if the source moved since the branch was cut") {
+        "commit; refused loudly with zero effect if the source moved " +
+        "since the branch was cut. localize => true copies the " +
+        "branch-staged files under the source root in the same " +
+        "commit (the branch directory becomes disposable); the " +
+        "default zero-copy publish instead marks the branch so its " +
+        "drop/vacuum refuse while the source reads through it") {
       override def parameters(): Array[ProcedureParameter] = Array(
-        p("branch", StringType, "branch directory to publish"))
+        p("branch", StringType, "branch directory to publish"),
+        ProcedureParameter.in("localize", BooleanType)
+          .defaultValue("false")
+          .comment("copy branch-staged files under the source root")
+          .build())
       private val out = StructType(Seq(
         StructField("published_as", LongType, nullable = false)))
       override def call(input: InternalRow): util.Iterator[Scan] =
         result(out, Versioned.publish(spark,
-          input.getUTF8String(0).toString))
+          input.getUTF8String(0).toString,
+          localize = !input.isNullAt(1) && input.getBoolean(1)))
     },
 
     new Proc("describe",

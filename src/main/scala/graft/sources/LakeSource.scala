@@ -294,34 +294,56 @@ final class LakeScan(path: String, version: Option[Long],
 
   /** Planner statistics from the MANIFEST, filter-aware: row count =
     * the per-file `#rows` stats (logged by every commit) summed over
-    * exactly the files the pushed filters keep, size = rows × the
-    * pruned read schema's width estimate. Metadata-only — no file is
-    * opened, no FileSystem call per file — so a 100 TB lake table
-    * joins with a CORRECT broadcast decision: without this, a DSv2
-    * relation reports `spark.sql.defaultSizeInBytes` (effectively
-    * infinite) and a 100-row filtered dimension still sort-merges.
-    * The estimate is a superset (outstanding deletion-vector rows not
-    * subtracted), which can only make the planner more conservative. */
+    * exactly the files the pushed filters keep, size = max(pruned
+    * files' actual `#bytes` sum, rows × the pruned read schema's
+    * width estimate). Metadata-only — no file is opened, no
+    * FileSystem call per file — so a 100 TB lake table joins with a
+    * CORRECT broadcast decision: without this, a DSv2 relation
+    * reports `spark.sql.defaultSizeInBytes` (effectively infinite)
+    * and a 100-row filtered dimension still sort-merges. The row
+    * count is a superset (outstanding deletion-vector rows not
+    * subtracted) and the size takes the larger of two independent
+    * over-approximations — both err toward NOT broadcasting. */
   override def estimateStatistics(): Statistics = {
     val spark = SparkSession.active
     val counts = plannedFiles(spark).flatMap { case (_, stats) =>
       stats.flatMap(rowCountRe.findFirstMatchIn(_).map(_.group(1).toLong))
     }
+    // size estimate: rows × the pruned read schema's fixed per-type
+    // width is exact for numerics but LIES for strings (StringType's
+    // defaultSize is a flat 20 bytes — a wide-text table estimated
+    // that way can slip under the broadcast threshold and OOM the
+    // build side). Every commit since the `#bytes` discipline also
+    // logs each file's ACTUAL on-disk size (the Delta add.size
+    // discipline); the estimate takes the MAX of the two — file bytes
+    // catch wide strings, the width product catches heavy columnar
+    // compression — so it errs pessimistic in BOTH failure modes.
+    // Older manifests without `#bytes` keep the width product.
     new Statistics {
       override def numRows(): java.util.OptionalLong =
         if (counts.length == plannedFiles(spark).length && counts.nonEmpty)
           java.util.OptionalLong.of(counts.sum)
         else java.util.OptionalLong.empty()
       override def sizeInBytes(): java.util.OptionalLong =
-        if (counts.length == plannedFiles(spark).length && counts.nonEmpty)
-          java.util.OptionalLong.of(
-            counts.sum * math.max(1, required.defaultSize))
-        else java.util.OptionalLong.empty()
+        if (counts.length == plannedFiles(spark).length && counts.nonEmpty) {
+          val widthEst = counts.sum * math.max(1, required.defaultSize)
+          val bytes = plannedFiles(spark).flatMap { case (_, stats) =>
+            stats.flatMap(byteCountRe.findFirstMatchIn(_)
+              .map(_.group(1).toLong))
+          }
+          val est =
+            if (bytes.length == plannedFiles(spark).length)
+              math.max(bytes.sum, widthEst)
+            else widthEst
+          java.util.OptionalLong.of(est)
+        } else java.util.OptionalLong.empty()
     }
   }
 
   private val rowCountRe =
     """"#rows":\{"t":"l","mnl":(\d+)""".r
+  private val byteCountRe =
+    """"#bytes":\{"t":"l","mnl":(\d+)""".r
 
   override def description(): String =
     s"graft-lake $path ${version.fold("")(v => s"v$v ")}" +
@@ -375,10 +397,15 @@ final class LakeScan(path: String, version: Option[Long],
         }
       }
     }
-    LakeSource.lastPlanned.set((files.length, entries.length))
     val keep = files.toSet
+    totalEntryCount = entries.length
     entries.filter { case (f, _) => keep(f) }
   }
+
+  /** Total manifest entries before pruning, for the receipt counter.
+    * Written when [[prunedEntries]] first evaluates; read only from
+    * [[planInputPartitions]]. */
+  @volatile private var totalEntryCount: Int = 0
 
   private def plannedFiles(spark: SparkSession): Seq[(String, Option[String])] =
     prunedEntries
@@ -387,6 +414,12 @@ final class LakeScan(path: String, version: Option[Long],
     val spark = SparkSession.active
     val v = Versioned.resolveVersion(spark, path, version)
     val files = prunedEntries.map(_._1)
+    // the files_read/files_total receipt counter reflects EXECUTION
+    // order: set here (partition planning), not inside the lazy
+    // pruning — estimateStatistics may evaluate the lazy val at
+    // OPTIMIZATION time, and in a plan with several lake scans the
+    // optimizer's traversal order is not the execution order
+    LakeSource.lastPlanned.set((files.length, totalEntryCount))
     val dv: Map[String, Array[Long]] =
       Versioned.deletionVector(spark, path, Some(v)) match {
         case None => Map.empty

@@ -93,8 +93,16 @@ object Events {
     // types, active users), so the store count is a pure fixed cost:
     // size it to the keyspace, not to the batch shuffle width. On a
     // real cluster the same knob spreads stores across executors.
+    // wide (row-per-event) state gets its own knob: its store count
+    // should track STATE VOLUME, not just key count — concentrating a
+    // large keyspace's RocksDB state into the narrow default regresses
+    // memory/parallelism on a real cluster, where this is sized to
+    // executors × cores
     spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.get("graft.streaming.statePartitions", "8"))
+      if (wideState)
+        spark.conf.get("graft.streaming.wideStatePartitions",
+          spark.conf.get("graft.streaming.statePartitions", "8"))
+      else spark.conf.get("graft.streaming.statePartitions", "8"))
     // a no-data batch exists to advance the watermark: fire event-time
     // timers and evict expired state. Queries whose RESULT doesn't
     // depend on timers (pure aggregations, dedup counts) skip it — the

@@ -131,6 +131,123 @@ class LakeBranchSpec extends SparkSuite {
     } finally rm(main, b1, b2)
   }
 
+  test("a zero-copy published branch refuses dropTable while the " +
+      "source reads through it; compact + vacuum on the source " +
+      "releases it") {
+    val (main, br) = (tmp("graft_bs6m"), tmp("graft_bs6b"))
+    try {
+      Versioned.init(base().repartition(2), main)
+      Versioned.branch(spark, main, br)
+      Versioned.merge(Versioned.read(spark, br)
+        .withColumn("p", col("p") + lit(1.0)), br, Seq("k"))
+      Versioned.publish(spark, br)
+      // decimal-exact: the compact below reorders the double sum
+      def dsum() = Versioned.read(spark, main)
+        .agg(sum(col("p").cast("decimal(30,2)")))
+        .head().getDecimal(0)
+      val expect = dsum()
+      // the source reads through the branch directory: refuse
+      intercept[IllegalStateException] {
+        Versioned.dropTable(spark, br)
+      }
+      assert(dsum() == expect)
+      // compact localizes the files, vacuum drops the referencing
+      // old versions — now the branch owes the source nothing
+      Versioned.compact(spark, main, 2)
+      Versioned.vacuum(spark, main, keepLast = 1)
+      assert(Versioned.dropTable(spark, br))
+      assert(dsum() == expect)
+    } finally rm(main, br)
+  }
+
+  test("vacuum on a published branch never deletes files the source " +
+      "reads through") {
+    val (main, br) = (tmp("graft_bs7m"), tmp("graft_bs7b"))
+    try {
+      Versioned.init(base().repartition(2), main)
+      Versioned.branch(spark, main, br)
+      Versioned.merge(Versioned.read(spark, br)
+        .withColumn("p", col("p") + lit(1.0)), br, Seq("k"))
+      Versioned.publish(spark, br)
+      val expect = Versioned.read(spark, main)
+        .agg(sum(col("p"))).head().getDouble(0)
+      // the branch moves on: a full-match merge restages every file,
+      // so the published files are no longer referenced by ANY
+      // surviving branch version after a keepLast=1 vacuum — only
+      // the publish contract keeps them alive
+      Versioned.merge(Versioned.read(spark, br)
+        .withColumn("p", col("p") + lit(1.0)), br, Seq("k"))
+      Versioned.vacuum(spark, br, keepLast = 1)
+      assert(Versioned.read(spark, main)
+        .agg(sum(col("p"))).head().getDouble(0) == expect)
+    } finally rm(main, br)
+  }
+
+  test("publish(localize) copies branch-staged files under the " +
+      "source root — the branch directory becomes disposable") {
+    val (main, br) = (tmp("graft_bs8m"), tmp("graft_bs8b"))
+    try {
+      Versioned.init(base().repartition(2), main)
+      Versioned.branch(spark, main, br)
+      Versioned.merge(Versioned.read(spark, br)
+        .filter(col("k") % 2 === 0)
+        .withColumn("p", col("p") + lit(1.0)), br, Seq("k"))
+      Versioned.deleteVectored(spark, br, col("k") % 5 === 0)
+      val expectN = Versioned.read(spark, br).count()
+      val expectS = Versioned.read(spark, br)
+        .agg(sum(col("p"))).head().getDouble(0)
+      val v = Versioned.publish(spark, br, localize = true)
+      // every published file lives under the SOURCE root
+      assert(Versioned.files(spark, main, Some(v))
+        .forall(_.contains(main)),
+        Versioned.files(spark, main, Some(v)).mkString("\n"))
+      // no shallow-publish marker: the branch is disposable — rm it
+      assert(Versioned.publishedInfo(spark, br).isEmpty)
+      assert(Versioned.dropTable(spark, br))
+      assert(Versioned.read(spark, main).count() == expectN)
+      assert(Versioned.read(spark, main)
+        .agg(sum(col("p"))).head().getDouble(0) == expectS)
+    } finally rm(main, br)
+  }
+
+  test("`src@name` SQL addressing reads and writes the branch " +
+      "through the source path") {
+    spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+    val main = tmp("graft_bs9m")
+    val br = java.nio.file.Files.createTempDirectory("graft_bs9b")
+      .resolve("b1").toString
+    try {
+      Versioned.init(base().repartition(2), main)
+      Versioned.branch(spark, main, br)
+      val n0 = Versioned.read(spark, main).count()
+      assert(spark.sql(s"SELECT count(*) FROM lake.`$main@b1`")
+        .head().getLong(0) == n0)
+      spark.sql(s"INSERT INTO lake.`$main@b1` VALUES " +
+        "(CAST(900000001 AS BIGINT), CAST(1.5 AS DOUBLE))")
+      // the write landed on the BRANCH; the source never moved
+      assert(spark.sql(s"SELECT count(*) FROM lake.`$main@b1`")
+        .head().getLong(0) == n0 + 1)
+      assert(Versioned.currentVersion(spark, main).contains(1L))
+      assert(Versioned.read(spark, main).count() == n0)
+      // metadata tables compose with the ref
+      assert(spark.sql(s"SELECT count(*) FROM lake.`$main@b1$$history`")
+        .head().getLong(0) >= 2L)
+      // a missing ref falls through to the literal path (and fails
+      // loudly as a non-table); a dangling ref fails loudly as stale
+      intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM lake.`$main@nope`").collect()
+      }
+      val p = new org.apache.hadoop.fs.Path(br)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM lake.`$main@b1`").collect()
+      }
+      assert(e.getMessage.contains("stale branch ref"),
+        s"unexpected: ${e.getMessage}")
+    } finally rm(main, br)
+  }
+
   test("a branch with no commits refuses publish; a non-branch " +
       "refuses publish") {
     val (main, br) = (tmp("graft_bs3m"), tmp("graft_bs3b"))

@@ -106,6 +106,22 @@ class LakeProceduresSpec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("DESCRIBE DETAIL sugar rewrites onto CALL lake.describe; " +
+      "ordinary statements pass through the parser shim untouched") {
+    val dir = tmp()
+    try {
+      Versioned.init(base.toDF("k", "p").repartition(2), dir)
+      val viaCall = spark.sql(s"CALL lake.describe('$dir')").head()
+      val viaSugar = spark.sql(s"DESCRIBE DETAIL lake.`$dir`").head()
+      assert(viaSugar == viaCall)
+      // delegate path: a plain statement still parses and runs
+      base.toDF("k", "p").createOrReplaceTempView("graft_dd_passthru")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_dd_passthru").head().getLong(0) == 20L)
+      assert(spark.sql("DESCRIBE graft_dd_passthru").count() == 2L)
+    } finally rm(dir)
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] {
       spark.sql("CALL lake.frobnicate('/nope')")

@@ -65,6 +65,37 @@ class LakeStatsSpec extends SparkSuite {
     }
   }
 
+  test("wide-string tables report their ACTUAL byte footprint, not " +
+      "the 20-byte-per-string width guess (no under-broadcast)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st4").toString
+    try {
+      // ~200 hex chars per row — far beyond StringType.defaultSize
+      // (20), mostly incompressible, so file bytes >> rows × width
+      val wide = spark.range(2000).select(col("id").as("k"),
+        concat_ws("", md5(col("id").cast("string")),
+          md5((col("id") * 31 + 7).cast("string")),
+          sha2(col("id").cast("string"), 256),
+          sha2((col("id") + 13).cast("string"), 512)).as("txt"))
+      Versioned.init(wide.repartition(2), dir)
+      val fs0 = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fileBytes = Versioned.files(spark, dir).map(f =>
+        fs0.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      val st = scanStats(
+        spark.read.format("graft-lake").option("path", dir).load())
+      val widthGuess = 2000L * spark.read.format("graft-lake")
+        .option("path", dir).load().schema.defaultSize
+      assert(st.sizeInBytes >= BigInt(fileBytes),
+        s"sizeInBytes=${st.sizeInBytes} < actual file bytes $fileBytes")
+      assert(BigInt(fileBytes) > BigInt(widthGuess),
+        s"fixture too compressible: bytes=$fileBytes width=$widthGuess")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   test("a small lake dimension broadcasts against a parquet fact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_st3").toString
     try {
