@@ -101,8 +101,8 @@ object Events {
     spark.conf.set("spark.sql.shuffle.partitions",
       if (wideState)
         spark.conf.get("graft.streaming.wideStatePartitions",
-          spark.conf.get("graft.streaming.statePartitions", "8"))
-      else spark.conf.get("graft.streaming.statePartitions", "8"))
+          spark.conf.get("graft.streaming.statePartitions", "4"))
+      else spark.conf.get("graft.streaming.statePartitions", "4"))
     // a no-data batch exists to advance the watermark: fire event-time
     // timers and evict expired state. Queries whose RESULT doesn't
     // depend on timers (pure aggregations, dedup counts) skip it — the
@@ -118,11 +118,28 @@ object Events {
     if (wideState) spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // checkpoint scratch: a BOUNDED AvailableNow replay into a memory
+    // sink is ephemeral by construction — its checkpoint (offset log,
+    // commit log, one state snapshot per store per batch) has zero
+    // recovery value, yet on the default java.io.tmpdir it pays real
+    // disk I/O every micro-batch. Point it at RAM-backed scratch when
+    // available (`graft.streaming.scratchDir`, default /dev/shm on
+    // hosts that have it); durable pipelines (the lake sink, the
+    // restart-shape queries) pass their OWN checkpointLocation and
+    // never come through here.
+    val ckRoot = spark.conf.get("graft.streaming.scratchDir", {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    })
+    val ck = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckRoot), s"graft_ck_$name")
     try {
       val q = agg.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ck.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       // AvailableNow self-terminates AFTER its final no-data batch — the
@@ -147,6 +164,8 @@ object Events {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
       else if (wideState)
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      try org.apache.commons.io.FileUtils.deleteDirectory(ck.toFile)
+      catch { case _: java.io.IOException => () } // scratch — best effort
     }
     spark.table(name)
   }
