@@ -3561,6 +3561,14 @@ object Versioned {
     core(e).startsWith(core(root) + "/data/")
   }
 
+  /** How many of the CURRENT version's files live outside this
+    * table's own data root — the shallow-clone / zero-copy-publish
+    * dependency count, surfaced in `CALL lake.describe` table health
+    * so an operator can see a foreign-root read dependency before it
+    * bites (a [[compact]] localizes and drives it to zero). */
+  def foreignFileCount(spark: SparkSession, path: String): Long =
+    files(spark, path).count(!isUnderDataRoot(_, path)).toLong
+
   /** Files under `root`'s data dir that `src`'s SURVIVING versions
     * still reference — the zero-copy publish dependency set. Empty
     * once the source has compacted past the publish and vacuumed the

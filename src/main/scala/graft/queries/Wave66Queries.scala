@@ -157,11 +157,11 @@ object Wave66Queries {
       Seq((r.getLong(0),
           Q.receipt(r.getLong(1) > 0L, s"n_files=${r.getLong(1)}"),
           r.getLong(2), r.getString(3), r.getInt(4), r.getString(5),
-          r.getString(6), r.getLong(7), r.getBoolean(8),
+          r.getString(6), r.getLong(7), r.getBoolean(8), r.getLong(9),
           Q.receipt(sugar == r, s"DESCRIBE DETAIL row $sugar != $r")))
         .toDF("version", "files_gt0", "n_dv_rows", "partition_transform",
           "n_columns", "stats_cols", "bloom_cols", "n_commits",
-          "column_mapped", "describe_detail_sugar")
+          "column_mapped", "n_foreign_files", "describe_detail_sugar")
     } finally rm(s, dir)
   }
 
@@ -285,6 +285,7 @@ object Wave66Queries {
          |  'st' AS partition_transform, CAST(3 AS INTEGER) AS n_columns,
          |  'p' AS stats_cols, 'k' AS bloom_cols, CAST(4 AS BIGINT)
          |    AS n_commits, true AS column_mapped,
+         |  CAST(0 AS BIGINT) AS n_foreign_files,
          |  'ok' AS describe_detail_sugar""".stripMargin,
     "q_tpch_q2" ->
       s"""WITH $PARTSUPP,

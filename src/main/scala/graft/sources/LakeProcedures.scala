@@ -252,7 +252,8 @@ object LakeProcedures {
         StructField("stats_cols", StringType, nullable = false),
         StructField("bloom_cols", StringType, nullable = false),
         StructField("n_commits", LongType, nullable = false),
-        StructField("column_mapped", BooleanType, nullable = false)))
+        StructField("column_mapped", BooleanType, nullable = false),
+        StructField("n_foreign_files", LongType, nullable = false)))
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val path = input.getUTF8String(0).toString
         val v = Versioned.currentVersion(spark, path).getOrElse(
@@ -276,7 +277,11 @@ object LakeProcedures {
           UTF8String.fromString(
             Versioned.bloomColumns(spark, path).mkString(",")),
           Versioned.history(spark, path).length.toLong,
-          mapped)
+          mapped,
+          // shallow-clone / zero-copy-publish read dependencies: the
+          // operator's cue that this table reads through foreign
+          // roots (compact localizes; see publish's marker guard)
+          Versioned.foreignFileCount(spark, path))
       }
     }
   ).map(pr => pr.name -> (pr: UnboundProcedure)).toMap

@@ -151,10 +151,16 @@ class LakeBranchSpec extends SparkSuite {
         Versioned.dropTable(spark, br)
       }
       assert(dsum() == expect)
+      // table health surfaces the foreign-root dependency
+      spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+      assert(spark.sql(s"CALL lake.describe('$main')").head()
+        .getAs[Long]("n_foreign_files") > 0L)
       // compact localizes the files, vacuum drops the referencing
       // old versions — now the branch owes the source nothing
       Versioned.compact(spark, main, 2)
       Versioned.vacuum(spark, main, keepLast = 1)
+      assert(spark.sql(s"CALL lake.describe('$main')").head()
+        .getAs[Long]("n_foreign_files") == 0L)
       assert(Versioned.dropTable(spark, br))
       assert(dsum() == expect)
     } finally rm(main, br)
