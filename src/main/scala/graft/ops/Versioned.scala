@@ -153,10 +153,22 @@ object Versioned {
       Seq[(String, Option[String])]]()
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[StructType]]()
+  /** Segment files are immutable for their whole life (vacuum only
+    * ever deletes them), keyed (table path, `seg:` ref). */
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      Seq[(String, Option[String])]]()
+  /** Top-level manifest rows, segment refs UNEXPANDED — what an
+    * O(delta) metadata commit copies forward. */
+  private val rawTopCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      Seq[(String, Option[String])]]()
 
   private def invalidate(path: String): Unit = {
     manifestCache.keySet.removeIf(_._1 == path)
     schemaCache.keySet.removeIf(_._1 == path)
+    segmentCache.keySet.removeIf(_._1 == path)
+    rawTopCache.keySet.removeIf(_._1 == path)
   }
 
   /** Manifest rows are (file path, optional per-file column stats as
@@ -168,49 +180,159 @@ object Versioned {
     StructField("f", StringType),
     StructField("stats_json", StringType)))
 
-  /** Driver-side manifest read — (path, stats) entries — from the
-    * parquet directory (current) or text file (legacy), through a
-    * direct columnar reader: no Spark job, because the scan path needs
-    * the list as explicit paths anyway — behind the immutability
-    * cache. */
+  /** One parquet manifest/segment FILE → raw (f, stats_json) rows,
+    * through the direct columnar reader — no Spark job. */
+  private def readParquetRows(conf: org.apache.hadoop.conf.Configuration,
+      file: Path): Seq[(String, Option[String])] = {
+    val out = Seq.newBuilder[(String, Option[String])]
+    val rd = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        file)
+      .withConf(conf).build()
+    try {
+      var g = rd.read()
+      while (g != null) {
+        val sj =
+          if (g.getType.containsField("stats_json") &&
+            g.getFieldRepetitionCount("stats_json") > 0)
+            Some(g.getString("stats_json", 0))
+          else None
+        out += ((g.getString("f", 0), sj))
+        g = rd.read()
+      }
+    } finally rd.close()
+    out.result()
+  }
+
+  /** RAW rows of any manifest-format path — a parquet directory (the
+    * committed shape), a single parquet file (a segment), or the
+    * legacy text file — segment refs NOT expanded. */
+  private def readRawRows(spark: SparkSession, path: String,
+      p: Path): Seq[(String, Option[String])] = {
+    val f = fs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = f.getFileStatus(p) // throws FileNotFound for vacuumed/absent
+    if (st.isDirectory)
+      f.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .toSeq.flatMap(readParquetRows(conf, _))
+    else if (p.getName.endsWith(".parquet")) readParquetRows(conf, p)
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(l => (l, Option.empty[String])).toList
+      finally in.close()
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  // manifest SEGMENTS — the Iceberg manifest-list shape              //
+  //                                                                  //
+  // A top-level manifest row `seg:segs/<name>` references an         //
+  // IMMUTABLE parquet file under `_versions/segs/` holding ordinary  //
+  // (f, stats_json) rows; readers splice it in place. An append or   //
+  // metadata-only commit (DV delete, ALTER, RESTORE) then writes a   //
+  // top level of O(segments + delta) rows — carried refs copy        //
+  // forward VERBATIM — instead of re-listing every file: at 1M files //
+  // the commit cost stays the delta, which is what a 100 TB table    //
+  // needs. Inline rows SEAL into one new segment when they exceed    //
+  // `graft.lake.manifestInlineRows` (Delta's checkpoint              //
+  // amortization: one O(accumulated) write licenses thousands of     //
+  // O(1) commits). Full-rewrite commits (merge, compact, clone,      //
+  // publish) still write flat manifests — a natural segment          //
+  // collapse. Refs are RELATIVE to `_versions/`, so [[renameTable]]  //
+  // moves them for free; [[vacuum]] deletes segments no retained     //
+  // version references.                                              //
+  // ---------------------------------------------------------------- //
+
+  private val segRefPrefix = "seg:"
+  private val segmentedMarker = "_segmented"
+  private def segsDir(path: String) = new Path(manifestDir(path), "segs")
+  private def isSegRef(e: (String, Option[String])): Boolean =
+    e._1.startsWith(segRefPrefix)
+
+  /** Seal threshold for inline top-level rows. The default keeps the
+    * top level a one-block driver read; a deployment expecting larger
+    * commit batches raises it to taste — the tradeoff is top-level
+    * read size vs segment-file count. */
+  private def manifestInlineRows(spark: SparkSession): Int =
+    spark.conf.get("graft.lake.manifestInlineRows", "4096").toInt
+
+  private def readSegmentRows(spark: SparkSession, path: String,
+      ref: String): Seq[(String, Option[String])] = {
+    val k = (path, ref)
+    val hit = segmentCache.get(k)
+    if (hit != null) return hit
+    val r = readRawRows(spark, path,
+      new Path(manifestDir(path), ref.stripPrefix(segRefPrefix)))
+    if (segmentCache.size > 256) segmentCache.clear()
+    segmentCache.put(k, r)
+    r
+  }
+
+  /** Top-level rows of version `v`, refs UNEXPANDED. For an
+    * unsegmented manifest this equals the full entry list. */
+  private def rawTop(spark: SparkSession, path: String,
+      v: Long): Seq[(String, Option[String])] = {
+    val k = (path, v)
+    val hit = rawTopCache.get(k)
+    if (hit != null) return hit
+    val r = readRawRows(spark, path, manifestPath(path, v))
+    if (rawTopCache.size > 256) rawTopCache.clear()
+    rawTopCache.put(k, r)
+    r
+  }
+
+  /** Write `entries` as one immutable segment file; returns the top-
+    * level ref row. Entries are commit-bounded (the staged batch, or
+    * the accumulated inline rows at seal time) — one direct parquet
+    * write, no job. */
+  private def writeSegment(spark: SparkSession, path: String,
+      entries: Seq[(String, Option[String])]): (String, Option[String]) = {
+    val f = fs(spark, path)
+    f.mkdirs(segsDir(path))
+    val name =
+      s"seg-${java.util.UUID.randomUUID().toString.take(13)}.parquet"
+    writeManifestDirect(spark, new Path(segsDir(path), name), entries)
+    val ref = s"${segRefPrefix}segs/$name"
+    segmentCache.put((path, ref), entries.toList)
+    (ref, None)
+  }
+
+  /** The NEXT version's top-level rows: `cur`'s segment refs carried
+    * verbatim, `cur`'s inline rows plus the staged entries inline —
+    * sealed into one fresh segment past the threshold. O(segments +
+    * inline + staged) driver metadata work, never O(table files). */
+  private def segmentedTop(spark: SparkSession, path: String, cur: Long,
+      staged: Seq[(String, Option[String])]): Seq[(String, Option[String])] = {
+    val (refs, inline) = rawTop(spark, path, cur).partition(isSegRef)
+    val combined = inline ++ staged
+    if (combined.nonEmpty && combined.size > manifestInlineRows(spark))
+      refs :+ writeSegment(spark, path, combined)
+    else refs ++ combined
+  }
+
+  /** (top-level manifest rows, segment refs among them) of version
+    * `v` — the receipt that a commit's metadata cost was O(delta). */
+  def manifestShape(spark: SparkSession, path: String,
+      version: Option[Long] = None): (Long, Long) = {
+    val top = rawTop(spark, path, resolve(spark, path, version))
+    (top.size.toLong, top.count(isSegRef).toLong)
+  }
+
+  /** Driver-side manifest read — (path, stats) entries — raw top
+    * level with segment refs spliced in place, behind the
+    * immutability cache. */
   private def readManifestEntries(spark: SparkSession, path: String,
       v: Long): Seq[(String, Option[String])] = {
     val k = (path, v)
     val hit = manifestCache.get(k)
     if (hit != null) return hit
-    val f = fs(spark, path)
-    val p = manifestPath(path, v)
-    val st = f.getFileStatus(p) // throws FileNotFound for vacuumed/absent
-    val r: Seq[(String, Option[String])] =
-      if (st.isDirectory) {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val parts = f.listStatus(p).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        val out = Seq.newBuilder[(String, Option[String])]
-        parts.foreach { part =>
-          val rd = org.apache.parquet.hadoop.ParquetReader
-            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-              part)
-            .withConf(conf).build()
-          try {
-            var g = rd.read()
-            while (g != null) {
-              val sj =
-                if (g.getType.containsField("stats_json") &&
-                  g.getFieldRepetitionCount("stats_json") > 0)
-                  Some(g.getString("stats_json", 0))
-                else None
-              out += ((g.getString("f", 0), sj))
-              g = rd.read()
-            }
-          } finally rd.close()
-        }
-        out.result()
-      } else {
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).map(l => (l, Option.empty[String])).toList
-        finally in.close()
+    val raw = rawTop(spark, path, v)
+    val r =
+      if (!raw.exists(isSegRef)) raw
+      else raw.flatMap { e =>
+        if (isSegRef(e)) readSegmentRows(spark, path, e._1) else Seq(e)
       }
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(k, r)
@@ -223,15 +345,29 @@ object Versioned {
 
   /** The manifest as a DataFrame (column `f`) — the distributed path
     * for set operations whose cardinality is O(table files), e.g. the
-    * carried side of a partition-scoped [[merge]]. */
+    * carried side of a partition-scoped [[merge]]. A segmented
+    * manifest's top level is small by construction: its segment
+    * parquet reads stay distributed, spliced under the inline rows. */
   private def manifestDf(spark: SparkSession, path: String,
       v: Long): DataFrame = {
+    val f = fs(spark, path)
     val p = manifestPath(path, v)
-    if (fs(spark, path).getFileStatus(p).isDirectory)
-      spark.read.schema(manifestFields).parquet(p.toString)
-    else // legacy text manifest: tiny by construction
+    if (!f.getFileStatus(p).isDirectory) // legacy text manifest: tiny
       spark.createDataset(readManifest(spark, path, v))(Encoders.STRING)
         .toDF("f").withColumn("stats_json", lit(null).cast("string"))
+    else if (!f.exists(new Path(p, segmentedMarker)))
+      spark.read.schema(manifestFields).parquet(p.toString)
+    else {
+      val (refs, inline) = rawTop(spark, path, v).partition(isSegRef)
+      val segPaths = refs.map(r => new Path(manifestDir(path),
+        r._1.stripPrefix(segRefPrefix)).toString)
+      val segDf =
+        if (segPaths.isEmpty) null
+        else spark.read.schema(manifestFields).parquet(segPaths: _*)
+      if (segDf == null) entriesDf(spark, inline)
+      else if (inline.isEmpty) segDf
+      else segDf.unionByName(entriesDf(spark, inline))
+    }
   }
 
   private def entriesDf(spark: SparkSession,
@@ -956,7 +1092,12 @@ object Versioned {
       case Left(seq) =>
         f.mkdirs(tmp)
         writeManifestDirect(spark, new Path(tmp, "part-00000.parquet"), seq)
-        manifestCache.put((path, v), seq.toList)
+        if (seq.exists(isSegRef)) {
+          // segmented top level: the marker tells readers to splice
+          // segments; the expanded-entry cache fills on first read
+          f.create(new Path(tmp, segmentedMarker), true).close()
+        } else manifestCache.put((path, v), seq.toList)
+        rawTopCache.put((path, v), seq.toList)
       case Right(df) =>
         df.select(col("f"), col("stats_json"))
           .write.mode("overwrite").parquet(tmp.toString)
@@ -1476,9 +1617,10 @@ object Versioned {
       val (stagedDir, staged) = stage(inserts, path, next, partitionCol,
         Some(outSchema))
       val stagedE = stagedEntries(spark, path, staged)
-      def filesAt(v: Long) =
-        Right(manifestDf(spark, path, v).select(col("f"),
-          col("stats_json")).unionByName(entriesDf(spark, stagedE)))
+      // O(delta) commit: carried segment refs copy forward, staged
+      // entries ride inline (sealing past the threshold) — an append
+      // on a million-file table writes a delta-sized manifest
+      def filesAt(v: Long) = Left(segmentedTop(spark, path, v, stagedE))
       if (commit(spark, path, next, filesAt(cur), Some(outSchema),
           deletionVector(spark, path, Some(cur)), op = Some(opName),
           extraFiles = idExtras))
@@ -1566,9 +1708,7 @@ object Versioned {
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
       val next = cur + 1
-      val filesArg = Right(manifestDf(spark, path, cur)
-        .select(col("f"), col("stats_json"))
-        .unionByName(entriesDf(spark, stagedE)))
+      val filesArg = Left(segmentedTop(spark, path, cur, stagedE))
       if (commit(spark, path, next, filesArg,
           tableSchema(spark, path, Some(cur)),
           deletionVector(spark, path, Some(cur)),
@@ -2012,7 +2152,8 @@ object Versioned {
       val schema = tableSchema(spark, path, Some(cur)).getOrElse(
         StructType(live.schema.filterNot(f =>
           f.name == metaF || f.name == metaP)))
-      if (commit(spark, path, next, Left(curEntries), Some(schema),
+      if (commit(spark, path, next,
+          Left(segmentedTop(spark, path, cur, Seq.empty)), Some(schema),
           Some(combined), op = Some("DELETE_VECTORED")))
         return Erasure(next, 0, curEntries.length, deletedRows)
       attempt += 1
@@ -2319,7 +2460,8 @@ object Versioned {
       val combined = deletionVector(spark, path, Some(cur))
         .fold(newDv)(prev => prev.unionByName(newDv))
       if (commit(spark, path, next,
-          Left(curEntries ++ stagedEntries(spark, path, staged)),
+          Left(segmentedTop(spark, path, cur,
+            stagedEntries(spark, path, staged))),
           Some(schema), Some(combined), op = Some("UPDATE_VECTORED")))
         return Updated(next, curEntries.length, updatedRows)
       fs(spark, path).delete(stagedDir, true)
@@ -2613,7 +2755,8 @@ object Versioned {
     while (attempt <= maxRetries) {
       val cur = resolve(spark, path, None)
       val next = cur + 1
-      if (commit(spark, path, next, Right(manifestDf(spark, path, toVersion)),
+      if (commit(spark, path, next,
+          Left(segmentedTop(spark, path, toVersion, Seq.empty)),
           tableSchema(spark, path, Some(toVersion)),
           deletionVector(spark, path, Some(toVersion)),
           op = Some(s"RESTORE(v$toVersion)")))
@@ -2636,8 +2779,8 @@ object Versioned {
     * metadata; every read translates physical→logical at the scan,
     * every write stages under physical names, partition directories
     * and manifest stats already live in physical space (stats keys
-    * are rename-invariant). The commit is a manifest REFERENCE
-    * (`Right(manifestDf)`) — a million-file rename is metadata-speed
+    * are rename-invariant). The commit copies the top-level manifest
+    * rows forward verbatim — a million-file rename is metadata-speed
     * — and time travel before the rename still reads the old name
     * through the old version's logged schema. Renames are blocked
     * while a CHECK constraint, generated-column expression, or hidden
@@ -2680,7 +2823,8 @@ object Versioned {
             .putString(physicalKey, physicalOf(f)).build())
       })
       if (commit(spark, path, cur + 1,
-          Right(manifestDf(spark, path, cur)), Some(newSchema),
+          Left(segmentedTop(spark, path, cur, Seq.empty)),
+          Some(newSchema),
           deletionVector(spark, path, Some(cur)),
           op = Some(s"RENAME_COLUMN($oldName->$newName)")))
         return cur + 1
@@ -2762,7 +2906,8 @@ object Versioned {
       // resurrecting dead bytes
       addRetired(spark, path, physicalOf(dropped))
       if (commit(spark, path, cur + 1,
-          Right(manifestDf(spark, path, cur)), Some(newSchema),
+          Left(segmentedTop(spark, path, cur, Seq.empty)),
+          Some(newSchema),
           deletionVector(spark, path, Some(cur)),
           op = Some(s"DROP_COLUMN($name)")))
         return cur + 1
@@ -2796,7 +2941,7 @@ object Versioned {
       val fld = freshPhysical(
         StructField(name, dataType, nullable = true), taken)
       if (commit(spark, path, cur + 1,
-          Right(manifestDf(spark, path, cur)),
+          Left(segmentedTop(spark, path, cur, Seq.empty)),
           Some(StructType(schema.fields :+ fld)),
           deletionVector(spark, path, Some(cur)),
           op = Some(s"ADD_COLUMN($name)")))
@@ -2804,6 +2949,75 @@ object Versioned {
       attempt += 1
     }
     sys.error(s"addColumn lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** The widening promotions the vectorized parquet reader performs
+    * at scan time (the public Spark 4 type-widening surface Delta's
+    * feature rides on): integral up-casts, float→double, and decimal
+    * precision growth at the same scale. Everything else — narrowing,
+    * cross-family, scale changes — is refused. */
+  private def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** ALTER COLUMN … TYPE as a METADATA-ONLY commit (Delta type
+    * widening): the logged schema carries the WIDER type from this
+    * version on; carried files keep their narrow physical encoding
+    * and the parquet reader widens them at the scan — zero data files
+    * are read or written, at any table size. Time travel before the
+    * alter still reads the narrow type through that version's logged
+    * schema. Only lossless widenings are accepted ([[widens]]).
+    * Range-skipping stats stay valid: pruning compares numerically
+    * across the int/double stat encodings, and files written after
+    * the alter log stats in the wide type. BLOOM-registered columns
+    * are refused — the per-file sidecars hash the column through
+    * `xxhash64`, whose value is TYPE-sensitive, so a widened probe
+    * would silently false-negative against pre-alter files (rebuild
+    * path: deregister or compact, then widen). */
+  def alterColumnType(spark: SparkSession, path: String, name: String,
+      newType: DataType, maxRetries: Int = 5): Long = {
+    require(!bloomColumns(spark, path).contains(name),
+      s"cannot widen bloom-registered column '$name' of $path — the " +
+        "per-file bloom sidecars hash the narrow type; compact (or " +
+        "re-register) first")
+    require(!identityColumns(spark, path).exists(_._1 == name),
+      s"cannot retype identity column '$name' of $path")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(
+        sys.error(s"alterColumnType needs a logged schema: $path"))
+      val fld = schema.fields.find(_.name == name).getOrElse(
+        sys.error(s"no such column on $path: '$name'"))
+      if (fld.dataType == newType) return cur // idempotent
+      require(widens(fld.dataType, newType),
+        s"refusing lossy/unsupported retype of '$name' on $path: " +
+          s"${fld.dataType.simpleString} -> ${newType.simpleString} " +
+          "(supported: integral widening, float->double, decimal " +
+          "precision growth at the same scale)")
+      val newSchema = StructType(schema.fields.map { f =>
+        if (f.name != name) f else f.copy(dataType = newType)
+      })
+      if (commit(spark, path, cur + 1,
+          Left(segmentedTop(spark, path, cur, Seq.empty)),
+          Some(newSchema),
+          deletionVector(spark, path, Some(cur)),
+          op = Some(s"ALTER_COLUMN_TYPE($name " +
+            s"${fld.dataType.simpleString}->${newType.simpleString})")))
+        return cur + 1
+      attempt += 1
+    }
+    sys.error(s"alterColumnType lost ${maxRetries + 1} commit races " +
       s"(1 attempt + $maxRetries retries): $path")
   }
 
@@ -3737,6 +3951,26 @@ object Versioned {
           f.delete(new Path(dir, s"v$v.txn"), false)
       }
       f.delete(new Path(dir, s".v$v.lock"), false)
+    }
+    // segment GC: a manifest segment lives exactly as long as some
+    // RETAINED version's top level references it. (Same in-flight
+    // hazard as unreferenced data files: vacuum racing an uncommitted
+    // writer may delete its not-yet-published segment — the writer's
+    // bounded retry re-stages, as with data files.)
+    val segD = segsDir(path)
+    if (f.exists(segD)) {
+      val liveSegs = keep.flatMap(v =>
+        try rawTop(spark, path, v).collect {
+          case (r, _) if r.startsWith(segRefPrefix) =>
+            new Path(manifestDir(path),
+              r.stripPrefix(segRefPrefix)).getName
+        } catch {
+          case _: java.io.FileNotFoundException => Seq.empty[String]
+        }).toSet
+      f.listStatus(segD).foreach { s0 =>
+        if (!liveSegs.contains(s0.getPath.getName))
+          f.delete(s0.getPath, true)
+      }
     }
     invalidate(path)
     deleted

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Versioned
+import graft.text.Dedup
+
+/** Round-13 wave 70 — SEGMENTED MANIFESTS, driver-verified:
+  *
+  *  - `q_manifest_segments`: append and metadata-only commits on the
+  *    versioned lake now write a top-level manifest of
+  *    O(segments + delta) rows — committed segment files carry
+  *    forward BY REFERENCE (the Iceberg manifest-list shape; inline
+  *    rows seal into an immutable segment past a threshold, Delta's
+  *    checkpoint amortization) — instead of re-listing every file of
+  *    the table. Receipts pin the three contractual shapes: an append
+  *    SEALS (top level smaller than the file list), a later append
+  *    REUSES the sealed segment verbatim while the file count grows,
+  *    and a deletion-vector DELETE copies the top level forward
+  *    unchanged. The data columns prove the segmented table still
+  *    reads exactly right.
+  *
+  * 100 TB story: this is THE commit-cost fix for a million-file
+  * table — before, every append/DV-delete/ALTER re-wrote an
+  * O(table-files) manifest; now those commits write O(delta) rows and
+  * the carried refs are immutable files that readers splice in place
+  * (and prune through: per-file stats ride IN segment rows). Full
+  * rewrites (merge, compact) still produce flat manifests — a natural
+  * segment collapse — and vacuum GCs segments no retained version
+  * references.
+  */
+object Wave70Queries {
+
+  private def fpCol(cols: org.apache.spark.sql.Column*) =
+    shiftrightunsigned(Dedup.md5Hash64(concat_ws("#", cols: _*)), 4)
+
+  def qManifestSegments(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mseg")
+      .resolve("t").toString
+    val prev = s.conf.getOption("graft.lake.manifestInlineRows")
+    s.conf.set("graft.lake.manifestInlineRows", "8")
+    try {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("o_totalprice").as("p"))
+      Versioned.init(o.filter(col("k") % 3 === 0).repartition(6), dir)
+      Versioned.append(o.filter(col("k") % 3 === 1).repartition(4), dir)
+      val (top1, seg1) = Versioned.manifestShape(s, dir)
+      val files1 = Versioned.files(s, dir).size
+      Versioned.append(o.filter(col("k") % 3 === 2).repartition(4), dir)
+      val (top2, seg2) = Versioned.manifestShape(s, dir)
+      val files2 = Versioned.files(s, dir).size
+      val er = Versioned.deleteVectored(s, dir, col("k") % 7 === 0)
+      val (top3, seg3) = Versioned.manifestShape(s, dir)
+      val r = Versioned.read(s, dir)
+        .withColumn("fp", fpCol(col("k"), col("c"),
+          floor(col("p") * lit(100.0) + lit(0.5)).cast("long")))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp"),
+          expr("bit_xor(fp)").as("xf")).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
+          Q.receipt(seg1 >= 1L && top1 < files1,
+            s"append must seal past the threshold: top=$top1 " +
+              s"segs=$seg1 files=$files1"),
+          Q.receipt(seg2 == seg1 &&
+              top2 == top1 + (files2 - files1) && files2 > files1,
+            s"the sealed segment must carry forward verbatim: " +
+              s"($top1,$seg1,$files1) -> ($top2,$seg2,$files2)"),
+          Q.receipt(top3 == top2 && seg3 == seg2 && er.deletedRows > 0L,
+            s"DV delete must copy the top level forward: " +
+              s"($top2,$seg2) -> ($top3,$seg3) del=${er.deletedRows}")))
+        .toDF("n_rows", "sum_price", "xor_fp", "append_seals",
+          "segments_reused", "dv_metadata_only")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("graft.lake.manifestInlineRows", v)
+        case None => s.conf.unset("graft.lake.manifestInlineRows")
+      }
+      val p = new org.apache.hadoop.fs.Path(
+        new java.io.File(dir).getParent)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** ALTER COLUMN … TYPE as a metadata-only commit (Delta type
+    * widening): int→bigint on a lake table, receipts pinning that the
+    * alter carried every file by reference, that the head reads the
+    * wide type while time travel before the alter reads the narrow
+    * one, and that a post-alter append lands a value beyond the
+    * narrow range — which the data columns then prove reads exactly
+    * right (max_k > Int.MaxValue is only representable because the
+    * widen is real). */
+  def qTypeWidening(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_twq")
+      .resolve("t").toString
+    try {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_totalprice").as("p"))
+      Versioned.init(o.repartition(4), dir)
+      val files1 = Versioned.files(s, dir).toSet
+      Versioned.alterColumnType(s, dir,
+        "k", org.apache.spark.sql.types.LongType)
+      val carried = Versioned.files(s, dir).toSet == files1
+      val opLabel = Versioned.history(s, dir).last.operation
+      import s.implicits._
+      Versioned.append(Seq((Int.MaxValue.toLong + 10L, 0.25))
+        .toDF("k", "p"), dir)
+      val headT = Versioned.read(s, dir).schema("k").dataType.simpleString
+      val v1T = Versioned.read(s, dir, Some(1L))
+        .schema("k").dataType.simpleString
+      val r = Versioned.read(s, dir)
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          max(col("k")).as("mk"), Q.dsum(col("p")).as("sp")).head()
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          Q.receipt(carried &&
+              opLabel == "ALTER_COLUMN_TYPE(k int->bigint)",
+            s"widen must be metadata-only: carried=$carried " +
+              s"op=$opLabel"),
+          Q.receipt(headT == "bigint" && v1T == "int",
+            s"schema-per-version: head=$headT v1=$v1T")))
+        .toDF("n_rows", "sum_k", "max_k", "sum_price",
+          "alter_metadata_only", "schema_versions_ok")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(
+        new java.io.File(dir).getParent)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_manifest_segments" -> qManifestSegments,
+    "q_type_widening"     -> qTypeWidening)
+
+  val oracles: Map[String, String] = Map(
+    "q_manifest_segments" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_custkey AS c,
+         |    o_totalprice AS p FROM orders
+         |  WHERE o_orderkey % 7 <> 0),
+         |fp AS (SELECT p,
+         |    md5_number_upper(CAST(k AS VARCHAR) || '#' ||
+         |      CAST(c AS VARCHAR) || '#' ||
+         |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+         |      >> 4 AS fp
+         |  FROM t)
+         |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
+         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+         |  'ok' AS append_seals, 'ok' AS segments_reused,
+         |  'ok' AS dv_metadata_only
+         |FROM fp""".stripMargin,
+    "q_type_widening" ->
+      s"""WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |    o_totalprice AS p FROM orders
+         |  UNION ALL SELECT 2147483657, 0.25)
+         |SELECT count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k,
+         |  CAST(max(k) AS BIGINT) AS max_k,
+         |  ${Q.DSUM("p")} AS sum_price,
+         |  'ok' AS alter_metadata_only, 'ok' AS schema_versions_ok
+         |FROM t""".stripMargin)
+}

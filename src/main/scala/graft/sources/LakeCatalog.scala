@@ -260,9 +260,15 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
         require(d.fieldNames().length == 1,
           s"nested DROP COLUMN unsupported: ${d.fieldNames().mkString(".")}")
         Versioned.dropColumn(spark, path, d.fieldNames()(0))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          s"nested ALTER COLUMN TYPE unsupported: " +
+            s"${u.fieldNames().mkString(".")}")
+        Versioned.alterColumnType(spark, path, u.fieldNames()(0),
+          u.newDataType())
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other — supported: " +
-          "ADD COLUMN, RENAME COLUMN, DROP COLUMN")
+          "ADD COLUMN, RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE")
     }
     loadTable(ident)
   }

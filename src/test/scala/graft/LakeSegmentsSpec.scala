@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Versioned
+
+/** Segmented manifests (wave 70) — the Iceberg manifest-list shape:
+  * append and metadata-only commits write a top level of
+  * O(segments + delta) rows whose carried segment refs copy forward
+  * verbatim, instead of re-listing every file of the table. These
+  * tests pin the commit-cost shape via [[Versioned.manifestShape]]
+  * AND the full read/time-travel/prune/maintenance semantics over
+  * segmented versions.
+  */
+class LakeSegmentsSpec extends SparkSuite {
+
+  private val d = sf("sf0.001")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def rm(dirs: String*): Unit = dirs.foreach { d0 =>
+    val p = new org.apache.hadoop.fs.Path(
+      new java.io.File(d0).getParent)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
+  /** orders slice keyed so batches are disjoint and checkable. */
+  private def slice(lo: Long, hi: Long) = Tables.load(spark, d, "orders")
+    .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+    .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+
+  private def withThreshold[T](n: Int)(body: => T): T = {
+    spark.conf.set("graft.lake.manifestInlineRows", n.toString)
+    try body
+    finally spark.conf.unset("graft.lake.manifestInlineRows")
+  }
+
+  private def sumK(df: org.apache.spark.sql.DataFrame): Long =
+    df.agg(sum(col("k"))).head().getLong(0)
+
+  test("appends seal inline rows into segments; every version reads " +
+      "exact and the head's top level stays O(segments + delta)") {
+    withThreshold(8) {
+      val t = tmp("graft_seg1")
+      try {
+        Versioned.init(slice(0, 600).repartition(6), t)
+        val cuts = Seq(600L, 1200L, 1800L, 2400L, 3000L, 3600L)
+        cuts.sliding(2).foreach { case Seq(lo, hi) =>
+          Versioned.append(slice(lo, hi).repartition(3), t)
+        }
+        val head = Versioned.currentVersion(spark, t).get
+        assert(head == 1L + (cuts.size - 1))
+        // the head's file list is the union of every batch's files
+        // (late slices may be empty at this sf — only require growth)
+        val nFiles = Versioned.files(spark, t).size
+        assert(nFiles > 9, s"expected growth past the initial 6: $nFiles")
+        // ...but its TOP LEVEL is smaller than the file list: inline
+        // rows sealed into segments as they crossed the threshold
+        val (topRows, segs) = Versioned.manifestShape(spark, t)
+        assert(segs >= 1L, s"expected a sealed segment, shape=($topRows,$segs)")
+        assert(topRows < nFiles,
+          s"top level ($topRows rows) should be smaller than the " +
+            s"file list ($nFiles) once sealed")
+        assert(topRows - segs <= 8L, "inline rows must respect the threshold")
+        // content: head and every intermediate version read exact
+        assert(sumK(Versioned.read(spark, t)) == sumK(slice(0, 3600)))
+        (1 to cuts.size).foreach { i =>
+          assert(sumK(Versioned.read(spark, t, Some(i.toLong))) ==
+            sumK(slice(0, cuts(i - 1))), s"time travel to v$i")
+        }
+      } finally rm(t)
+    }
+  }
+
+  test("a later append REUSES committed segments — refs carry " +
+      "forward verbatim while the file count grows") {
+    withThreshold(4) {
+      val t = tmp("graft_seg2")
+      try {
+        Versioned.init(slice(0, 600).repartition(5), t)
+        Versioned.append(slice(600, 1200).repartition(2), t) // seals 7 > 4
+        val (top1, segs1) = Versioned.manifestShape(spark, t)
+        assert(segs1 == 1L && top1 == 1L)
+        Versioned.append(slice(1200, 1800).repartition(2), t) // inline 2
+        val (top2, segs2) = Versioned.manifestShape(spark, t)
+        assert(segs2 == segs1, "the sealed segment must be reused")
+        assert(top2 == segs1 + 2L, "the delta rides inline")
+        assert(sumK(Versioned.read(spark, t)) == sumK(slice(0, 1800)))
+      } finally rm(t)
+    }
+  }
+
+  test("metadata-only commits on a segmented table (DV delete, ADD " +
+      "COLUMN, RESTORE) copy the top level forward and stay exact") {
+    withThreshold(4) {
+      val t = tmp("graft_seg3")
+      try {
+        Versioned.init(slice(0, 600).repartition(5), t)
+        Versioned.append(slice(600, 1200).repartition(2), t)
+        val (_, segs0) = Versioned.manifestShape(spark, t)
+        assert(segs0 == 1L)
+        val expect = sumK(slice(0, 1200).filter(col("k") % 7 =!= 0))
+        Versioned.deleteVectored(spark, t, col("k") % 7 === 0)
+        val (topDv, segsDv) = Versioned.manifestShape(spark, t)
+        assert(segsDv == segs0 && topDv <= segs0 + 4L,
+          s"DV delete must not expand the manifest: ($topDv,$segsDv)")
+        assert(sumK(Versioned.read(spark, t)) == expect)
+        Versioned.addColumn(spark, t, "note",
+          org.apache.spark.sql.types.StringType)
+        val r = Versioned.read(spark, t)
+        assert(r.columns.contains("note") &&
+          r.filter(col("note").isNotNull).count() == 0L)
+        assert(sumK(r) == expect)
+        // restore to the pre-delete segmented version: still O(top)
+        val v = Versioned.restore(spark, t, 2L)
+        val (topR, segsR) = Versioned.manifestShape(spark, t, Some(v))
+        assert(segsR == segs0 && topR <= segs0 + 4L)
+        assert(sumK(Versioned.read(spark, t)) == sumK(slice(0, 1200)))
+      } finally rm(t)
+    }
+  }
+
+  test("stats pruning reads THROUGH segments (stats ride in segment " +
+      "rows) and the distributed manifest path splices them") {
+    withThreshold(4) {
+      val t = tmp("graft_seg4")
+      try {
+        // range-partition so files have disjoint k intervals
+        Versioned.init(slice(0, 600).repartitionByRange(5, col("k")), t,
+          statsCols = Seq("k"))
+        Versioned.append(slice(600, 1200).repartitionByRange(3, col("k")),
+          t)
+        assert(Versioned.manifestShape(spark, t)._2 >= 1L)
+        val pr = Versioned.readRange(spark, t, "k", 0d, 100d)
+        assert(pr.filesRead < pr.filesTotal,
+          s"segment-resident stats must prune: ${pr.filesRead}/" +
+            s"${pr.filesTotal}")
+        assert(sumK(pr.df.filter(col("k") between (0L, 100L))) ==
+          sumK(slice(0, 101)))
+      } finally rm(t)
+    }
+  }
+
+  test("compact collapses segments; vacuum then GCs unreferenced " +
+      "segment files — and keeps those a retained version still needs") {
+    withThreshold(4) {
+      val t = tmp("graft_seg5")
+      try {
+        Versioned.init(slice(0, 600).repartition(5), t)
+        Versioned.append(slice(600, 1200).repartition(2), t)
+        Versioned.append(slice(1200, 1800).repartition(2), t)
+        val f = new org.apache.hadoop.fs.Path(t, "_versions/segs")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val segsP = new org.apache.hadoop.fs.Path(t, "_versions/segs")
+        assert(f.listStatus(segsP).nonEmpty)
+        Versioned.compact(spark, t, targetFiles = 2)
+        // keepLast=2 retains v3 (segmented) and v4 (flat): segments live
+        Versioned.vacuum(spark, t, keepLast = 2)
+        assert(f.exists(segsP) && f.listStatus(segsP).nonEmpty,
+          "segments referenced by a retained version must survive")
+        assert(sumK(Versioned.read(spark, t, Some(3L))) ==
+          sumK(slice(0, 1800)))
+        // keepLast=1 drops every segmented version: segments GC'd
+        Versioned.vacuum(spark, t, keepLast = 1)
+        assert(!f.exists(segsP) || f.listStatus(segsP).isEmpty,
+          "no retained version references a segment — all GC'd")
+        assert(sumK(Versioned.read(spark, t)) == sumK(slice(0, 1800)))
+      } finally rm(t)
+    }
+  }
+
+  test("clone and renameTable of a segmented table stay exact (clone " +
+      "expands; rename keeps relative refs / rewrites moved roots)") {
+    withThreshold(4) {
+      val t = tmp("graft_seg6")
+      val c = tmp("graft_seg6c")
+      val r = new java.io.File(new java.io.File(t).getParent, "r")
+        .toString
+      try {
+        Versioned.init(slice(0, 600).repartition(5), t)
+        Versioned.append(slice(600, 1200).repartition(2), t)
+        val expect = sumK(slice(0, 1200))
+        Versioned.clone(spark, t, c)
+        assert(sumK(Versioned.read(spark, c)) == expect)
+        Versioned.renameTable(spark, t, r)
+        assert(sumK(Versioned.read(spark, r)) == expect)
+        assert(sumK(Versioned.read(spark, r, Some(1L))) ==
+          sumK(slice(0, 600)))
+        // the renamed table keeps committing fine
+        Versioned.append(slice(1200, 1800).repartition(2), r)
+        assert(sumK(Versioned.read(spark, r)) == sumK(slice(0, 1800)))
+      } finally { rm(t); rm(c) }
+    }
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+import graft.ops.Versioned
+
+/** ALTER COLUMN … TYPE as a metadata-only commit (wave 70, the Delta
+  * type-widening surface): the logged schema carries the wider type
+  * from the commit on, carried files keep their narrow encoding and
+  * the parquet scan widens them — zero data I/O. */
+class TypeWideningSpec extends SparkSuite {
+
+  private val d = sf("sf0.001")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def rm(dirs: String*): Unit = dirs.foreach { d0 =>
+    val p = new org.apache.hadoop.fs.Path(
+      new java.io.File(d0).getParent)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
+  private def base() = Tables.load(spark, d, "orders")
+    .select(col("o_orderkey").cast("int").as("k"),
+      col("o_totalprice").cast("float").as("p"))
+
+  test("int->long widens metadata-only; post-alter appends exceed " +
+      "the narrow range; time travel reads the narrow type") {
+    val t = tmp("graft_tw1")
+    try {
+      Versioned.init(base().repartition(4), t)
+      val files1 = Versioned.files(spark, t).toSet
+      val v = Versioned.alterColumnType(spark, t, "k", LongType)
+      assert(v == 2L)
+      // metadata-only: the alter carried every file by reference
+      assert(Versioned.files(spark, t).toSet == files1)
+      assert(Versioned.history(spark, t).last.operation ==
+        "ALTER_COLUMN_TYPE(k int->bigint)")
+      // the head reads the wide type; pre-alter files widen at scan
+      val head = Versioned.read(spark, t)
+      assert(head.schema("k").dataType == LongType)
+      val sumNarrow = base().agg(sum(col("k"))).head().getLong(0)
+      assert(head.agg(sum(col("k"))).head().getLong(0) == sumNarrow)
+      // values beyond Int.MaxValue land fine after the widen
+      val wide = spark.range(1).select(
+        (lit(Int.MaxValue.toLong) + col("id") + lit(10L)).as("k"),
+        lit(1.5f).cast("double").as("p"))
+      Versioned.append(wide, t)
+      val r = Versioned.read(spark, t)
+        .agg(sum(col("k")), max(col("k"))).head()
+      assert(r.getLong(0) == sumNarrow + Int.MaxValue.toLong + 10L)
+      assert(r.getLong(1) == Int.MaxValue.toLong + 10L)
+      // time travel BEFORE the alter: the narrow type, exact
+      val v1 = Versioned.read(spark, t, Some(1L))
+      assert(v1.schema("k").dataType == IntegerType)
+      assert(v1.agg(sum(col("k"))).head().getLong(0) == sumNarrow)
+    } finally rm(t)
+  }
+
+  test("float->double and decimal precision growth widen; lossy and " +
+      "cross-family retypes are refused") {
+    val t = tmp("graft_tw2")
+    try {
+      Versioned.init(base().repartition(2), t)
+      val exp = base().agg(sum(col("p").cast("double"))).head()
+        .getDouble(0)
+      Versioned.alterColumnType(spark, t, "p", DoubleType)
+      val r = Versioned.read(spark, t)
+      assert(r.schema("p").dataType == DoubleType)
+      assert(math.abs(r.agg(sum(col("p"))).head().getDouble(0) - exp)
+        < 1e-6)
+      // narrowing / cross-family: refused with zero effect
+      val vBefore = Versioned.currentVersion(spark, t).get
+      intercept[IllegalArgumentException] {
+        Versioned.alterColumnType(spark, t, "k", ShortType)
+      }
+      intercept[IllegalArgumentException] {
+        Versioned.alterColumnType(spark, t, "k", StringType)
+      }
+      assert(Versioned.currentVersion(spark, t).contains(vBefore))
+      // decimal precision growth at the same scale
+      val t2 = tmp("graft_tw2d")
+      try {
+        Versioned.init(Tables.load(spark, d, "orders")
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast("decimal(12,2)").as("m"))
+          .repartition(2), t2)
+        val expM = Versioned.read(spark, t2)
+          .agg(sum(col("m"))).head().getDecimal(0)
+        Versioned.alterColumnType(spark, t2, "m", DecimalType(24, 2))
+        val r2 = Versioned.read(spark, t2)
+        assert(r2.schema("m").dataType == DecimalType(24, 2))
+        assert(r2.agg(sum(col("m")).cast("decimal(30,2)")).head()
+          .getDecimal(0).compareTo(
+            expM.setScale(2)) == 0)
+        intercept[IllegalArgumentException] { // scale change: refused
+          Versioned.alterColumnType(spark, t2, "m", DecimalType(24, 4))
+        }
+      } finally rm(t2)
+    } finally rm(t)
+  }
+
+  test("range-skipping stats stay valid across the widen (mixed " +
+      "narrow/wide stat encodings prune numerically)") {
+    val t = tmp("graft_tw3")
+    try {
+      Versioned.init(base().repartitionByRange(4, col("k")), t,
+        statsCols = Seq("k"))
+      Versioned.alterColumnType(spark, t, "k", LongType)
+      Versioned.append(spark.range(1).select(
+        lit(5000000000L).as("k"), lit(0.0).as("p")), t)
+      val pr = Versioned.readRange(spark, t, "k", 0d, 50d)
+      assert(pr.filesRead < pr.filesTotal,
+        s"mixed-encoding stats must prune: ${pr.filesRead}/" +
+          s"${pr.filesTotal}")
+      val n = pr.df.filter(col("k") between (0L, 50L)).count()
+      assert(n == base().filter(col("k") between (0, 50)).count())
+      // the wide outlier is found through the post-alter file's stats
+      // (a stats-less empty part file may ride along — conservative)
+      val hi = Versioned.readRange(spark, t, "k", 4e9, 6e9)
+      assert(hi.df.count() == 1L && hi.filesRead < hi.filesTotal)
+    } finally rm(t)
+  }
+
+  test("SQL: ALTER TABLE lake.t ALTER COLUMN k TYPE BIGINT routes to " +
+      "the metadata-only widen") {
+    spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+    val t = tmp("graft_tw4")
+    try {
+      Versioned.init(base().repartition(2), t)
+      spark.sql(s"ALTER TABLE lake.`$t` ALTER COLUMN k TYPE BIGINT")
+      val sch = spark.sql(s"SELECT * FROM lake.`$t`").schema
+      assert(sch("k").dataType == LongType)
+      assert(Versioned.history(spark, t).last.operation ==
+        "ALTER_COLUMN_TYPE(k int->bigint)")
+      // bloom-registered columns refuse the widen
+      val t2 = tmp("graft_tw4b")
+      try {
+        Versioned.init(base().repartition(2), t2,
+          bloomCols = Seq("k"))
+        val e = intercept[Exception] {
+          spark.sql(s"ALTER TABLE lake.`$t2` ALTER COLUMN k TYPE BIGINT")
+        }
+        assert(e.getMessage.contains("bloom") ||
+          Option(e.getCause).exists(_.getMessage.contains("bloom")))
+      } finally rm(t2)
+    } finally rm(t)
+  }
+}
