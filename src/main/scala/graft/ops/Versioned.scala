@@ -286,9 +286,14 @@ object Versioned {
   /** Write `entries` as one immutable segment file; returns the top-
     * level ref row. Entries are commit-bounded (the staged batch, or
     * the accumulated inline rows at seal time) — one direct parquet
-    * write, no job. */
+    * write, no job. The ref row's stats_json records the segment's
+    * PARTITION FOOTPRINT (the distinct partition directory components
+    * of its file keys, plus whether it holds any flat file), so a
+    * partition-scoped [[merge]] can carry a disjoint segment without
+    * ever opening it. */
   private def writeSegment(spark: SparkSession, path: String,
       entries: Seq[(String, Option[String])]): (String, Option[String]) = {
+    require(!entries.exists(isSegRef), "segments must not nest")
     val f = fs(spark, path)
     f.mkdirs(segsDir(path))
     val name =
@@ -296,7 +301,50 @@ object Versioned {
     writeManifestDirect(spark, new Path(segsDir(path), name), entries)
     val ref = s"${segRefPrefix}segs/$name"
     segmentCache.put((path, ref), entries.toList)
-    (ref, None)
+    val comps = entries.map { case (f0, _) =>
+      val k = fileKey(f0).split('/')
+      if (k.length >= 3) Some(k(1)) else None
+    }
+    val parts = comps.flatten.distinct
+    val footprint =
+      if (parts.size > 256) """{"parts":null}""" // unknown: always open
+      else {
+        import org.json4s.JsonDSL._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.compact(JsonMethods.render(
+          ("parts" -> parts) ~ ("flat" -> comps.contains(None))))
+      }
+    (ref, Some(footprint))
+  }
+
+  /** The recorded (partition dirs, has-flat-files) footprint of a
+    * segment ref row; None = unknown (open the segment). */
+  private def footprintOf(sj: Option[String]): Option[(Set[String], Boolean)] =
+    sj.flatMap { js =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(js)
+      j \ "parts" match {
+        case JArray(vs) =>
+          val flat = j \ "flat" match {
+            case JBool(b) => b
+            case _ => true
+          }
+          Some((vs.collect { case JString(s0) => s0 }.toSet, flat))
+        case _ => None
+      }
+    }
+
+  /** Seal `top`'s inline rows plus `staged` into a fresh segment past
+    * the threshold; carried refs copy forward verbatim. */
+  private def sealTop(spark: SparkSession, path: String,
+      top: Seq[(String, Option[String])],
+      staged: Seq[(String, Option[String])]): Seq[(String, Option[String])] = {
+    val (refs, inline) = top.partition(isSegRef)
+    val combined = inline ++ staged
+    if (combined.nonEmpty && combined.size > manifestInlineRows(spark))
+      refs :+ writeSegment(spark, path, combined)
+    else refs ++ combined
   }
 
   /** The NEXT version's top-level rows: `cur`'s segment refs carried
@@ -304,12 +352,42 @@ object Versioned {
     * sealed into one fresh segment past the threshold. O(segments +
     * inline + staged) driver metadata work, never O(table files). */
   private def segmentedTop(spark: SparkSession, path: String, cur: Long,
-      staged: Seq[(String, Option[String])]): Seq[(String, Option[String])] = {
-    val (refs, inline) = rawTop(spark, path, cur).partition(isSegRef)
-    val combined = inline ++ staged
-    if (combined.nonEmpty && combined.size > manifestInlineRows(spark))
-      refs :+ writeSegment(spark, path, combined)
-    else refs ++ combined
+      staged: Seq[(String, Option[String])]): Seq[(String, Option[String])] =
+    sealTop(spark, path, rawTop(spark, path, cur), staged)
+
+  /** Segment-aware partition split of version `v`'s manifest for a
+    * partition-scoped rewrite: a segment whose recorded footprint is
+    * DISJOINT from `touched` (and holds no flat file) is carried
+    * verbatim — never opened; overlapping, flat-bearing and
+    * unknown-footprint segments expand (driver, cached). Returns
+    * (carried top rows, hit entries), hit = files in touched
+    * partitions plus files outside any `pcPhys=` directory (always
+    * rewritten — see [[merge]]). At 100 TB this is what makes a
+    * two-partition daily merge a two-partition commit: the other
+    * thousands of partitions ride as a handful of unopened refs. */
+  private def splitTopByPartitions(spark: SparkSession, path: String,
+      v: Long, pcPhys: String, touched: Set[String])
+      : (Seq[(String, Option[String])], Seq[(String, Option[String])]) = {
+    val pfx = pcPhys + "="
+    def partOf(f0: String): Option[String] = {
+      val k = fileKey(f0).split('/')
+      if (k.length >= 3 && k(1).startsWith(pfx)) Some(k(1)) else None
+    }
+    val (refs, inline) = rawTop(spark, path, v).partition(isSegRef)
+    val carried = Seq.newBuilder[(String, Option[String])]
+    val opened = Seq.newBuilder[(String, Option[String])]
+    refs.foreach { r =>
+      footprintOf(r._2) match {
+        case Some((parts, flat)) if !flat && parts.forall(p =>
+            p.startsWith(pfx) && !touched(p)) =>
+          carried += r
+        case _ => opened ++= readSegmentRows(spark, path, r._1)
+      }
+    }
+    val (hit, keep) = (inline ++ opened.result()).partition {
+      case (f0, _) => partOf(f0).forall(touched)
+    }
+    (carried.result() ++ keep, hit)
   }
 
   /** (top-level manifest rows, segment refs among them) of version
@@ -1195,7 +1273,7 @@ object Versioned {
       def physOf(c: String): String = curSchema
         .flatMap(_.fields.find(_.name == c)).map(physicalOf).getOrElse(c)
 
-      val (carriedDf, hitList, rewriteDf, touchedSegs) = partitionCol match {
+      val (carriedTop, hitList, rewriteDf, touchedSegs) = partitionCol match {
         case Some(pc) =>
           // untouched partitions carry over BY REFERENCE. Match against
           // the HIVE-ESCAPED directory name (specials are %-encoded on
@@ -1214,28 +1292,18 @@ object Versioned {
               ExternalCatalogUtils.getPartitionPathString(physOf(pc),
                 if (r.isNullAt(0)) null else r.getString(0))
             }.toSeq
-          // manifest set-split runs through the engine: only the HIT
-          // side (bounded by the batch's partition footprint) is ever
-          // collected; the carried side flows manifest→manifest as a
-          // DataFrame. Files outside any `pc=` directory (the
+          // manifest set-split is SEGMENT-AWARE: untouched segments
+          // carry as unopened refs, only the batch's partition
+          // footprint (plus overlapping/unknown segments' rows)
+          // materializes. Files outside any `pc=` directory (the
           // schema-only file a table-emptying commit leaves behind)
           // are ALWAYS rewritten: they can't be attributed to an
           // untouched partition, and carrying them next to partitioned
           // files would present an inconsistent directory structure to
           // partition discovery.
-          val seg = regexp_extract(col("f"),
-            "/(" + java.util.regex.Pattern.quote(physOf(pc)) + "=[^/]*)/",
-            1)
-          val touchedDf = spark.createDataset(touched)(Encoders.STRING)
-            .toDF("seg")
-          val withSeg = manifestDf(spark, path, cur).withColumn("seg", seg)
-          val hit = withSeg.filter(col("seg") === lit("")).unionByName(
-            withSeg.filter(col("seg") =!= lit(""))
-              .join(touchedDf, Seq("seg"), "left_semi"))
-            .select("f").collect().map(_.getString(0)).toSeq
-          val keepDf = withSeg.filter(col("seg") =!= lit(""))
-            .join(touchedDf, Seq("seg"), "left_anti")
-            .select("f", "stats_json")
+          val (keepTop, hitE) = splitTopByPartitions(spark, path, cur,
+            physOf(pc), touched.toSet)
+          val hit = hitE.map(_._1)
           val hitDf =
             if (hit.isEmpty) {
               val schema = tableSchema(spark, path, Some(cur))
@@ -1243,7 +1311,7 @@ object Versioned {
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[Row], schema)
             } else readLive(spark, path, cur, Some(hit), keepMeta = false)
-          (Some(keepDf), hit, hitDf, touched)
+          (Some(keepTop), hit, hitDf, touched)
         case None =>
           (None, Seq.empty[String],
             readLive(spark, path, cur, None, keepMeta = false),
@@ -1325,7 +1393,7 @@ object Versioned {
       // deletion vectors on rewritten files are materialized by the
       // rewrite; vectors on carried files carry with them (full
       // rewrite → no carried files → vector dropped entirely)
-      val dvCarried = carriedDf match {
+      val dvCarried = carriedTop match {
         case None => None
         case Some(_) =>
           deletionVector(spark, path, Some(cur)).flatMap { d =>
@@ -1357,17 +1425,17 @@ object Versioned {
       }
       val (stagedDir, staged0) = stage(merged, path, next, partitionCol,
         Some(outSchema))
-      val carriedNonEmpty = carriedDf match {
+      val carriedNonEmpty = carriedTop match {
         case None => false
-        case Some(k) => if (staged0.nonEmpty) true else !k.isEmpty
+        case Some(k) => k.nonEmpty
       }
       val staged = ensureManifestNonEmpty(merged, path, stagedDir,
         staged0, carriedNonEmpty, Some(outSchema))
       val stagedE = stagedEntries(spark, path, staged)
       val filesArg: Either[Seq[(String, Option[String])], DataFrame] =
-        carriedDf match {
+        carriedTop match {
           case None => Left(stagedE)
-          case Some(k) => Right(k.unionByName(entriesDf(spark, stagedE)))
+          case Some(k) => Left(sealTop(spark, path, k, stagedE))
         }
       if (commit(spark, path, next, filesArg, Some(outSchema), dvCarried,
           op = Some(opName), extraFiles = idExtras))
@@ -1511,9 +1579,13 @@ object Versioned {
             clashes(a.exceptAll(b).unionAll(b.exceptAll(a)))
         }
         if (dvConflict) return None
-        val keep = mNew.join(
-          spark.createDataset(hitList)(Encoders.STRING).toDF("f"),
-          Seq("f"), "left_anti").select("f", "stats_json")
+        // segment-aware carry against the WINNER's manifest; the
+        // clash check proved the winner never touched our partitions,
+        // so its hit set must equal ours — any drift falls back to
+        // the full re-merge
+        val (keepTop, hitN) = splitTopByPartitions(spark, path, newest,
+          pcPhys, touched.toSet)
+        if (hitN.map(_._1).toSet != hitList.toSet) return None
         val hitKeys = hitList.map(fileKey)
         val dvOut = dvN.flatMap { d0 =>
           val rest =
@@ -1522,7 +1594,7 @@ object Versioned {
           if (rest.isEmpty) None else Some(rest)
         }
         if (commit(spark, path, newest + 1,
-            Right(keep.unionByName(entriesDf(spark, stagedE))),
+            Left(sealTop(spark, path, keepTop, stagedE)),
             Some(outSchema), dvOut, op = Some(opName + "+REBASE")))
           return Some(newest + 1)
         floor = newest + 1 // we lost newest+1's lock: wait for IT

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.ops.Versioned
+import graft.queries.Q
 
 /** Segmented manifests (wave 70) — the Iceberg manifest-list shape:
   * append and metadata-only commits write a top level of
@@ -168,6 +169,48 @@ class LakeSegmentsSpec extends SparkSuite {
         assert(!f.exists(segsP) || f.listStatus(segsP).isEmpty,
           "no retained version references a segment — all GC'd")
         assert(sumK(Versioned.read(spark, t)) == sumK(slice(0, 1800)))
+      } finally rm(t)
+    }
+  }
+
+  test("a partition-scoped merge carries disjoint segments unopened " +
+      "and rewrites only the touched partition's files") {
+    withThreshold(2) {
+      val t = tmp("graft_seg7")
+      try {
+        def part(g: Int) = slice(0, 1800)
+          .filter(col("k") % 3 === g).withColumn("g", lit(g))
+          .repartition(3)
+        Versioned.init(part(0), t, Some("g"))
+        Versioned.append(part(1), t, Some("g")) // seals {g=0,g=1}
+        Versioned.append(part(2), t, Some("g")) // seals {g=2}
+        val (_, segs0) = Versioned.manifestShape(spark, t)
+        assert(segs0 == 2L)
+        val before = Versioned.files(spark, t)
+        val untouched0 = before.filter(f =>
+          f.contains("/g=0/") || f.contains("/g=1/")).toSet
+        // merge touching ONLY g=2: bump p for half its keys
+        val src = part(2).filter(col("k") % 2 === 0)
+          .withColumn("p", col("p") + lit(1000.0))
+        Versioned.merge(src, t, keys = Seq("k"), partitionCol = Some("g"))
+        val after = Versioned.files(spark, t)
+        // untouched partitions' files carry BY REFERENCE — same paths
+        assert(after.filter(f =>
+          f.contains("/g=0/") || f.contains("/g=1/")).toSet == untouched0)
+        // ...and the disjoint segment survives as an unopened ref:
+        // the {g=0,g=1} segment is still referenced, so the top level
+        // stays refs + the rewritten partition's delta
+        val (topM, segsM) = Versioned.manifestShape(spark, t)
+        assert(segsM >= 1L && topM < after.size,
+          s"expected carried refs, got shape=($topM,$segsM) over " +
+            s"${after.size} files")
+        val expect = part(0).unionByName(part(1))
+          .unionByName(part(2).withColumn("p",
+            when(col("k") % 2 === 0, col("p") + lit(1000.0))
+              .otherwise(col("p"))))
+        assert(Versioned.read(spark, t).agg(
+            sum(col("k")), Q.dsum(col("p"))).head().toSeq ==
+          expect.agg(sum(col("k")), Q.dsum(col("p"))).head().toSeq)
       } finally rm(t)
     }
   }
