@@ -306,16 +306,31 @@ object Versioned {
       if (k.length >= 3) Some(k(1)) else None
     }
     val parts = comps.flatten.distinct
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
     val footprint =
-      if (parts.size > 256) """{"parts":null}""" // unknown: always open
-      else {
-        import org.json4s.JsonDSL._
-        import org.json4s.jackson.JsonMethods
+      if (parts.size > 256) // footprint unknown: always open
         JsonMethods.compact(JsonMethods.render(
-          ("parts" -> parts) ~ ("flat" -> comps.contains(None))))
-      }
+          ("parts" -> org.json4s.JNull) ~ ("n" -> entries.size)))
+      else
+        JsonMethods.compact(JsonMethods.render(
+          ("parts" -> parts) ~ ("flat" -> comps.contains(None)) ~
+            ("n" -> entries.size)))
     (ref, Some(footprint))
   }
+
+  /** The recorded row count of a segment ref, if present — what lets
+    * an incremental [[changes]] feed report an EXACT total without
+    * opening shared segments. */
+  private def segRowCount(sj: Option[String]): Option[Long] =
+    sj.flatMap { js =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(js) \ "n" match {
+        case JInt(n) => Some(n.toLong)
+        case _ => None
+      }
+    }
 
   /** The recorded (partition dirs, has-flat-files) footprint of a
     * segment ref row; None = unknown (open the segment). */
@@ -2280,8 +2295,35 @@ object Versioned {
   def changes(spark: SparkSession, path: String, fromV: Long,
       toV: Long): ChangeFeed = {
     require(fromV <= toV, s"changes needs fromV <= toV, got $fromV > $toV")
-    val oldE = readManifestEntries(spark, path, fromV).map(_._1)
-    val newE = readManifestEntries(spark, path, toV).map(_._1)
+    // SEGMENT-AWARE file diff: a ref shared by both versions' top
+    // levels names the SAME immutable file set, so it cancels from
+    // the diff unopened (a file never appears both inside a shared
+    // segment and elsewhere in the same manifest — manifests list
+    // each file once). A follower tailing an appending table pays
+    // O(segments + delta) per step, not O(table files). The union
+    // total stays EXACT through the row counts recorded on the refs;
+    // a ref without one (none exist in practice) falls back to the
+    // full cached expansion.
+    val (refsO, inlO) = rawTop(spark, path, fromV).partition(isSegRef)
+    val (refsN, inlN) = rawTop(spark, path, toV).partition(isSegRef)
+    val sharedRefs = refsO.filter(r => refsN.exists(_._1 == r._1))
+    val sharedSet = sharedRefs.map(_._1).toSet
+    val sharedN = sharedRefs.map(r => segRowCount(r._2))
+    def rem(refs: Seq[(String, Option[String])],
+        inline: Seq[(String, Option[String])]): Seq[String] =
+      (refs.filterNot(r => sharedSet(r._1))
+        .flatMap(r => readSegmentRows(spark, path, r._1)) ++ inline)
+        .map(_._1)
+    val (oldE, newE, totalFiles) =
+      if (sharedN.forall(_.isDefined)) {
+        val ro = rem(refsO, inlO)
+        val rn = rem(refsN, inlN)
+        (ro, rn, sharedN.flatten.sum + (ro.toSet ++ rn.toSet).size)
+      } else {
+        val o = readManifestEntries(spark, path, fromV).map(_._1)
+        val nn = readManifestEntries(spark, path, toV).map(_._1)
+        (o, nn, (o.toSet ++ nn.toSet).size.toLong)
+      }
     val oldSet = oldE.toSet
     val newSet = newE.toSet
     val removed = oldE.filterNot(newSet.contains)
@@ -2292,19 +2334,29 @@ object Versioned {
     // ONCE and picked by a broadcast semi-join; only genuinely
     // rewritten files need the whole-row bag diff below (a
     // vectored-delete-heavy feed costs one map-side pass, not two
-    // full reads plus an exceptAll shuffle)
+    // full reads plus an exceptAll shuffle). The carried set here is
+    // computed over the FULL (cached) expansions — a delta can name a
+    // row inside a shared segment's file.
     val dvOld = deletionVector(spark, path, Some(fromV))
     val dvNew = deletionVector(spark, path, Some(toV))
-    val carriedKeys = oldE.filter(newSet.contains).map(fileKey).toSet
     val dvDelta: Option[DataFrame] = dvNew.map { nw =>
       dvOld.fold(nw)(od => nw.exceptAll(od))
     }
     val dvDeltaFiles: Seq[String] = dvDelta match {
       case None => Seq.empty
       case Some(delta) =>
-        delta.select("f").distinct().collect().map(_.getString(0))
-          .filter(carriedKeys.contains)
-          .map(k => oldE.find(f => fileKey(f) == k).get)
+        val keys = delta.select("f").distinct().collect()
+          .map(_.getString(0))
+        if (keys.isEmpty) Seq.empty
+        else {
+          val fullOld = readManifestEntries(spark, path, fromV).map(_._1)
+          val fullNewSet =
+            readManifestEntries(spark, path, toV).map(_._1).toSet
+          val carriedKeys = fullOld.filter(fullNewSet.contains)
+            .map(fileKey).toSet
+          keys.toSeq.filter(carriedKeys.contains)
+            .map(k => fullOld.find(f => fileKey(f) == k).get)
+        }
     }
     val openOld = removed
     val openNew = added
@@ -2356,7 +2408,7 @@ object Versioned {
     val ins = n.exceptAll(o).withColumn("op", lit("I"))
     ChangeFeed(dels.unionByName(ins),
       (openOld ++ openNew ++ dvDeltaFiles).distinct.length,
-      (oldSet ++ newSet).size)
+      totalFiles.toInt)
   }
 
   /** Receipt of a [[readRange]]: the live rows of the kept files, and
