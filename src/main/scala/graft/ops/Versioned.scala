@@ -370,18 +370,52 @@ object Versioned {
       staged: Seq[(String, Option[String])]): Seq[(String, Option[String])] =
     sealTop(spark, path, rawTop(spark, path, cur), staged)
 
+  /** Segment-aware carry for a rewrite of an arbitrary HIT file set
+    * ([[delete]]'s predicate footprint, [[compactSmall]]'s small
+    * files): a segment containing no hit file keeps its ref; mixed
+    * segments expand minus the hits. Segments open from the driver
+    * cache (the probe that CHOSE the hits already expanded them), so
+    * the saving is in the WRITE: the committed top level stays
+    * refs + survivors-of-mixed-segments + inline, not a full
+    * re-listing. */
+  private def carryTopMinus(spark: SparkSession, path: String, v: Long,
+      hit: Set[String]): Seq[(String, Option[String])] = {
+    val (refs, inline) = rawTop(spark, path, v).partition(isSegRef)
+    refs.flatMap { r =>
+      val rows = readSegmentRows(spark, path, r._1)
+      if (!rows.exists(e => hit(e._1))) Seq(r)
+      else rows.filterNot(e => hit(e._1))
+    } ++ inline.filterNot(e => hit(e._1))
+  }
+
+  /** The recorded `#bytes` of a manifest entry's stats (logged on
+    * every commit since the byte-grounded statistics round). */
+  private def bytesStatOf(js: String): Option[Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(js) \ "#bytes" \ "mnl" match {
+      case JInt(n) => Some(n.toLong)
+      case _ => None
+    }
+  }
+
   /** Segment-aware partition split of version `v`'s manifest for a
     * partition-scoped rewrite: a segment whose recorded footprint is
-    * DISJOINT from `touched` (and holds no flat file) is carried
-    * verbatim — never opened; overlapping, flat-bearing and
-    * unknown-footprint segments expand (driver, cached). Returns
-    * (carried top rows, hit entries), hit = files in touched
-    * partitions plus files outside any `pcPhys=` directory (always
-    * rewritten — see [[merge]]). At 100 TB this is what makes a
+    * DISJOINT from `touched` is carried verbatim — never opened;
+    * overlapping and unknown-footprint segments expand (driver,
+    * cached). Returns (carried top rows, hit entries), hit = files in
+    * touched partitions. Files OUTSIDE any `pcPhys=` directory (the
+    * schema-only placeholder, pre-layout-evolution files) follow
+    * `keepFlat`: [[merge]] always REWRITES them (false — carrying
+    * them next to partitioned files would present an inconsistent
+    * directory structure), [[dropPartitions]] KEEPS them (true —
+    * they belong to no droppable partition); a flat-bearing segment
+    * carries only under `keepFlat`. At 100 TB this is what makes a
     * two-partition daily merge a two-partition commit: the other
     * thousands of partitions ride as a handful of unopened refs. */
   private def splitTopByPartitions(spark: SparkSession, path: String,
-      v: Long, pcPhys: String, touched: Set[String])
+      v: Long, pcPhys: String, touched: Set[String],
+      keepFlat: Boolean = false)
       : (Seq[(String, Option[String])], Seq[(String, Option[String])]) = {
     val pfx = pcPhys + "="
     def partOf(f0: String): Option[String] = {
@@ -393,14 +427,17 @@ object Versioned {
     val opened = Seq.newBuilder[(String, Option[String])]
     refs.foreach { r =>
       footprintOf(r._2) match {
-        case Some((parts, flat)) if !flat && parts.forall(p =>
-            p.startsWith(pfx) && !touched(p)) =>
+        case Some((parts, flat)) if (keepFlat || !flat) &&
+            parts.forall(p => p.startsWith(pfx) && !touched(p)) =>
           carried += r
         case _ => opened ++= readSegmentRows(spark, path, r._1)
       }
     }
     val (hit, keep) = (inline ++ opened.result()).partition {
-      case (f0, _) => partOf(f0).forall(touched)
+      case (f0, _) => partOf(f0) match {
+        case Some(p) => touched(p)
+        case None => !keepFlat
+      }
     }
     (carried.result() ++ keep, hit)
   }
@@ -2094,8 +2131,12 @@ object Versioned {
       val next = cur + 1
       val curEntries = readManifestEntries(spark, path, cur)
       val f = fs(spark, path)
-      val (smallE, bigE) = curEntries.partition { case (p, _) =>
-        f.getFileStatus(new Path(p)).getLen < minBytes
+      // size probe from the manifest's own `#bytes` stats — logged on
+      // every commit — so a million-file probe is metadata arithmetic,
+      // not a million FileStatus calls; legacy entries fall back
+      val (smallE, bigE) = curEntries.partition { case (p, sj) =>
+        sj.flatMap(bytesStatOf).getOrElse(
+          f.getFileStatus(new Path(p)).getLen) < minBytes
       }
       if (smallE.length <= 1)
         return Compaction(-1L, 0, curEntries.length)
@@ -2116,7 +2157,9 @@ object Versioned {
         if (rest.isEmpty) None else Some(rest)
       }
       if (commit(spark, path, next,
-          Left(bigE ++ stagedEntries(spark, path, staged)), Some(schema),
+          Left(sealTop(spark, path,
+            carryTopMinus(spark, path, cur, small.toSet),
+            stagedEntries(spark, path, staged))), Some(schema),
           dvCarried, op = Some("COMPACT_SMALL")))
         return Compaction(next, smallE.length, bigE.length)
       fs(spark, path).delete(stagedDir, true)
@@ -2198,7 +2241,9 @@ object Versioned {
         if (rest.isEmpty) None else Some(rest)
       }
       if (commit(spark, path, next,
-          Left(keepE ++ stagedEntries(spark, path, staged)), Some(schema),
+          Left(sealTop(spark, path,
+            carryTopMinus(spark, path, cur, hit.toSet),
+            stagedEntries(spark, path, staged))), Some(schema),
           dvCarried, op = Some("DELETE")))
         return Erasure(next, hit.length, keepE.length, deletedRows)
       fs(spark, path).delete(stagedDir, true)
@@ -3602,8 +3647,9 @@ object Versioned {
     * reclaims the bytes later) — at 100 TB this is how retention
     * actually runs: dropping a day costs two manifest writes, where a
     * predicate [[delete]] would open every file of the partition just
-    * to discover it matches everything. The manifest split runs
-    * through the engine; only the receipt's two counts are collected. */
+    * to discover it matches everything. The manifest split is
+    * SEGMENT-AWARE: disjoint segments carry as unopened refs and the
+    * receipt counts come from their recorded row counts. */
   def dropPartitions(spark: SparkSession, path: String,
       partitionCol: String, values: Seq[String],
       maxRetries: Int = 5): Dropped = {
@@ -3619,17 +3665,19 @@ object Versioned {
         .getOrElse(partitionCol)
       val segs = values.map(v =>
         ExternalCatalogUtils.getPartitionPathString(pcPhys, v))
-      val seg = regexp_extract(col("f"),
-        "/(" + java.util.regex.Pattern.quote(pcPhys) + "=[^/]*)/", 1)
-      val segsDf = spark.createDataset(segs)(Encoders.STRING).toDF("seg")
-      val withSeg = manifestDf(spark, path, cur).withColumn("seg", seg)
-      val keepDf = withSeg.join(segsDf, Seq("seg"), "left_anti")
-        .select("f", "stats_json")
-      // receipt counts: one 2-number aggregate over the manifest scan
-      val counts = withSeg.agg(
-        count(lit(1)).as("total"),
-        count(when(col("seg").isInCollection(segs), 1)).as("hit")).head()
-      val (total, hit) = (counts.getLong(0), counts.getLong(1))
+      // segment-aware split: disjoint segments carry unopened (flat
+      // files belong to no droppable partition → keepers); the
+      // receipt total comes from the refs' recorded row counts, full
+      // cached expansion only if a ref lacks one
+      val (keepTop, hitE) = splitTopByPartitions(spark, path, cur,
+        pcPhys, segs.toSet, keepFlat = true)
+      val hit = hitE.size.toLong
+      val (keepRefs, keepInline) = keepTop.partition(isSegRef)
+      val refNs = keepRefs.map(r => segRowCount(r._2))
+      val total =
+        if (refNs.forall(_.isDefined))
+          refNs.flatten.sum + keepInline.size + hit
+        else readManifestEntries(spark, path, cur).length.toLong
       if (hit == 0L) return Dropped(-1L, 0L, total)
       val schema = tableSchema(spark, path, Some(cur))
       val dvKept = deletionVector(spark, path, Some(cur)).flatMap { d =>
@@ -3652,7 +3700,8 @@ object Versioned {
           commit(spark, path, next,
             Left(stagedEntries(spark, path, staged)), schema, None,
             op = Some(s"DROP_PARTITION($partitionCol)"))
-        } else commit(spark, path, next, Right(keepDf), schema, dvKept,
+        } else commit(spark, path, next,
+          Left(sealTop(spark, path, keepTop, Seq.empty)), schema, dvKept,
           op = Some(s"DROP_PARTITION($partitionCol)"))
       if (committed) return Dropped(next, hit, total - hit)
       attempt += 1
