@@ -2109,6 +2109,127 @@ object Versioned {
     * nothing committed. */
   final case class Compaction(version: Long, coalesced: Int, carried: Int)
 
+  /** REWRITE MANIFESTS (Iceberg's metadata-maintenance procedure,
+    * `rewrite_manifests`): re-seal the current version's file list
+    * into one segment PER PARTITION (flat files stay inline) and
+    * commit the refs — ZERO data I/O at any table size. The
+    * lifecycle complement to segment accrual: a long-lived
+    * append-heavy table collects one segment per seal plus inline
+    * slivers whose footprints straddle partitions; after this
+    * rewrite every partition-scoped [[merge]]/[[dropPartitions]]
+    * carries maximum refs and every O(delta) commit copies a
+    * minimal top level. Unpartitioned tables seal into one segment.
+    * Returns the committed version (or the current one unchanged if
+    * the top level is already minimal). */
+  def rewriteManifests(spark: SparkSession, path: String,
+      maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      val entries = readManifestEntries(spark, path, cur)
+      val groups = entries.groupBy { e =>
+        val k = fileKey(e._1).split('/')
+        if (k.length >= 3) Some(k(1)) else None
+      }
+      val partGroups = groups.collect { case (Some(p), es) => (p, es) }
+        .toSeq.sortBy(_._1)
+      val flatRows = groups.getOrElse(None, Seq.empty)
+      // idempotence BEFORE writing anything: already one
+      // single-partition segment per partition (or one sealed
+      // segment for an unpartitioned table) with only flat rows
+      // inline → nothing to do, no orphan segments
+      val (refs0, inline0) = rawTop(spark, path, cur).partition(isSegRef)
+      def isFlatRow(e: (String, Option[String])): Boolean =
+        fileKey(e._1).split('/').length < 3
+      val alreadyMinimal =
+        if (partGroups.isEmpty) {
+          if (flatRows.size > manifestInlineRows(spark))
+            refs0.size == 1 && inline0.isEmpty
+          else refs0.isEmpty
+        } else
+          inline0.forall(isFlatRow) &&
+            refs0.size == partGroups.size &&
+            refs0.forall(r => footprintOf(r._2).exists {
+              case (ps, fl) => !fl && ps.size == 1 })
+      if (alreadyMinimal) return cur
+      val top =
+        if (partGroups.isEmpty)
+          if (flatRows.size > manifestInlineRows(spark))
+            Seq(writeSegment(spark, path, flatRows))
+          else flatRows
+        else partGroups.map { case (_, es) =>
+          writeSegment(spark, path, es) } ++ flatRows
+      if (commit(spark, path, next, Left(top),
+          tableSchema(spark, path, Some(cur)),
+          deletionVector(spark, path, Some(cur)),
+          op = Some("REWRITE_MANIFESTS")))
+        return next
+      attempt += 1
+    }
+    sys.error(s"rewriteManifests lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** Partition-scoped OPTIMIZE (Delta's `OPTIMIZE … WHERE`): rewrite
+    * ONLY the named partitions' files into `targetFiles` files per
+    * the partition layout, carrying every other partition by
+    * reference — segment-aware, so at 100 TB compacting yesterday's
+    * merge slivers costs yesterday's partition, and the other
+    * thousands ride as unopened refs. Deletion-vector entries on the
+    * rewritten partitions are materialized; entries on carried files
+    * carry. Returns the [[Compaction]] receipt (`version == -1` =
+    * no file in the named partitions, nothing committed). */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitionCol: String, values: Seq[String], targetFiles: Int,
+      maxRetries: Int = 5): Compaction = {
+    require(values.nonEmpty, "compactPartitions needs at least one value")
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      val pcPhys = tableSchema(spark, path, Some(cur))
+        .flatMap(_.fields.find(_.name == partitionCol)).map(physicalOf)
+        .getOrElse(partitionCol)
+      val segs = values.map(v =>
+        ExternalCatalogUtils.getPartitionPathString(pcPhys, v))
+      val (keepTop, hitE) = splitTopByPartitions(spark, path, cur,
+        pcPhys, segs.toSet, keepFlat = true)
+      val hit = hitE.map(_._1)
+      val (keepRefs, keepInline) = keepTop.partition(isSegRef)
+      val refNs = keepRefs.map(r => segRowCount(r._2))
+      val carriedN =
+        if (refNs.forall(_.isDefined)) refNs.flatten.sum + keepInline.size
+        else readManifestEntries(spark, path, cur).length - hit.size.toLong
+      if (hit.isEmpty) return Compaction(-1L, 0, carriedN.toInt)
+      val rows = readLive(spark, path, cur, Some(hit), keepMeta = false)
+      val laidOut = rows.repartition(targetFiles, col(partitionCol))
+      val schema = tableSchema(spark, path, Some(cur)).getOrElse(rows.schema)
+      val (stagedDir, staged0) = stage(laidOut, path, next,
+        Some(partitionCol), Some(schema))
+      val staged = ensureManifestNonEmpty(rows, path, stagedDir,
+        staged0, keepTop.nonEmpty, Some(schema))
+      val hitKeys = hit.map(fileKey)
+      val dvCarried = deletionVector(spark, path, Some(cur)).flatMap { d =>
+        val rest =
+          if (hitKeys.isEmpty) d
+          else d.filter(!col("f").isin(hitKeys: _*))
+        if (rest.isEmpty) None else Some(rest)
+      }
+      if (commit(spark, path, next,
+          Left(sealTop(spark, path, keepTop,
+            stagedEntries(spark, path, staged))), Some(schema),
+          dvCarried, op = Some(s"COMPACT_PARTITION($partitionCol)")))
+        return Compaction(next, hit.size, carriedN.toInt)
+      fs(spark, path).delete(stagedDir, true)
+      attempt += 1
+    }
+    sys.error(s"compactPartitions lost ${maxRetries + 1} commit races " +
+      s"(1 attempt + $maxRetries retries): $path")
+  }
+
   /** OPTIMIZE-style SELECTIVE compaction: coalesce only the files
     * smaller than `minBytes` into `targetFiles` files; every
     * already-well-sized file carries into the new manifest BY
@@ -2119,8 +2240,9 @@ object Versioned {
     * at 100 TB, full [[compact]] is a table rewrite, `compactSmall`
     * is a rounding error. Deletion-vector entries on the coalesced
     * files are materialized by the rewrite; entries on carried files
-    * carry. Sizes come from a filesystem stat of the manifest's files
-    * (O(small manifest) driver calls — a maintenance-time cost). */
+    * carry. Sizes come from the manifest's own `#bytes` stats
+    * (metadata arithmetic; a filesystem stat only for legacy entries
+    * without one). */
   def compactSmall(spark: SparkSession, path: String, minBytes: Long,
       targetFiles: Int, partitionCol: Option[String] = None,
       maxRetries: Int = 5): Compaction = {

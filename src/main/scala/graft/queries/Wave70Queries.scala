@@ -130,9 +130,66 @@ object Wave70Queries {
     }
   }
 
+  /** `CALL lake.rewrite_manifests` (metadata-only per-partition
+    * re-seal) and `CALL lake.optimize_partitions` (OPTIMIZE … WHERE:
+    * rewrite only the named partitions, carry the rest as unopened
+    * refs) — the manifest-maintenance procedures, driver-verified.
+    * Receipts pin that the manifest rewrite touched ZERO data files
+    * and left one single-partition segment per partition, and that
+    * the scoped optimize rewrote exactly the named partition
+    * (untouched partitions' files identical by path, the named one
+    * down to one file) with matching receipt counts. */
+  def qOptimizeWhere(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+    val dir = java.nio.file.Files.createTempDirectory("graft_oww")
+      .resolve("t").toString
+    try {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .withColumn("g", pmod(col("k"), lit(3)).cast("int"))
+      Versioned.init(o.repartition(4), dir, Some("g"))
+      val files0 = Versioned.files(s, dir).toSet
+      val rm = s.sql(s"CALL lake.rewrite_manifests('$dir')").head()
+      val rmMetaOnly = Versioned.files(s, dir).toSet == files0
+      val g01 = Versioned.files(s, dir)
+        .filter(f => f.contains("/g=0/") || f.contains("/g=1/")).toSet
+      val g2n = Versioned.files(s, dir).count(_.contains("/g=2/"))
+      val ow = s.sql(
+        s"CALL lake.optimize_partitions('$dir', 1, 'g', '2')").head()
+      val after = Versioned.files(s, dir)
+      val scoped = after.filter(f =>
+        f.contains("/g=0/") || f.contains("/g=1/")).toSet == g01 &&
+        after.count(_.contains("/g=2/")) == 1
+      val r = Versioned.read(s, dir)
+        .withColumn("fp", fpCol(col("k"), col("g"),
+          floor(col("p") * lit(100.0) + lit(0.5)).cast("long")))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp"),
+          expr("bit_xor(fp)").as("xf")).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
+          Q.receipt(rmMetaOnly && rm.getLong(1) == 3L &&
+              rm.getLong(2) == 3L,
+            s"rewrite_manifests must be metadata-only, one segment " +
+              s"per partition: files_same=$rmMetaOnly " +
+              s"shape=(${rm.getLong(1)},${rm.getLong(2)})"),
+          Q.receipt(scoped && ow.getInt(1) == g2n &&
+              ow.getInt(2) == g01.size,
+            s"optimize_partitions must touch ONLY g=2: scoped=$scoped " +
+              s"coalesced=${ow.getInt(1)}/$g2n " +
+              s"carried=${ow.getInt(2)}/${g01.size}")))
+        .toDF("n_rows", "sum_price", "xor_fp", "rewrite_meta_only",
+          "optimize_scoped")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(
+        new java.io.File(dir).getParent)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_segments" -> qManifestSegments,
-    "q_type_widening"     -> qTypeWidening)
+    "q_type_widening"     -> qTypeWidening,
+    "q_optimize_where"    -> qOptimizeWhere)
 
   val oracles: Map[String, String] = Map(
     "q_manifest_segments" ->
@@ -158,5 +215,18 @@ object Wave70Queries {
          |  CAST(max(k) AS BIGINT) AS max_k,
          |  ${Q.DSUM("p")} AS sum_price,
          |  'ok' AS alter_metadata_only, 'ok' AS schema_versions_ok
-         |FROM t""".stripMargin)
+         |FROM t""".stripMargin,
+    "q_optimize_where" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p,
+         |    CAST(o_orderkey % 3 AS INTEGER) AS g FROM orders),
+         |fp AS (SELECT p,
+         |    md5_number_upper(CAST(k AS VARCHAR) || '#' ||
+         |      CAST(g AS VARCHAR) || '#' ||
+         |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+         |      >> 4 AS fp
+         |  FROM t)
+         |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
+         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+         |  'ok' AS rewrite_meta_only, 'ok' AS optimize_scoped
+         |FROM fp""".stripMargin)
 }

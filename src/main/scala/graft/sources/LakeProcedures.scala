@@ -133,6 +133,47 @@ object LakeProcedures {
       }
     },
 
+    new Proc("optimize_partitions",
+      "OPTIMIZE ... WHERE: rewrite ONLY the named partitions into " +
+        "target_files files, carrying every other partition by " +
+        "reference (segment-aware — unopened refs)") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("target_files", IntegerType, "files after the rewrite"),
+        p("partition_col", StringType, "partition column"),
+        p("values", StringType, "comma-separated partition values"))
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("coalesced", IntegerType, nullable = false),
+        StructField("carried", IntegerType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val c = Versioned.compactPartitions(spark,
+          input.getUTF8String(0).toString,
+          input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString.split(",").map(_.trim).toSeq,
+          input.getInt(1))
+        result(out, c.version, c.coalesced, c.carried)
+      }
+    },
+
+    new Proc("rewrite_manifests",
+      "metadata-only manifest maintenance: re-seal the file list " +
+        "into one segment per partition (zero data I/O) so every " +
+        "later commit carries minimal refs") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"))
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("top_rows", LongType, nullable = false),
+        StructField("segments", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val v = Versioned.rewriteManifests(spark, path)
+        val (top, segs) = Versioned.manifestShape(spark, path)
+        result(out, v, top, segs)
+      }
+    },
+
     new Proc("vacuum",
       "drop all manifests but the newest keep_last and delete data " +
         "files no retained version references") {

@@ -215,6 +215,55 @@ class LakeSegmentsSpec extends SparkSuite {
     }
   }
 
+  test("rewriteManifests re-seals one segment per partition " +
+      "metadata-only; compactPartitions rewrites ONLY the named " +
+      "partitions, carrying the rest as refs") {
+    withThreshold(2) {
+      val t = tmp("graft_seg8")
+      try {
+        def part(g: Int) = slice(0, 1800)
+          .filter(col("k") % 3 === g).withColumn("g", lit(g))
+          .repartition(3)
+        Versioned.init(part(0), t, Some("g"))
+        Versioned.append(part(1), t, Some("g"))
+        Versioned.append(part(2), t, Some("g"))
+        val expect = sumK(slice(0, 1800))
+        val filesBefore = Versioned.files(spark, t).toSet
+        val v = Versioned.rewriteManifests(spark, t)
+        assert(v == 4L)
+        // metadata-only: the same data files, re-listed
+        assert(Versioned.files(spark, t).toSet == filesBefore)
+        val (top, segs) = Versioned.manifestShape(spark, t)
+        assert(top == 3L && segs == 3L,
+          s"expected one segment per partition, got ($top,$segs)")
+        // idempotent: a second call is a no-op, no new version
+        assert(Versioned.rewriteManifests(spark, t) == v)
+        assert(sumK(Versioned.read(spark, t)) == expect)
+        // OPTIMIZE ... WHERE g=2: only that partition rewrites
+        val g01 = Versioned.files(spark, t)
+          .filter(f => f.contains("/g=0/") || f.contains("/g=1/")).toSet
+        val g2 = Versioned.files(spark, t).filter(_.contains("/g=2/"))
+        val c = Versioned.compactPartitions(spark, t, "g", Seq("2"), 1)
+        assert(c.version == 5L && c.coalesced == g2.size &&
+          c.carried == g01.size)
+        val after = Versioned.files(spark, t)
+        assert(after.filter(f =>
+          f.contains("/g=0/") || f.contains("/g=1/")).toSet == g01)
+        val g2after = after.filter(_.contains("/g=2/"))
+        assert(g2after.size == 1 && g2after.toSet.intersect(g2.toSet).isEmpty)
+        assert(sumK(Versioned.read(spark, t)) == expect)
+        // the SQL procedures route to the same engine paths
+        spark.conf.set("spark.sql.catalog.lake",
+          "graft.sources.LakeCatalog")
+        val rr = spark.sql(s"CALL lake.rewrite_manifests('$t')").head()
+        assert(rr.getLong(2) >= 1L)
+        val ro = spark.sql(
+          s"CALL lake.optimize_partitions('$t', 1, 'g', '0, 1')").head()
+        assert(ro.getInt(1) > 0 && sumK(Versioned.read(spark, t)) == expect)
+      } finally rm(t)
+    }
+  }
+
   test("clone and renameTable of a segmented table stay exact (clone " +
       "expands; rename keeps relative refs / rewrites moved roots)") {
     withThreshold(4) {
