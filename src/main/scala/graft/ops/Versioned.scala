@@ -2093,9 +2093,19 @@ object Versioned {
         Some(schema))
       val staged = ensureManifestNonEmpty(laidOut, path, stagedDir,
         staged0, carriedNonEmpty = false, Some(schema))
+      // cluster provenance sidecar: what [[compactIncremental]] uses
+      // to find the files already laid out on these columns
+      val clusterMark: Seq[(String, Array[Byte])] =
+        if (clusterBy.nonEmpty)
+          Seq(("cluster", s"c:${clusterBy.mkString(",")}\n"
+            .getBytes(StandardCharsets.UTF_8)))
+        else if (zOrderBy.nonEmpty)
+          Seq(("cluster", s"z:${zOrderBy.mkString(",")}\n"
+            .getBytes(StandardCharsets.UTF_8)))
+        else Seq.empty
       if (commit(spark, path, next,
         Left(stagedEntries(spark, path, staged)), Some(schema),
-        op = Some("COMPACT"))) return next
+        op = Some("COMPACT"), extraFiles = clusterMark)) return next
       fs(spark, path).delete(stagedDir, true)
       attempt += 1
     }
@@ -2228,6 +2238,102 @@ object Versioned {
     }
     sys.error(s"compactPartitions lost ${maxRetries + 1} commit races " +
       s"(1 attempt + $maxRetries retries): $path")
+  }
+
+  /** The newest RETAINED version whose cluster sidecar matches
+    * `mark` (its manifest must still exist — vacuum may have dropped
+    * older bases). */
+  private def lastClusterVersion(spark: SparkSession, path: String,
+      mark: String): Option[Long] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return None
+    f.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.endsWith(".cluster") =>
+        n.stripPrefix("v").stripSuffix(".cluster").toLong
+    }.sorted.reverse.find { v =>
+      manifestExists(spark, path, v) && {
+        val in = f.open(new Path(dir, s"v$v.cluster"))
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt == mark
+      }
+    }
+  }
+
+  /** INCREMENTAL clustering (the ZCube / liquid-clustering shape):
+    * lay out ONLY the files added since the last cluster rewrite on
+    * the same columns, carrying the already-clustered bulk by
+    * reference (segment-aware). The result is a UNION of clustered
+    * groups rather than one globally-ordered layout — per-file
+    * min/max stats still prune every group, which is the property
+    * that matters — and at 100 TB the daily maintenance cost is the
+    * day's ingest, never the table. Falls back to ONE full clustered
+    * rewrite (recording the provenance sidecar) when no matching
+    * base survives retention. Deletion-vector entries on rewritten
+    * files materialize; carried entries ride. Receipt:
+    * `Compaction(version, rewritten files, carried clustered files)`;
+    * `version == -1` = nothing new since the base, no commit. */
+  def compactIncremental(spark: SparkSession, path: String,
+      targetFiles: Int, clusterBy: Seq[String] = Seq.empty,
+      zOrderBy: Seq[String] = Seq.empty,
+      maxRetries: Int = 5): Compaction = {
+    require(clusterBy.nonEmpty ^ zOrderBy.nonEmpty,
+      "compactIncremental needs exactly one of clusterBy / zOrderBy")
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val cols = if (clusterBy.nonEmpty) clusterBy else zOrderBy
+    val mark = (if (clusterBy.nonEmpty) "c:" else "z:") + cols.mkString(",")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = resolve(spark, path, None)
+      val next = cur + 1
+      lastClusterVersion(spark, path, mark) match {
+        case None =>
+          // no surviving base: one full clustered rewrite seeds it
+          val v = compact(spark, path, targetFiles,
+            clusterBy = clusterBy, zOrderBy = zOrderBy,
+            maxRetries = maxRetries)
+          return Compaction(v, readManifestEntries(spark, path, v).length, 0)
+        case Some(base) =>
+          val clustered = readManifest(spark, path, base).toSet
+          val curFiles = readManifest(spark, path, cur)
+          val newFiles = curFiles.filterNot(clustered.contains)
+          val carriedN = curFiles.length - newFiles.length
+          if (newFiles.isEmpty) return Compaction(-1L, 0, carriedN)
+          val rows = readLive(spark, path, cur, Some(newFiles),
+            keepMeta = false)
+          val laidOut =
+            if (clusterBy.nonEmpty)
+              rows.repartitionByRange(targetFiles, cols.map(col): _*)
+                .sortWithinPartitions(cols.map(col): _*)
+            else ZOrder.layout(rows, targetFiles, cols)
+          val schema = tableSchema(spark, path, Some(cur))
+            .getOrElse(rows.schema)
+          val (stagedDir, staged0) = stage(laidOut, path, next, None,
+            Some(schema))
+          val staged = ensureManifestNonEmpty(rows, path, stagedDir,
+            staged0, carriedN > 0, Some(schema))
+          val newKeys = newFiles.map(fileKey)
+          val dvCarried = deletionVector(spark, path, Some(cur))
+            .flatMap { d =>
+              val rest = d.filter(!col("f").isin(newKeys: _*))
+              if (rest.isEmpty) None else Some(rest)
+            }
+          if (commit(spark, path, next,
+              Left(sealTop(spark, path,
+                carryTopMinus(spark, path, cur, newFiles.toSet),
+                stagedEntries(spark, path, staged))), Some(schema),
+              dvCarried, op = Some("COMPACT_INCR"),
+              extraFiles = Seq(("cluster",
+                s"$mark\n".getBytes(StandardCharsets.UTF_8)))))
+            return Compaction(next, newFiles.length, carriedN)
+          fs(spark, path).delete(stagedDir, true)
+      }
+      attempt += 1
+    }
+    sys.error(s"compactIncremental lost ${maxRetries + 1} commit " +
+      s"races (1 attempt + $maxRetries retries): $path")
   }
 
   /** OPTIMIZE-style SELECTIVE compaction: coalesce only the files
@@ -4237,6 +4343,7 @@ object Versioned {
       f.delete(schemaPath(path, v), false)
       f.delete(dvPath(path, v), true)
       f.delete(opPath(path, v), false)
+      f.delete(new Path(dir, s"v$v.cluster"), false)
       val cols = idhwCols(v)
       if (cols.nonEmpty && cols.forall(c =>
           keptIdhw.exists { case (w, cs) => w > v && cs.contains(c) }))

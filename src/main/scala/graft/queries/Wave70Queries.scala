@@ -186,10 +186,63 @@ object Wave70Queries {
     }
   }
 
+  /** Incremental clustering (`CALL lake.optimize_incremental`, the
+    * ZCube / liquid-clustering shape): after a full clustered seed,
+    * a new batch lays out into its OWN clustered group while the
+    * clustered bulk carries by reference. Receipts pin that the
+    * incremental pass rewrote exactly the appended files (the
+    * clustered files' paths survive verbatim) and that a selective
+    * probe still prunes across BOTH clustered groups; data columns
+    * prove the union reads exactly right. */
+  def qClusterIncr(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cinc")
+      .resolve("t").toString
+    try {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      Versioned.init(o.filter(col("k") % 2 === 0).repartition(6), dir,
+        statsCols = Seq("k"))
+      val seed = Versioned.compactIncremental(s, dir, 4,
+        clusterBy = Seq("k"))
+      val clustered = Versioned.files(s, dir)
+      Versioned.append(o.filter(col("k") % 2 === 1).repartition(3), dir)
+      val incr = Versioned.compactIncremental(s, dir, 3,
+        clusterBy = Seq("k"))
+      val after = Versioned.files(s, dir)
+      val bulkCarried = clustered.forall(after.contains)
+      val pr = Versioned.readRange(s, dir, "k", 1d, 500d)
+      val probe = pr.df.filter(col("k").between(1L, 500L))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp")).head()
+      val all = Versioned.read(s, dir)
+        .withColumn("fp", fpCol(col("k"),
+          floor(col("p") * lit(100.0) + lit(0.5)).cast("long")))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").as("xf")).head()
+      import s.implicits._
+      Seq((probe.getLong(0), probe.getDouble(1), all.getLong(0),
+          all.getLong(1),
+          Q.receipt(seed.carried == 0 && incr.coalesced == 3 &&
+              incr.carried == clustered.size && bulkCarried,
+            s"incremental must rewrite ONLY the appended files: " +
+              s"seed_carried=${seed.carried} incr=" +
+              s"${incr.coalesced}/${incr.carried} of " +
+              s"${clustered.size} bulk_carried=$bulkCarried"),
+          Q.receipt(pr.filesRead < pr.filesTotal,
+            s"stats must prune across both clustered groups: " +
+              s"${pr.filesRead}/${pr.filesTotal}")))
+        .toDF("n_probe", "sum_probe", "n_all", "xor_all",
+          "incr_scoped", "prunes_both_groups")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(
+        new java.io.File(dir).getParent)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_segments" -> qManifestSegments,
     "q_type_widening"     -> qTypeWidening,
-    "q_optimize_where"    -> qOptimizeWhere)
+    "q_optimize_where"    -> qOptimizeWhere,
+    "q_cluster_incr"      -> qClusterIncr)
 
   val oracles: Map[String, String] = Map(
     "q_manifest_segments" ->
@@ -228,5 +281,19 @@ object Wave70Queries {
          |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  'ok' AS rewrite_meta_only, 'ok' AS optimize_scoped
-         |FROM fp""".stripMargin)
+         |FROM fp""".stripMargin,
+    "q_cluster_incr" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p
+         |  FROM orders),
+         |probe AS (SELECT * FROM t WHERE k BETWEEN 1 AND 500),
+         |fp AS (SELECT
+         |    md5_number_upper(CAST(k AS VARCHAR) || '#' ||
+         |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+         |      >> 4 AS fp
+         |  FROM t)
+         |SELECT (SELECT count(*) FROM probe) AS n_probe,
+         |  (SELECT ${Q.DSUM("p")} FROM probe) AS sum_probe,
+         |  (SELECT count(*) FROM t) AS n_all,
+         |  (SELECT CAST(bit_xor(fp) AS BIGINT) FROM fp) AS xor_all,
+         |  'ok' AS incr_scoped, 'ok' AS prunes_both_groups""".stripMargin)
 }

@@ -156,6 +156,34 @@ object LakeProcedures {
       }
     },
 
+    new Proc("optimize_incremental",
+      "incremental clustering (ZCube shape): lay out ONLY the files " +
+        "added since the last cluster rewrite on the same columns, " +
+        "carrying the clustered bulk by reference; falls back to one " +
+        "full clustered rewrite when no base survives") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("target_files", IntegerType, "files the new batch lays into"),
+        p("mode", StringType, "'cluster' (linear) or 'zorder'"),
+        p("cols", StringType, "comma-separated clustering columns"))
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("rewritten", IntegerType, nullable = false),
+        StructField("carried", IntegerType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val cols = input.getUTF8String(3).toString
+          .split(",").map(_.trim).toSeq
+        val mode = input.getUTF8String(2).toString
+        require(mode == "cluster" || mode == "zorder",
+          s"mode must be 'cluster' or 'zorder', got '$mode'")
+        val c = Versioned.compactIncremental(spark,
+          input.getUTF8String(0).toString, input.getInt(1),
+          clusterBy = if (mode == "cluster") cols else Seq.empty,
+          zOrderBy = if (mode == "zorder") cols else Seq.empty)
+        result(out, c.version, c.coalesced, c.carried)
+      }
+    },
+
     new Proc("rewrite_manifests",
       "metadata-only manifest maintenance: re-seal the file list " +
         "into one segment per partition (zero data I/O) so every " +
