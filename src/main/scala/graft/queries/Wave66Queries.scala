@@ -158,10 +158,12 @@ object Wave66Queries {
           Q.receipt(r.getLong(1) > 0L, s"n_files=${r.getLong(1)}"),
           r.getLong(2), r.getString(3), r.getInt(4), r.getString(5),
           r.getString(6), r.getLong(7), r.getBoolean(8), r.getLong(9),
+          r.getLong(10),
           Q.receipt(sugar == r, s"DESCRIBE DETAIL row $sugar != $r")))
         .toDF("version", "files_gt0", "n_dv_rows", "partition_transform",
           "n_columns", "stats_cols", "bloom_cols", "n_commits",
-          "column_mapped", "n_foreign_files", "describe_detail_sugar")
+          "column_mapped", "n_foreign_files", "n_segments",
+          "describe_detail_sugar")
     } finally rm(s, dir)
   }
 
@@ -286,6 +288,7 @@ object Wave66Queries {
          |  'p' AS stats_cols, 'k' AS bloom_cols, CAST(4 AS BIGINT)
          |    AS n_commits, true AS column_mapped,
          |  CAST(0 AS BIGINT) AS n_foreign_files,
+         |  CAST(0 AS BIGINT) AS n_segments,
          |  'ok' AS describe_detail_sugar""".stripMargin,
     "q_tpch_q2" ->
       s"""WITH $PARTSUPP,

@@ -322,7 +322,8 @@ object LakeProcedures {
         StructField("bloom_cols", StringType, nullable = false),
         StructField("n_commits", LongType, nullable = false),
         StructField("column_mapped", BooleanType, nullable = false),
-        StructField("n_foreign_files", LongType, nullable = false)))
+        StructField("n_foreign_files", LongType, nullable = false),
+        StructField("n_segments", LongType, nullable = false)))
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val path = input.getUTF8String(0).toString
         val v = Versioned.currentVersion(spark, path).getOrElse(
@@ -350,7 +351,10 @@ object LakeProcedures {
           // shallow-clone / zero-copy-publish read dependencies: the
           // operator's cue that this table reads through foreign
           // roots (compact localizes; see publish's marker guard)
-          Versioned.foreignFileCount(spark, path))
+          Versioned.foreignFileCount(spark, path),
+          // manifest-segment count of the head: the metadata-health
+          // cue for rewrite_manifests
+          Versioned.manifestShape(spark, path)._2)
       }
     }
   ).map(pr => pr.name -> (pr: UnboundProcedure)).toMap
