@@ -1694,6 +1694,36 @@ object Versioned {
       // identity: every row is an insert; allocation is ranked over
       // the full row so the assigned multiset is deterministic
       var src = sourceG
+      // schema enforcement with AUTOMATIC TYPE WIDENING (the Delta
+      // type-widening evolution): a source column NARROWER than the
+      // table up-casts in-plan (lossless); a source column WIDER
+      // widens the logged schema in this same commit — carried files
+      // keep their narrow encoding and widen at the scan; any other
+      // mismatch refuses loudly, because no silent cast can be
+      // trusted not to lose data. (Without this, a wider-typed
+      // source would stage files whose physical type contradicts the
+      // logged schema — a latent read failure.)
+      val widenedCols =
+        scala.collection.mutable.LinkedHashMap[String, DataType]()
+      tgt.fields.foreach { f =>
+        if (src.columns.contains(f.name)) {
+          val st = src.schema(f.name).dataType
+          if (st != f.dataType) {
+            if (widens(st, f.dataType))
+              src = src.withColumn(f.name, col(f.name).cast(f.dataType))
+            else if (widens(f.dataType, st)) {
+              require(!bloomColumns(spark, path).contains(f.name),
+                s"cannot widen bloom-registered column '${f.name}' of " +
+                  s"$path via append — the per-file bloom sidecars " +
+                  "hash the narrow type; compact first")
+              widenedCols(f.name) = st
+            } else sys.error(
+              s"append type mismatch on '${f.name}' of $path: table " +
+                s"${f.dataType.simpleString}, source ${st.simpleString}" +
+                " — not a lossless widening in either direction")
+          }
+        }
+      }
       val idhwNext =
         scala.collection.mutable.LinkedHashMap[String, Long]()
       idents.foreach { case (c, _, step) =>
@@ -1728,13 +1758,17 @@ object Versioned {
           }
         enforceConstraints(spark, path, images)
       }
+      def widenF(cs: StructType): StructType =
+        if (widenedCols.isEmpty) cs
+        else StructType(cs.fields.map(f =>
+          widenedCols.get(f.name).fold(f)(dt => f.copy(dataType = dt))))
       val outSchema = curSchema match {
         case None => inserts.schema
-        case Some(cs) if !evolveSchema => cs
+        case Some(cs) if !evolveSchema => widenF(cs)
         case Some(cs) =>
           lazy val taken =
             cs.fields.map(physicalOf).toSet ++ retiredPhysicals(spark, path)
-          StructType(cs.fields ++ inserts.schema.fields
+          StructType(widenF(cs).fields ++ inserts.schema.fields
             .filterNot(f => cs.fieldNames.contains(f.name))
             .map(freshPhysical(_, taken)))
       }

@@ -126,6 +126,38 @@ class TypeWideningSpec extends SparkSuite {
     } finally rm(t)
   }
 
+  test("an append whose source carries a WIDER type for an existing " +
+      "column widens the logged schema in the same commit (and a " +
+      "narrower source up-casts; cross-family refuses)") {
+    val t = tmp("graft_tw5")
+    try {
+      Versioned.init(base().repartition(3), t) // k int, p float
+      val sumNarrow = base().agg(sum(col("k"))).head().getLong(0)
+      // wider source: k long beyond Int.MaxValue, p double
+      val wide = spark.range(1).select(
+        lit(Int.MaxValue.toLong + 7L).as("k"),
+        lit(2.5).as("p"))
+      Versioned.append(wide, t)
+      val head = Versioned.read(spark, t)
+      assert(head.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(head.schema("p").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(head.agg(sum(col("k"))).head().getLong(0) ==
+        sumNarrow + Int.MaxValue.toLong + 7L)
+      // narrower source (int into the now-long column): up-casts
+      Versioned.append(spark.range(1).select(
+        lit(11).cast("int").as("k"), lit(1.0f).cast("float").as("p")), t)
+      assert(Versioned.read(spark, t).agg(sum(col("k"))).head()
+        .getLong(0) == sumNarrow + Int.MaxValue.toLong + 18L)
+      // cross-family: refused loudly
+      intercept[Exception] {
+        Versioned.append(spark.range(1).select(
+          lit("oops").as("k"), lit(0.0).as("p")), t)
+      }
+    } finally rm(t)
+  }
+
   test("SQL: ALTER TABLE lake.t ALTER COLUMN k TYPE BIGINT routes to " +
       "the metadata-only widen") {
     spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
