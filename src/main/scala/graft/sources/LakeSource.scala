@@ -87,7 +87,8 @@ class LakeSource extends TableProvider with DataSourceRegister {
     val m = new CaseInsensitiveStringMap(properties)
     new LakeTable(pathOf(m), versionOf(m), schema,
       m.getBoolean("ignoreChanges", false),
-      Option(m.get("startingVersion")))
+      Option(m.get("startingVersion")),
+      Option(m.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -100,7 +101,8 @@ object LakeSource {
 
 final class LakeTable(path: String, version: Option[Long],
     tableSchema: StructType, ignoreChanges: Boolean,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None)
   extends Table with SupportsRead with SupportsWrite
   with SupportsDelete with SupportsRowLevelOperations
   with SupportsMetadataColumns {
@@ -157,7 +159,7 @@ final class LakeTable(path: String, version: Option[Long],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, tableSchema, ignoreChanges,
-      startingVersion)
+      startingVersion, maxFilesPerTrigger)
 
   private def filterToColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
@@ -242,7 +244,8 @@ final class LakeTable(path: String, version: Option[Long],
 
 final class LakeScanBuilder(path: String, version: Option[Long],
     fullSchema: StructType, ignoreChanges: Boolean,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -282,12 +285,13 @@ final class LakeScanBuilder(path: String, version: Option[Long],
 
   override def build(): Scan =
     new LakeScan(path, version, required, pushed, ignoreChanges,
-      startingVersion)
+      startingVersion, maxFilesPerTrigger)
 }
 
 final class LakeScan(path: String, version: Option[Long],
     required: StructType, pushed: Array[Filter], ignoreChanges: Boolean,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -437,5 +441,6 @@ final class LakeScan(path: String, version: Option[Long],
       SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LakeMicroBatchStream(path, required, ignoreChanges, startingVersion)
+    new LakeMicroBatchStream(path, required, ignoreChanges, startingVersion,
+      maxFilesPerTrigger)
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.Versioned
@@ -36,10 +36,57 @@ final case class LakeOffset(v: Long) extends Offset {
   * [[Versioned.followChanges]], but through the engine's own
   * streaming runtime (watermarks, stateful ops, sinks all compose). */
 final class LakeMicroBatchStream(path: String, schema: StructType,
-    ignoreChanges: Boolean, startingVersion: Option[String] = None)
-  extends MicroBatchStream {
+    ignoreChanges: Boolean, startingVersion: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
+
+  /** ADMISSION CONTROL (`.option("maxFilesPerTrigger", n)`, the
+    * Delta rate-limit): offsets are version-granular, so a trigger
+    * admits versions while their cumulative added-file count stays
+    * within the limit — always at least ONE version, so a single
+    * oversized commit still processes whole and the stream always
+    * progresses. Without a limit, a stream starting from the full
+    * history of a 100 TB table would plan the ENTIRE initial
+    * snapshot as one micro-batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = Versioned.currentVersion(spark, path).getOrElse(0L)
+    val a = start.asInstanceOf[LakeOffset].v
+    limit match {
+      case mf: ReadMaxFiles =>
+        def filesAt(ver: Long): Set[String] =
+          if (ver < 1) Set.empty
+          else
+            try Versioned.files(spark, path, Some(ver)).toSet
+            catch {
+              case e: java.io.FileNotFoundException =>
+                throw new IllegalStateException(
+                  s"graft-lake stream: manifest of $path v$ver is " +
+                    "gone — most likely vacuumed. Re-seed the stream " +
+                    "with .option(\"startingVersion\", …) and a fresh " +
+                    "checkpoint.", e)
+            }
+        var v = a
+        var budget = mf.maxFiles().toLong
+        var first = true
+        var done = false
+        var prev = filesAt(v)
+        while (!done && v < cur) {
+          val nxt = filesAt(v + 1)
+          val added = nxt.diff(prev).size
+          if (first || added <= budget) {
+            v += 1; budget -= added; first = false; prev = nxt
+          } else done = true
+        }
+        LakeOffset(v)
+      case _ => LakeOffset(cur)
+    }
+  }
 
   /** A fresh stream's first offset. Default is the table's full
     * history (offset 0 → the initial snapshot arrives as version 1's

@@ -111,6 +111,28 @@ class LakeSourceSpec extends SparkSuite {
       .toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("maxFilesPerTrigger paces the backfill: versions admit while " +
+      "the file budget lasts, at least one per trigger") {
+    val dir = tmp("graft_ds8")
+    val cp = tmp("graft_ds8cp")
+    Versioned.init(Seq(1L, 2L, 3L).toDF("k").repartition(3), dir) // v1: 3
+    Versioned.append(Seq(4L, 5L).toDF("k").repartition(2), dir)   // v2: 2
+    Versioned.append(Seq(6L, 7L).toDF("k").repartition(2), dir)   // v3: 2
+    val q = spark.readStream.format("graft-lake").option("path", dir)
+      .option("maxFilesPerTrigger", 3).load()
+      .writeStream.format("memory").queryName("ds8")
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("ds8").select("k").as[Long].collect().sorted
+      .toSeq == (1L to 7L))
+    // v1 (3 files) fills the budget alone; v2 then v3 each start a
+    // fresh trigger: three data-bearing micro-batches, not one
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 3,
+      s"expected 3 paced micro-batches, got $dataBatches: " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("timestamp columns decode through the connector (INT96, " +
       "Spark's default parquet encoding)") {
     val dir = tmp("graft_ds7")
