@@ -731,6 +731,11 @@ object Versioned {
 
   private[graft] def fileKeyOf(f: String): String = fileKey(f)
 
+  /** The recorded `#bytes` of a manifest entry's stats, if present —
+    * what the streaming source's byte-based admission control reads. */
+  private[graft] def entryBytes(sj: Option[String]): Option[Long] =
+    sj.flatMap(bytesStatOf)
+
   /** Whether the connector may commit executor-staged files directly
     * (the real V2 write path): tables with generated/identity columns
     * need in-plan computation, column-mapped tables need

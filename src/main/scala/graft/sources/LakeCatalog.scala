@@ -133,9 +133,22 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table = table(ident, None)
 
-  /** `VERSION AS OF <v>` */
+  /** `VERSION AS OF <v | 'tag'>` — a non-numeric version string
+    * resolves as a TAG name (the Iceberg ref semantics). [[Versioned
+    * .vacuum]] protects tagged versions, so a tag read stays valid
+    * for exactly as long as the tag exists. */
   override def loadTable(ident: Identifier, version: String): Table =
-    table(ident, Some(version.toLong))
+    version.toLongOption match {
+      case Some(v) => table(ident, Some(v))
+      case None =>
+        val path = resolveBranchRef(pathOf(ident))
+        val v = Versioned.tags(spark, path).getOrElse(version,
+          throw new IllegalArgumentException(
+            s"VERSION AS OF '$version': not a number and no such tag " +
+              s"on $path (tags: " +
+              s"${Versioned.tags(spark, path).keys.mkString(", ")})"))
+        table(ident, Some(v))
+    }
 
   /** `TIMESTAMP AS OF <ts>` (Spark hands micros since epoch). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {

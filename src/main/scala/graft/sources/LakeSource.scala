@@ -88,7 +88,8 @@ class LakeSource extends TableProvider with DataSourceRegister {
     new LakeTable(pathOf(m), versionOf(m), schema,
       m.getBoolean("ignoreChanges", false),
       Option(m.get("startingVersion")),
-      Option(m.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(m.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(m.get("maxBytesPerTrigger")).map(_.toLong))
   }
 }
 
@@ -102,7 +103,8 @@ object LakeSource {
 final class LakeTable(path: String, version: Option[Long],
     tableSchema: StructType, ignoreChanges: Boolean,
     startingVersion: Option[String] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
   with SupportsDelete with SupportsRowLevelOperations
   with SupportsMetadataColumns {
@@ -159,7 +161,7 @@ final class LakeTable(path: String, version: Option[Long],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, tableSchema, ignoreChanges,
-      startingVersion, maxFilesPerTrigger)
+      startingVersion, maxFilesPerTrigger, maxBytesPerTrigger)
 
   private def filterToColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
@@ -245,7 +247,8 @@ final class LakeTable(path: String, version: Option[Long],
 final class LakeScanBuilder(path: String, version: Option[Long],
     fullSchema: StructType, ignoreChanges: Boolean,
     startingVersion: Option[String] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -285,13 +288,14 @@ final class LakeScanBuilder(path: String, version: Option[Long],
 
   override def build(): Scan =
     new LakeScan(path, version, required, pushed, ignoreChanges,
-      startingVersion, maxFilesPerTrigger)
+      startingVersion, maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 final class LakeScan(path: String, version: Option[Long],
     required: StructType, pushed: Array[Filter], ignoreChanges: Boolean,
     startingVersion: Option[String] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -442,5 +446,5 @@ final class LakeScan(path: String, version: Option[Long],
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeMicroBatchStream(path, required, ignoreChanges, startingVersion,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }

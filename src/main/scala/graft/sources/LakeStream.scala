@@ -37,19 +37,23 @@ final case class LakeOffset(v: Long) extends Offset {
   * streaming runtime (watermarks, stateful ops, sinks all compose). */
 final class LakeMicroBatchStream(path: String, schema: StructType,
     ignoreChanges: Boolean, startingVersion: Option[String] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
-  /** ADMISSION CONTROL (`.option("maxFilesPerTrigger", n)`, the
-    * Delta rate-limit): offsets are version-granular, so a trigger
-    * admits versions while their cumulative added-file count stays
-    * within the limit — always at least ONE version, so a single
-    * oversized commit still processes whole and the stream always
-    * progresses. Without a limit, a stream starting from the full
-    * history of a 100 TB table would plan the ENTIRE initial
-    * snapshot as one micro-batch. */
+  /** ADMISSION CONTROL (`.option("maxFilesPerTrigger", n)` /
+    * `.option("maxBytesPerTrigger", b)`, the Delta rate-limits):
+    * offsets are version-granular, so a trigger admits versions while
+    * their cumulative added-file count AND byte volume (from the
+    * manifest's own `#bytes` stats — entries without one count 0,
+    * best-effort on pre-stats manifests) stay within the limits —
+    * always at least ONE version, so a single oversized commit still
+    * processes whole and the stream always progresses. Without a
+    * limit, a stream starting from the full history of a 100 TB
+    * table would plan the ENTIRE initial snapshot as one
+    * micro-batch. */
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
@@ -57,35 +61,41 @@ final class LakeMicroBatchStream(path: String, schema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = Versioned.currentVersion(spark, path).getOrElse(0L)
     val a = start.asInstanceOf[LakeOffset].v
-    limit match {
-      case mf: ReadMaxFiles =>
-        def filesAt(ver: Long): Set[String] =
-          if (ver < 1) Set.empty
-          else
-            try Versioned.files(spark, path, Some(ver)).toSet
-            catch {
-              case e: java.io.FileNotFoundException =>
-                throw new IllegalStateException(
-                  s"graft-lake stream: manifest of $path v$ver is " +
-                    "gone — most likely vacuumed. Re-seed the stream " +
-                    "with .option(\"startingVersion\", …) and a fresh " +
-                    "checkpoint.", e)
-            }
-        var v = a
-        var budget = mf.maxFiles().toLong
-        var first = true
-        var done = false
-        var prev = filesAt(v)
-        while (!done && v < cur) {
-          val nxt = filesAt(v + 1)
-          val added = nxt.diff(prev).size
-          if (first || added <= budget) {
-            v += 1; budget -= added; first = false; prev = nxt
-          } else done = true
-        }
-        LakeOffset(v)
-      case _ => LakeOffset(cur)
+    val fileBudget: Option[Long] = limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles().toLong)
+      case _ => maxFilesPerTrigger.map(_.toLong)
     }
+    if (fileBudget.isEmpty && maxBytesPerTrigger.isEmpty)
+      return LakeOffset(cur)
+    def entriesAt(ver: Long): Map[String, Long] =
+      if (ver < 1) Map.empty
+      else
+        try Versioned.manifestEntries(spark, path, ver)
+          .map { case (f, sj) =>
+            f -> Versioned.entryBytes(sj).getOrElse(0L) }.toMap
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"graft-lake stream: manifest of $path v$ver is " +
+                "gone — most likely vacuumed. Re-seed the stream " +
+                "with .option(\"startingVersion\", …) and a fresh " +
+                "checkpoint.", e)
+        }
+    var v = a
+    var fb = fileBudget.getOrElse(Long.MaxValue)
+    var bb = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var first = true
+    var done = false
+    var prev = entriesAt(v)
+    while (!done && v < cur) {
+      val nxt = entriesAt(v + 1)
+      val added = nxt.filter { case (f, _) => !prev.contains(f) }
+      val (nf, nb) = (added.size.toLong, added.values.sum)
+      if (first || (nf <= fb && nb <= bb)) {
+        v += 1; fb -= nf; bb -= nb; first = false; prev = nxt
+      } else done = true
+    }
+    LakeOffset(v)
   }
 
   /** A fresh stream's first offset. Default is the table's full

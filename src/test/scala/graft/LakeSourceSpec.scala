@@ -133,6 +133,37 @@ class LakeSourceSpec extends SparkSuite {
         q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("maxBytesPerTrigger paces by the manifest's #bytes stats; " +
+      "VERSION AS OF 'tag' resolves the ref") {
+    val dir = tmp("graft_ds9")
+    val cp = tmp("graft_ds9cp")
+    Versioned.init(Seq(1L, 2L).toDF("k"), dir)     // v1
+    Versioned.append(Seq(3L, 4L).toDF("k"), dir)   // v2
+    Versioned.append(Seq(5L).toDF("k"), dir)       // v3
+    // a 1-byte budget forces one version per trigger (first always
+    // admits)
+    val q = spark.readStream.format("graft-lake").option("path", dir)
+      .option("maxBytesPerTrigger", 1L).load()
+      .writeStream.format("memory").queryName("ds9")
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("ds9").select("k").as[Long].collect().sorted
+      .toSeq == (1L to 5L))
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+    // tag time travel through SQL
+    spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+    Versioned.tag(spark, dir, "first-cut", Some(1L))
+    assert(spark.sql(
+        s"SELECT k FROM lake.`$dir` VERSION AS OF 'first-cut'")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT k FROM lake.`$dir` VERSION AS OF 'nope'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no such tag") ||
+      Option(e.getCause).exists(_.getMessage.contains("no such tag")))
+  }
+
   test("timestamp columns decode through the connector (INT96, " +
       "Spark's default parquet encoding)") {
     val dir = tmp("graft_ds7")
