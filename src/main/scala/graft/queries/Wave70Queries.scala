@@ -238,11 +238,56 @@ object Wave70Queries {
     }
   }
 
+  /** `CALL lake.tag` + `VERSION AS OF '<tag>'` — named,
+    * vacuum-protected snapshot refs read back through pure SQL.
+    * Receipts pin that the tag survives a vacuum that drops every
+    * other historical version (the Iceberg ref-retention contract)
+    * and still reads the EXACT pinned content afterwards. */
+  def qSqlTagTravel(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tagq")
+      .resolve("t").toString
+    try {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      Versioned.init(o.filter(col("k") % 2 === 0).repartition(4), dir)
+      val tv = s.sql(s"CALL lake.tag('$dir', 'cut1')").head().getLong(0)
+      Versioned.append(o.filter(col("k") % 2 === 1).repartition(2), dir)
+      Versioned.append(o.filter(col("k") % 2 === 1).limit(0), dir)
+      def tagAgg() = s.sql(
+        s"""SELECT count(*) AS n, ${Q.DSUM_SPARK("p")} AS sp
+           |FROM lake.`$dir` VERSION AS OF 'cut1'""".stripMargin).head()
+      val before = tagAgg()
+      // vacuum keeps only the tip — EXCEPT the tagged version
+      Versioned.vacuum(s, dir, keepLast = 1)
+      val after = tagAgg()
+      val survived = before == after &&
+        !Versioned.manifestExists(s, dir, 2L) // untagged middle gone
+      val head = s.sql(
+        s"""SELECT count(*) AS n, ${Q.DSUM_SPARK("p")} AS sp
+           |FROM lake.`$dir`""".stripMargin).head()
+      import s.implicits._
+      Seq((before.getLong(0), before.getDouble(1),
+          head.getLong(0), head.getDouble(1),
+          Q.receipt(tv == 1L && survived,
+            s"tag must pin v1 through the vacuum: tagged=v$tv " +
+              s"before=$before after=$after v2_dropped=" +
+              s"${!Versioned.manifestExists(s, dir, 2L)}")))
+        .toDF("n_tag", "sum_tag", "n_head", "sum_head",
+          "tag_survives_vacuum")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(
+        new java.io.File(dir).getParent)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_segments" -> qManifestSegments,
     "q_type_widening"     -> qTypeWidening,
     "q_optimize_where"    -> qOptimizeWhere,
-    "q_cluster_incr"      -> qClusterIncr)
+    "q_cluster_incr"      -> qClusterIncr,
+    "q_sql_tag_travel"    -> qSqlTagTravel)
 
   val oracles: Map[String, String] = Map(
     "q_manifest_segments" ->
@@ -295,5 +340,13 @@ object Wave70Queries {
          |  (SELECT ${Q.DSUM("p")} FROM probe) AS sum_probe,
          |  (SELECT count(*) FROM t) AS n_all,
          |  (SELECT CAST(bit_xor(fp) AS BIGINT) FROM fp) AS xor_all,
-         |  'ok' AS incr_scoped, 'ok' AS prunes_both_groups""".stripMargin)
+         |  'ok' AS incr_scoped, 'ok' AS prunes_both_groups""".stripMargin,
+    "q_sql_tag_travel" ->
+      s"""WITH v1 AS (SELECT o_totalprice AS p FROM orders
+         |  WHERE o_orderkey % 2 = 0)
+         |SELECT (SELECT count(*) FROM v1) AS n_tag,
+         |  (SELECT ${Q.DSUM("p")} FROM v1) AS sum_tag,
+         |  (SELECT count(*) FROM orders) AS n_head,
+         |  (SELECT ${Q.DSUM("o_totalprice")} FROM orders) AS sum_head,
+         |  'ok' AS tag_survives_vacuum""".stripMargin)
 }

@@ -306,6 +306,39 @@ object LakeProcedures {
           localize = !input.isNullAt(1) && input.getBoolean(1)))
     },
 
+    new Proc("tag",
+      "name a version (default: current) as a vacuum-protected ref " +
+        "(Iceberg tag); read it back with VERSION AS OF '<name>'") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("name", StringType, "tag name"),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("NULL")
+          .comment("version to tag (default: current)")
+          .build())
+      private val out = StructType(Seq(
+        StructField("tagged_version", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] =
+        result(out, Versioned.tag(spark,
+          input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString,
+          if (input.isNullAt(2)) None else Some(input.getLong(2))))
+    },
+
+    new Proc("drop_tag",
+      "drop a tag: the version becomes vacuumable again") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("path", StringType, "lake table directory"),
+        p("name", StringType, "tag name"))
+      private val out = StructType(Seq(
+        StructField("dropped", BooleanType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        Versioned.dropTag(spark, input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString)
+        result(out, true)
+      }
+    },
+
     new Proc("describe",
       "table health snapshot (Delta DESCRIBE DETAIL analog): current " +
         "version, live file / deletion-vector counts, partition " +

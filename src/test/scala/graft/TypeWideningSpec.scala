@@ -158,6 +158,24 @@ class TypeWideningSpec extends SparkSuite {
     } finally rm(t)
   }
 
+  test("a merge whose source carries a wider type widens through the " +
+      "union coercion and the committed schema follows") {
+    val t = tmp("graft_tw6")
+    try {
+      Versioned.init(base().repartition(3), t) // k int, p float
+      val sumNarrow = base().agg(sum(col("k"))).head().getLong(0)
+      val wide = spark.range(1).select(
+        lit(Int.MaxValue.toLong + 21L).as("k"), lit(3.5).as("p"))
+      Versioned.merge(wide, t, keys = Seq("k"))
+      val head = Versioned.read(spark, t)
+      assert(head.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"merge must widen k, got ${head.schema("k").dataType}")
+      assert(head.agg(sum(col("k"))).head().getLong(0) ==
+        sumNarrow + Int.MaxValue.toLong + 21L)
+    } finally rm(t)
+  }
+
   test("SQL: ALTER TABLE lake.t ALTER COLUMN k TYPE BIGINT routes to " +
       "the metadata-only widen") {
     spark.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
