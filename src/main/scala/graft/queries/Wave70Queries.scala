@@ -282,12 +282,59 @@ object Wave70Queries {
     }
   }
 
+  /** Streaming ADMISSION CONTROL driver-verified: a paced backfill
+    * (`maxFilesPerTrigger`) over a three-commit lake table delivers
+    * the exact full content across EXACTLY one data-bearing
+    * micro-batch per admitted version group — the receipt pins the
+    * pacing (3 commits under a 3-file budget → 3 batches, never 1)
+    * and the data columns prove nothing was dropped or duplicated.
+    * At 100 TB this is what makes a fresh consumer of a huge table
+    * startable at all: the initial snapshot streams in bounded
+    * slices instead of one cluster-choking batch. */
+  def qStreamPaced(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_paced")
+    val dir = work.resolve("t").toString
+    val cp = work.resolve("cp").toString
+    val sink = s"graft_paced_${java.util.UUID.randomUUID()
+      .toString.take(8)}"
+    try {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      Versioned.init(o.filter(col("k") % 3 === 0).repartition(3), dir)
+      Versioned.append(o.filter(col("k") % 3 === 1).repartition(2), dir)
+      Versioned.append(o.filter(col("k") % 3 === 2).repartition(2), dir)
+      val q = s.readStream.format("graft-lake").option("path", dir)
+        .option("maxFilesPerTrigger", 3).load()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      val r = s.table(sink)
+        .withColumn("fp", fpCol(col("k"),
+          floor(col("p") * lit(100.0) + lit(0.5)).cast("long")))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp"),
+          expr("bit_xor(fp)").as("xf")).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
+          Q.receipt(batches == 3,
+            s"3 commits under a 3-file budget must pace into 3 " +
+              s"micro-batches, got $batches: " +
+              q.recentProgress.map(_.numInputRows).mkString(","))))
+        .toDF("n_rows", "sum_price", "xor_fp", "paced_batches")
+    } finally {
+      s.catalog.dropTempView(sink)
+      val p = new org.apache.hadoop.fs.Path(work.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_segments" -> qManifestSegments,
     "q_type_widening"     -> qTypeWidening,
     "q_optimize_where"    -> qOptimizeWhere,
     "q_cluster_incr"      -> qClusterIncr,
-    "q_sql_tag_travel"    -> qSqlTagTravel)
+    "q_sql_tag_travel"    -> qSqlTagTravel,
+    "q_stream_paced"      -> qStreamPaced)
 
   val oracles: Map[String, String] = Map(
     "q_manifest_segments" ->
@@ -348,5 +395,17 @@ object Wave70Queries {
          |  (SELECT ${Q.DSUM("p")} FROM v1) AS sum_tag,
          |  (SELECT count(*) FROM orders) AS n_head,
          |  (SELECT ${Q.DSUM("o_totalprice")} FROM orders) AS sum_head,
-         |  'ok' AS tag_survives_vacuum""".stripMargin)
+         |  'ok' AS tag_survives_vacuum""".stripMargin,
+    "q_stream_paced" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p
+         |  FROM orders),
+         |fp AS (SELECT p,
+         |    md5_number_upper(CAST(k AS VARCHAR) || '#' ||
+         |      CAST(CAST(floor(p * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+         |      >> 4 AS fp
+         |  FROM t)
+         |SELECT count(*) AS n_rows, ${Q.DSUM("p")} AS sum_price,
+         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+         |  'ok' AS paced_batches
+         |FROM fp""".stripMargin)
 }
