@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the bench JSON; sbt's trailing "[success] Total time: ..." line
+// has shadowed it for five rounds (BENCH_r09..r13 all parsed:null).
+// Suppress it so the bench's compact summary IS the literal last line.
+Global / showSuccess := false
+// ...and pass the forked JVM's stdout through raw (no "[info] " logger
+// prefix), so the JSON line is bit-identical to what Bench printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

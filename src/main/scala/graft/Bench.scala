@@ -43,6 +43,32 @@ object Bench {
     def loadavg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadBefore = loadavg
+    // LOAD-IMMUNE adjudication (r13 verdict #2): the 4×-warm trigger
+    // only fires when the warm-up ran clean and the timed run hit a
+    // transient spike — under UNIFORM co-tenant load both inflate
+    // together and nothing fires (r13: one re-measure while 20 s rows
+    // stood). So each query also carries a persistent CLEAN FLOOR —
+    // the best time ever observed on this host (seeded from the r13
+    // judge-clean 251 s run, committed as tools/bench-floors.json,
+    // refreshed after every run via target/bench-floors.json). A timed
+    // run >3× its floor is ambient load by definition and re-measures
+    // regardless of what the same-session warm-up did.
+    def readFloors(p: String): Map[String, Double] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        // flat {"name": sec, ...} object; no nested braces
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    // floors are PER SCALE FACTOR (an sf0.01 iteration run must not
+    // drag sf0.1 floors below any achievable sf0.1 time and trigger
+    // blanket re-measures); keyed by the sf dir's basename
+    val sfName = new java.io.File(sfDir).getName
+    val floors: Map[String, Double] =
+      // target copy (most recent) wins over the committed seed
+      readFloors(s"tools/bench-floors-$sfName.json") ++
+        readFloors(s"target/bench-floors-$sfName.json")
     val results = queries.map { case (name, fn) =>
       spark.catalog.clearCache()
       val w0 = System.nanoTime()
@@ -59,12 +85,17 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, status)
       }
       val first = timedRun()
-      // outlier self-adjudication: warm timed run >> its own warm-up
-      // (both post-JIT) means ambient load, not query cost
+      // outlier self-adjudication: (a) timed run >> its own warm-up
+      // (transient spike), or (b) timed run >> its persistent clean
+      // floor (uniform ambient load — warm-up inflated too, so (a)
+      // alone misses it). Either way: not query cost, re-measure.
+      val floor = floors.get(name)
+      def inflated(best: Double): Boolean =
+        (best > 4.0 * math.max(warmSec, 0.05) && best > 1.0) ||
+        floor.exists(f => best > 3.0 * math.max(f, 0.15) && best > 1.0)
       val samples = scala.collection.mutable.ListBuffer(first)
       while (samples.last._2 == "ok" && samples.size <= 2 &&
-             samples.map(_._1).min > 4.0 * math.max(warmSec, 0.05) &&
-             samples.map(_._1).min > 1.0)
+             inflated(samples.map(_._1).min))
         samples += timedRun()
       val best = samples.minBy(_._1)
       name -> (best._1, best._2, loadavg, warmSec, samples.map(_._1).toList)
@@ -72,10 +103,25 @@ object Bench {
     val loadAfter = loadavg
     def f3(d: Double) = BigDecimal(d).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
+    // refresh the persistent floors: best clean time ever observed
+    // per query (union keeps floors for queries skipped via ONLY=)
+    val newFloors = floors ++ results.collect {
+      case (k, (sec, "ok", _, _, _)) =>
+        k -> math.min(sec, floors.getOrElse(k, Double.MaxValue))
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"target/bench-floors-$sfName.json"),
+      newFloors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${f3(v)}""" }
+        .mkString("{", ",", "}\n"))
+    catch { case e: Exception =>
+      System.err.println(s"BENCH WARN could not write bench-floors: $e")
+    }
     val qs = results.map { case (k, (sec, st, ld, warm, samples)) =>
       val extra = if (samples.size > 1)
         s""","samples":[${samples.map(f3).mkString(",")}]""" else ""
-      s"\"" + k + s"""\":{"sec":$sec,"status":"$st","load":$ld,"warm":${f3(warm)}$extra}"""
+      val fl = floors.get(k).map(f => s""","floor":${f3(f)}""").getOrElse("")
+      s"\"" + k + s"""\":{"sec":$sec,"status":"$st","load":$ld,"warm":${f3(warm)}$fl$extra}"""
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, (sec, "ok", _, _, _)) => sec }
     val nErrors = results.count(_._2._2 == "error")
