@@ -241,8 +241,10 @@ object Versioned {
   // O(1) commits). Full-rewrite commits (merge, compact, clone,      //
   // publish) still write flat manifests — a natural segment          //
   // collapse. Refs are RELATIVE to `_versions/`, so [[renameTable]]  //
-  // moves them for free; [[vacuum]] deletes segments no retained     //
-  // version references.                                              //
+  // leaves the REF ROWS untouched — but segment CONTENTS hold        //
+  // absolute data paths, so it rewrites each referenced segment once //
+  // (new immutable file) and remaps the refs; [[vacuum]] deletes     //
+  // segments no retained version references.                         //
   // ---------------------------------------------------------------- //
 
   private val segRefPrefix = "seg:"
@@ -1717,10 +1719,7 @@ object Versioned {
             if (widens(st, f.dataType))
               src = src.withColumn(f.name, col(f.name).cast(f.dataType))
             else if (widens(f.dataType, st)) {
-              require(!bloomColumns(spark, path).contains(f.name),
-                s"cannot widen bloom-registered column '${f.name}' of " +
-                  s"$path via append — the per-file bloom sidecars " +
-                  "hash the narrow type; compact first")
+              requireWidenSafe(spark, path, f.name, via = s" via $opName")
               widenedCols(f.name) = st
             } else sys.error(
               s"append type mismatch on '${f.name}' of $path: table " +
@@ -2604,6 +2603,36 @@ object Versioned {
     *
     * A row that merely MOVED files unchanged (compaction) cancels in
     * the bag diff and does not appear. */
+  /** (files added, bytes added) between two versions' manifests,
+    * SEGMENT-AWARE: refs shared by both top levels name the same
+    * immutable file set and cancel UNOPENED (the [[changes]] diff);
+    * only non-shared segments expand (driver-cached). The streaming
+    * source's admission control calls this per walked version — on an
+    * appending table each step costs O(inline + delta), never
+    * O(table files), and never touches `manifestCache` (whose
+    * wholesale clear past 256 entries a full expansion per version
+    * would thrash). Bytes come from the entries' recorded `#bytes`
+    * stats; entries without one count 0 (best-effort, as before). */
+  private[graft] def addedStats(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): (Long, Long) = {
+    def topOf(v: Long) =
+      if (v < 1)
+        (Seq.empty[(String, Option[String])],
+          Seq.empty[(String, Option[String])])
+      else rawTop(spark, path, v).partition(isSegRef)
+    val (refsO, inlO) = topOf(fromV)
+    val (refsN, inlN) = topOf(toV)
+    val shared = refsO.map(_._1).toSet intersect refsN.map(_._1).toSet
+    def expand(refs: Seq[(String, Option[String])],
+        inline: Seq[(String, Option[String])]) =
+      refs.filterNot(r => shared(r._1))
+        .flatMap(r => readSegmentRows(spark, path, r._1)) ++ inline
+    val oldSet = expand(refsO, inlO).map(_._1).toSet
+    val added = expand(refsN, inlN).filterNot(e => oldSet(e._1))
+    (added.size.toLong,
+      added.map(e => entryBytes(e._2).getOrElse(0L)).sum)
+  }
+
   def changes(spark: SparkSession, path: String, fromV: Long,
       toV: Long): ChangeFeed = {
     require(fromV <= toV, s"changes needs fromV <= toV, got $fromV > $toV")
@@ -3083,6 +3112,40 @@ object Versioned {
     invalidate(dst)
     val cur = currentVersion(spark, dst).getOrElse(
       sys.error(s"rename lost the table: $dst"))
+    def rewriteRow(e: String, sj: Option[String]) = {
+      val i = e.lastIndexOf(s"/data/$batchCol=")
+      if (i > 0 && core(e.substring(0, i)) == srcCore)
+        // dropping the core keeps the entry's own scheme spelling
+        (e.substring(0, i).dropRight(srcCore.length) + dstCore +
+          e.substring(i), sj)
+      else (e, sj)
+    }
+    // SEGMENT-AWARE rewrite: refs are relative, so the REF ROWS need
+    // no path surgery — but the segment FILES' contents hold absolute
+    // data paths. Rewrite each referenced segment ONCE (segments are
+    // immutable and shared across versions — a new immutable file with
+    // rewritten rows, SAME footprint stats since file keys are
+    // relative), then remap refs in each version's top level. Keeps
+    // the manifest segmented and the cost O(segments + inline rows),
+    // not O(versions × table files); a segment with no src-rooted
+    // entry (clone sources) keeps its old ref. Old segment files go
+    // unreferenced and are GC'd by vacuum. Idempotent on resume: an
+    // already-remapped top finds its segments changeless and skips.
+    val segRemap = scala.collection.mutable.HashMap[String, String]()
+    def remapRef(ref: String): String = segRemap.getOrElseUpdate(ref, {
+      val rows = readSegmentRows(spark, dst, ref)
+      val rewritten = rows.map { case (e, sj) => rewriteRow(e, sj) }
+      if (rewritten == rows) ref
+      else {
+        f.mkdirs(segsDir(dst))
+        val name =
+          s"seg-${java.util.UUID.randomUUID().toString.take(13)}.parquet"
+        writeManifestDirect(spark, new Path(segsDir(dst), name), rewritten)
+        val newRef = s"${segRefPrefix}segs/$name"
+        segmentCache.put((dst, newRef), rewritten.toList)
+        newRef
+      }
+    })
     (1L to cur).foreach { v =>
       val dir = manifestPath(dst, v)
       val old = new Path(dir.getParent, s".rename-$v-old")
@@ -3094,16 +3157,12 @@ object Versioned {
       f.delete(tmp, true)
       f.delete(old, true)
       try {
-        val entries = readManifestEntries(spark, dst, v)
-        val rewritten = entries.map { case (e, sj) =>
-          val i = e.lastIndexOf(s"/data/$batchCol=")
-          if (i > 0 && core(e.substring(0, i)) == srcCore)
-            // dropping the core keeps the entry's own scheme spelling
-            (e.substring(0, i).dropRight(srcCore.length) + dstCore +
-              e.substring(i), sj)
-          else (e, sj)
+        val top = rawTop(spark, dst, v)
+        val rewritten = top.map {
+          case (e, sj) if e.startsWith(segRefPrefix) => (remapRef(e), sj)
+          case (e, sj) => rewriteRow(e, sj)
         }
-        if (rewritten != entries) {
+        if (rewritten != top) {
           f.mkdirs(tmp)
           writeManifestDirect(spark, new Path(tmp, "part-00000.parquet"),
             rewritten)
@@ -3406,6 +3465,45 @@ object Versioned {
     }
   }
 
+  /** Widening guard shared by ALTER COLUMN TYPE and append/merge's
+    * automatic widening. Widening is metadata-only, so anything that
+    * DERIVED values from the narrow type keeps serving stale
+    * derivations against post-widen writes: bloom sidecars hash the
+    * narrow type through xxhash64 (type-sensitive — a widened probe
+    * false-negatives against pre-alter files); a hash-based hidden
+    * partition transform or generated column (e.g. xxhash64(col))
+    * computes DIFFERENT values for equal logical values, so
+    * post-alter rows route to different hidden partitions than
+    * pre-alter rows and supplied generated values stop matching
+    * their expression; CHECK constraint predicates were vetted
+    * against the narrow domain. Same reasoning renameColumn already
+    * applies — mirror its guards. Rebuild path: drop/recompute the
+    * dependent object first, then widen. */
+  private def requireWidenSafe(spark: SparkSession, path: String,
+      name: String, via: String): Unit = {
+    require(!bloomColumns(spark, path).contains(name),
+      s"cannot widen bloom-registered column '$name' of $path$via — " +
+        "the per-file bloom sidecars hash the narrow type; compact " +
+        "(or re-register) first")
+    constraints(spark, path).foreach { case (n, p) =>
+      require(!mentionsIdent(p, name),
+        s"widen blocked$via: CHECK constraint '$n' references '$name' " +
+          s"on $path — drop the constraint, widen, re-add")
+    }
+    generatedColumns(spark, path).foreach { case (gc, ge) =>
+      require(gc != name && !mentionsIdent(ge, name),
+        s"widen blocked$via: generated column '$gc' references " +
+          s"'$name' on $path — its expression may be type-sensitive " +
+          "(e.g. a hash); drop and recompute it first")
+    }
+    hiddenTransform(spark, path).foreach { t =>
+      require(!mentionsIdent(t, name),
+        s"widen blocked$via: hidden partition transform references " +
+          s"'$name' on $path — hash transforms route equal values to " +
+          "different partitions across the type change; rebuild first")
+    }
+  }
+
   /** ALTER COLUMN … TYPE as a METADATA-ONLY commit (Delta type
     * widening): the logged schema carries the WIDER type from this
     * version on; carried files keep their narrow physical encoding
@@ -3422,10 +3520,7 @@ object Versioned {
     * path: deregister or compact, then widen). */
   def alterColumnType(spark: SparkSession, path: String, name: String,
       newType: DataType, maxRetries: Int = 5): Long = {
-    require(!bloomColumns(spark, path).contains(name),
-      s"cannot widen bloom-registered column '$name' of $path — the " +
-        "per-file bloom sidecars hash the narrow type; compact (or " +
-        "re-register) first")
+    requireWidenSafe(spark, path, name, via = "")
     require(!identityColumns(spark, path).exists(_._1 == name),
       s"cannot retype identity column '$name' of $path")
     var attempt = 0
@@ -3995,6 +4090,13 @@ object Versioned {
     * until the tag is dropped. */
   def tag(spark: SparkSession, path: String, name: String,
       version: Option[Long] = None): Long = {
+    // the SQL surface (`VERSION AS OF <x>`) resolves a NUMERIC <x> as
+    // a version number first, so an all-digit tag name would be
+    // silently unreachable there — it would read the same-numbered
+    // VERSION instead of the tag. Refuse at creation.
+    require(!name.forall(_.isDigit),
+      s"bad tag name '$name': all-digit names collide with version " +
+        "numbers in VERSION AS OF resolution")
     val v = resolve(spark, path, version)
     require(fs(spark, path).exists(manifestPath(path, v)),
       s"cannot tag $path v$v: no such version")
@@ -4394,22 +4496,47 @@ object Versioned {
       f.delete(new Path(dir, s".v$v.lock"), false)
     }
     // segment GC: a manifest segment lives exactly as long as some
-    // RETAINED version's top level references it. (Same in-flight
-    // hazard as unreferenced data files: vacuum racing an uncommitted
-    // writer may delete its not-yet-published segment — the writer's
-    // bounded retry re-stages, as with data files.)
+    // RETAINED version's top level references it. Two races with an
+    // in-flight append (which seals segments on routine commits):
+    // (1) the writer WINS its commit lock after this vacuum computed
+    //     its keep set — the new version is durable, so its segments
+    //     must survive: re-list the manifest dir HERE (post-drop) and
+    //     union refs of EVERY version now present, not the stale keep;
+    // (2) the writer sealed a segment but hasn't won the lock yet at
+    //     GC instant — no manifest references it anywhere, so only
+    //     its AGE can save it: skip segments younger than a grace
+    //     window (mtime-based, the standard lake-vacuum guard;
+    //     `graft.lake.vacuumSegGraceMs`, default 15 min — tests that
+    //     assert GC set it to 0). A LOSING writer's orphaned segment
+    //     ages past the grace and is collected next vacuum.
     val segD = segsDir(path)
     if (f.exists(segD)) {
-      val liveSegs = keep.flatMap(v =>
-        try rawTop(spark, path, v).collect {
-          case (r, _) if r.startsWith(segRefPrefix) =>
-            new Path(manifestDir(path),
-              r.stripPrefix(segRefPrefix)).getName
-        } catch {
-          case _: java.io.FileNotFoundException => Seq.empty[String]
-        }).toSet
+      val present = f.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      val liveSegs = present.flatMap { v =>
+        if (!keep.contains(v) && versions.contains(v))
+          Seq.empty[String] // dropped above; gone or going
+        else
+          // fresh commits carry NEW (path, v) cache keys — rawTop
+          // cannot serve a stale entry for them
+          try {
+            rawTop(spark, path, v).collect {
+              case (r, _) if r.startsWith(segRefPrefix) =>
+                new Path(manifestDir(path),
+                  r.stripPrefix(segRefPrefix)).getName
+            }
+          } catch {
+            case _: java.io.FileNotFoundException => Seq.empty[String]
+          }
+      }.toSet
+      val graceMs = spark.conf
+        .get("graft.lake.vacuumSegGraceMs", (15 * 60 * 1000L).toString)
+        .toLong
+      val now = System.currentTimeMillis()
       f.listStatus(segD).foreach { s0 =>
-        if (!liveSegs.contains(s0.getPath.getName))
+        if (!liveSegs.contains(s0.getPath.getName) &&
+            now - s0.getModificationTime >= graceMs)
           f.delete(s0.getPath, true)
       }
     }

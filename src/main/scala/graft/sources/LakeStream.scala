@@ -67,32 +67,31 @@ final class LakeMicroBatchStream(path: String, schema: StructType,
     }
     if (fileBudget.isEmpty && maxBytesPerTrigger.isEmpty)
       return LakeOffset(cur)
-    def entriesAt(ver: Long): Map[String, Long] =
-      if (ver < 1) Map.empty
-      else
-        try Versioned.manifestEntries(spark, path, ver)
-          .map { case (f, sj) =>
-            f -> Versioned.entryBytes(sj).getOrElse(0L) }.toMap
-        catch {
-          case e: java.io.FileNotFoundException =>
-            throw new IllegalStateException(
-              s"graft-lake stream: manifest of $path v$ver is " +
-                "gone — most likely vacuumed. Re-seed the stream " +
-                "with .option(\"startingVersion\", …) and a fresh " +
-                "checkpoint.", e)
-        }
+    // per-step delta via the SEGMENT-AWARE top-level diff (shared
+    // refs cancel unopened, exactly as Versioned.changes diffs): a
+    // paced trigger on a large table does O(inline + delta) driver
+    // work per admitted version — never the O(table-files) full
+    // manifest expansion this loop used to build per version, which
+    // also thrashed the global manifest cache
+    def addedAt(ver: Long): (Long, Long) =
+      try Versioned.addedStats(spark, path, ver - 1, ver)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"graft-lake stream: manifest of $path v$ver is " +
+              "gone — most likely vacuumed. Re-seed the stream " +
+              "with .option(\"startingVersion\", …) and a fresh " +
+              "checkpoint.", e)
+      }
     var v = a
     var fb = fileBudget.getOrElse(Long.MaxValue)
     var bb = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     var first = true
     var done = false
-    var prev = entriesAt(v)
     while (!done && v < cur) {
-      val nxt = entriesAt(v + 1)
-      val added = nxt.filter { case (f, _) => !prev.contains(f) }
-      val (nf, nb) = (added.size.toLong, added.values.sum)
+      val (nf, nb) = addedAt(v + 1)
       if (first || (nf <= fb && nb <= bb)) {
-        v += 1; fb -= nf; bb -= nb; first = false; prev = nxt
+        v += 1; fb -= nf; bb -= nb; first = false
       } else done = true
     }
     LakeOffset(v)

@@ -164,10 +164,20 @@ class LakeSegmentsSpec extends SparkSuite {
           "segments referenced by a retained version must survive")
         assert(sumK(Versioned.read(spark, t, Some(3L))) ==
           sumK(slice(0, 1800)))
-        // keepLast=1 drops every segmented version: segments GC'd
+        // keepLast=1 drops every segmented version: segments GC'd.
+        // Unreferenced segments younger than the grace window survive
+        // (in-flight-writer guard) — first prove the guard holds, then
+        // zero the grace and prove the GC fires.
         Versioned.vacuum(spark, t, keepLast = 1)
-        assert(!f.exists(segsP) || f.listStatus(segsP).isEmpty,
-          "no retained version references a segment — all GC'd")
+        assert(f.exists(segsP) && f.listStatus(segsP).nonEmpty,
+          "young unreferenced segments must survive the grace window " +
+            "(an in-flight append may be about to commit them)")
+        spark.conf.set("graft.lake.vacuumSegGraceMs", "0")
+        try {
+          Versioned.vacuum(spark, t, keepLast = 1)
+          assert(!f.exists(segsP) || f.listStatus(segsP).isEmpty,
+            "no retained version references a segment — all GC'd")
+        } finally spark.conf.unset("graft.lake.vacuumSegGraceMs")
         assert(sumK(Versioned.read(spark, t)) == sumK(slice(0, 1800)))
       } finally rm(t)
     }
@@ -281,6 +291,12 @@ class LakeSegmentsSpec extends SparkSuite {
         assert(sumK(Versioned.read(spark, r)) == expect)
         assert(sumK(Versioned.read(spark, r, Some(1L))) ==
           sumK(slice(0, 600)))
+        // rename must NOT flatten a segmented manifest back to
+        // O(table-files) top rows — it rewrites each referenced
+        // segment once and remaps the refs
+        val (topAfter, segsAfter) = Versioned.manifestShape(spark, r)
+        assert(segsAfter >= 1L,
+          s"rename flattened the manifest: shape=($topAfter,$segsAfter)")
         // the renamed table keeps committing fine
         Versioned.append(slice(1200, 1800).repartition(2), r)
         assert(sumK(Versioned.read(spark, r)) == sumK(slice(0, 1800)))

@@ -200,4 +200,70 @@ class TypeWideningSpec extends SparkSuite {
       } finally rm(t2)
     } finally rm(t)
   }
+
+  test("widening is refused while a CHECK constraint, generated " +
+      "column, or hidden transform references the column — on ALTER " +
+      "and on append's auto-widen alike (type-sensitive derivations " +
+      "like hash transforms would split equal values across the widen)") {
+    val t = tmp("graft_tw_guard")
+    try {
+      Versioned.init(base().repartition(2), t)
+      // CHECK constraint referencing k blocks the widen
+      Versioned.addConstraint(spark, t, "k_pos", "k >= 0")
+      val e1 = intercept[IllegalArgumentException] {
+        Versioned.alterColumnType(spark, t, "k", LongType) }
+      assert(e1.getMessage.contains("k_pos"))
+      // ...and blocks the implicit widen on a wider-typed append
+      val wideSrc = base().limit(3)
+        .select(col("k").cast("long").as("k"), col("p"))
+      val e2 = intercept[IllegalArgumentException] {
+        Versioned.append(wideSrc, t) }
+      assert(e2.getMessage.contains("k_pos") &&
+        e2.getMessage.contains("APPEND"))
+      Versioned.dropConstraint(spark, t, "k_pos")
+      // generated column whose expression reads k blocks the widen
+      val t2 = tmp("graft_tw_guard_g")
+      try {
+        Versioned.init(base().repartition(2)
+          .withColumn("g", expr("cast(k + 1 as bigint)")), t2)
+        Versioned.addGeneratedColumn(spark, t2, "g",
+          "cast(k + 1 as bigint)")
+        val e3 = intercept[IllegalArgumentException] {
+          Versioned.alterColumnType(spark, t2, "k", LongType) }
+        assert(e3.getMessage.contains("generated"))
+        Versioned.dropGeneratedColumn(spark, t2, "g")
+        assert(Versioned.alterColumnType(spark, t2, "k", LongType) > 0L)
+      } finally rm(t2)
+      // hash hidden transform reading k blocks the widen: equal
+      // logical values would route to different buckets post-widen
+      val root3 = java.nio.file.Files
+        .createTempDirectory("graft_tw_guard_h").toString
+      val t3 = s"$root3/t"
+      try {
+        spark.sql(s"CREATE TABLE lake.`$t3` (k INT, v STRING) " +
+          "PARTITIONED BY (bucket(4, k))")
+        val e4 = intercept[Exception] {
+          Versioned.alterColumnType(spark, t3, "k", LongType) }
+        assert(e4.getMessage.contains("hidden") ||
+          Option(e4.getCause).exists(_.getMessage.contains("hidden")))
+      } finally rm(t3)
+      // with every dependent object gone, the widen proceeds
+      assert(Versioned.alterColumnType(spark, t, "k", LongType) > 0L)
+      assert(Versioned.read(spark, t).schema("k").dataType == LongType)
+    } finally rm(t)
+  }
+
+  test("all-digit tag names are refused at creation (VERSION AS OF " +
+      "resolves numerics as versions first — the tag would be " +
+      "silently unreachable)") {
+    val t = tmp("graft_tag_num")
+    try {
+      Versioned.init(base().repartition(2), t)
+      val e = intercept[IllegalArgumentException] {
+        Versioned.tag(spark, t, "2024") }
+      assert(e.getMessage.contains("all-digit"))
+      Versioned.tag(spark, t, "q3-close") // non-numeric names still fine
+      assert(Versioned.tags(spark, t).contains("q3-close"))
+    } finally rm(t)
+  }
 }
