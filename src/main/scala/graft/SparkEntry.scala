@@ -92,7 +92,8 @@ object SparkEntry {
     graft.queries.Wave66Queries.queries ++
     graft.queries.Wave68Queries.queries ++
     graft.queries.Wave69Queries.queries ++
-    graft.queries.Wave70Queries.queries
+    graft.queries.Wave70Queries.queries ++
+    graft.queries.Wave71Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -171,5 +172,6 @@ object SparkEntry {
     graft.queries.Wave66Queries.oracles ++
     graft.queries.Wave68Queries.oracles ++
     graft.queries.Wave69Queries.oracles ++
-    graft.queries.Wave70Queries.oracles
+    graft.queries.Wave70Queries.oracles ++
+    graft.queries.Wave71Queries.oracles
 }

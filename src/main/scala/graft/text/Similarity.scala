@@ -558,4 +558,203 @@ object Similarity {
                 round(col("cos"), 6).as("cos"))
     }
   }
+
+  /** IVF+PQ composite ANN (IVFADC — Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search" §IV): the coarse
+    * quantizer routes every corpus vector to one of `nLists` cells,
+    * and PQ encodes the RESIDUAL (vector − its cell centroid) — the
+    * residual distribution is tighter than the raw vectors, so the
+    * same code budget quantizes it more accurately. Search probes
+    * `nProbe` cells and runs asymmetric distance computation (ADC)
+    * over ONLY their codes; the dot product decomposes exactly as
+    *   dot(q, v) = dot(q, c_cell) + dot(q, residual)
+    * where the first term is one scalar per (query, probed cell) and
+    * the second is the usual per-subspace lookup-table sum — the
+    * residual codebook is shared across cells, so the LUT stays
+    * (queries · nSub · nCodes) rows and list-independent.
+    *
+    * This is the production 100 TB shape the separate `ivfTopK` /
+    * `pqTopK` operators compose into: IVF bounds the fraction of the
+    * corpus a query touches (nProbe/nLists of the cells), PQ bounds
+    * the bytes per touched vector (codes ~30× smaller than fp32), and
+    * the optional exact re-rank reads `shortlist` full vectors per
+    * query — never a corpus scan. Fits follow the capped
+    * deterministic-hash-sample discipline (driver-local Lloyd on
+    * ≤ maxFitRows vectors); assignment, encoding and scoring are all
+    * broadcast-equi-join map passes plus one partial-sum groupBy
+    * whose volume is (probed codes) rows.
+    *
+    * Candidates are ⊆ the probed cells BY CONSTRUCTION — the code
+    * table is equi-joined with the query's probe rows on `list_id`
+    * before any scoring ([[ivfPqParts]] exposes the assignment and
+    * probe frames so the spec pins exactly that). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, nLists: Int = 8, nProbe: Int = 5,
+      nSub: Int = 8, nCodes: Int = 16, shortlist: Int = 0,
+      maxFitRows: Long = 100000): DataFrame =
+    ivfPqParts(corpus, queries, k, dim, nLists, nProbe, nSub, nCodes,
+      shortlist, maxFitRows)._3
+
+  /** (cell assignment, probe set, top-k result) of [[ivfPqTopK]] —
+    * the first two are the receipts the spec checks containment
+    * against. */
+  private[graft] def ivfPqParts(corpus: DataFrame, queries: DataFrame,
+      k: Int, dim: Int, nLists: Int, nProbe: Int, nSub: Int,
+      nCodes: Int, shortlist: Int, maxFitRows: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(dim % nSub == 0, "dim must divide into nSub subspaces")
+    val subDim = dim / nSub
+    val spark = corpus.sparkSession
+
+    // capped deterministic sample, driver-local fits (the pqTopK
+    // discipline: a bounded-sample Lloyd's is not a cluster job)
+    val n = corpus.count()
+    val fitBase =
+      if (n <= maxFitRows) corpus
+      else {
+        val permille = math.max(1L, maxFitRows * 1000L / n)
+        corpus.where(
+          graft.ops.Sampling.hashBucket(col("vec_id"), 1000) < lit(permille))
+      }
+    val sample = fitBase.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).take(
+        math.min(maxFitRows, Int.MaxValue.toLong).toInt).map(_._2)
+    val coarse = fitLloyd(sample, nLists, iters = 10)
+    def nearestCell(v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < coarse.length) {
+        var d2 = 0.0; var j = 0
+        while (j < dim) {
+          val df = (v(j) - coarse(c)(j)).toDouble; d2 += df * df; j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      best
+    }
+    // PQ fits on the sample's RESIDUALS — the whole point of the
+    // composite: residual magnitudes are a fraction of the vectors'
+    val residuals = sample.map { v =>
+      val c = coarse(nearestCell(v))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+    val codebook: Seq[(Int, Int, Seq[Float])] =
+      (0 until nSub).flatMap { m =>
+        val subs = residuals.map(_.slice(m * subDim, (m + 1) * subDim))
+        fitLloyd(subs, nCodes, iters = 10).zipWithIndex.map {
+          case (c, i) => (m, i, c.toSeq)
+        }
+      }
+    val coarseDf = spark.createDataFrame(
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toIndexedSeq)
+      .toDF("list_id", "centroid")
+    val cb = spark.createDataFrame(codebook.toIndexedSeq)
+      .toDF("m", "code", "sub_centroid")
+
+    // ASSIGN + residual, map-only: corpus × nLists candidate rows
+    // against the broadcast centroids, argmin per vector
+    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarseDf))
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (a, b) => (a - b).cast("double") * (a - b).cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("embedding"), col("centroid"),
+          (a, b) => a - b).as("resid"))
+
+    // ENCODE residuals: argmin_L2 residual-centroid per (vec, subspace)
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2"), col("code"))
+    val codes = assigned.select(col("vec_id"), col("list_id"),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+          m => slice(col("resid"), m * lit(subDim) + lit(1),
+            lit(subDim)))))
+      .select(col("vec_id"), col("list_id"),
+        col("pos").as("m"), col("col").as("sub"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", aggregate(
+        zip_with(col("sub"), col("sub_centroid"),
+          (a, b) => (a - b).cast("double") * (a - b).cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("list_id"), col("m"), col("code"))
+    val norms = corpus.select(col("vec_id"),
+      norm(col("embedding")).as("vnorm"))
+
+    // PROBE: nProbe nearest cells per query, with the exact
+    // per-(query, cell) coarse dot the ADC decomposition needs
+    val wP = Window.partitionBy("query_id")
+      .orderBy(col("cdist"), col("list_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(coarseDf))
+      .withColumn("cdist", -cosine(col("q_emb"), col("centroid")))
+      .withColumn("coarse_dot", dot(col("q_emb"), col("centroid")))
+      .withColumn("prk", row_number().over(wP))
+      .filter(col("prk") <= lit(nProbe))
+      .select(col("query_id"), col("list_id"), col("coarse_dot"))
+
+    // ADC lookup table: residual-codebook partial dots, cell-free
+    val lut = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("m", explode(sequence(lit(0), lit(nSub - 1))))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("pdot", dot(
+        slice(col("q_emb"), col("m") * lit(subDim) + lit(1), lit(subDim)),
+        col("sub_centroid")))
+      .select(col("query_id"), col("m"), col("code"), col("pdot"))
+    val qnorms = queries.select(col("vec_id").as("query_id"),
+      norm(col("embedding")).as("qnorm"))
+
+    // SCORE: codes of PROBED cells only (the equi-join with the probe
+    // rows is the containment guarantee), approximate dot = coarse
+    // term + residual table sum
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val adc = codes
+      .join(broadcast(probes), Seq("list_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("rdot"), max(col("coarse_dot")).as("cdot"))
+      .join(norms, "vec_id")
+      .join(broadcast(qnorms), "query_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("acos",
+        (col("cdot") + col("rdot")) / (col("vnorm") * col("qnorm")))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("rk", row_number().over(w))
+
+    val result =
+      if (shortlist <= 0)
+        adc.filter(col("rk") <= lit(k))
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+                  round(col("acos"), 6).as("cos"))
+      else {
+        // exact re-rank of the ADC shortlist (still ⊆ probed cells:
+        // candidates come off the probed-cell ADC ranking)
+        val cand = adc.filter(col("rk") <= lit(shortlist))
+          .select(col("query_id"), col("neighbor_id"))
+        val qe = queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))
+        val ce = corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_emb"))
+        val wr = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        broadcast(cand).join(ce, "neighbor_id")
+          .join(broadcast(qe), "query_id")
+          .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= lit(k))
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+                  round(col("cos"), 6).as("cos"))
+      }
+    (assigned.select(col("vec_id"), col("list_id")),
+      probes.select(col("query_id"), col("list_id")), result)
+  }
 }
