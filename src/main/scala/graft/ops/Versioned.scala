@@ -657,13 +657,37 @@ object Versioned {
     val schema = df.schema
     val present = cols.filter(c => schema.fieldNames.contains(c))
     val bloomPresent = bloomCols.filter(c => schema.fieldNames.contains(c))
+    // NDV sketches ride the SAME bounded aggregate: every registered
+    // stats column of a sketchable type (integral/string — Spark's
+    // HllSketchAgg input domain) logs a per-file DataSketches HLL
+    // next to its min/max. Sketches union losslessly, so the DSv2
+    // scan can report a table- (or pruned-footprint-) level distinct
+    // count to the CBO without opening a file — the estimate that
+    // turns a post-aggregation join on a low-NDV key into a broadcast
+    // instead of a sort-merge. ~1.6 KB per (file, column) at the
+    // default lgK=12 — manifest-cheap.
+    val hllPresent = present.filter(c => schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
     val aggs = present.flatMap(c =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
       bloomPresent.map(c =>
         // Spark's base64 chunks with CR/LF (MIME) — illegal inside a
         // JSON string; strip to the continuous RFC4648 form
         regexp_replace(base64(graft.functions.Bloom.bloomAgg(col(c),
-          bloomExpected, bloomBits)), "[\\r\\n]", "").as(s"bl_$c")) :+
+          bloomExpected, bloomBits)), "[\\r\\n]", "").as(s"bl_$c")) ++
+      hllPresent.flatMap(c => Seq(
+        regexp_replace(base64(hll_sketch_agg(col(c))), "[\\r\\n]", "")
+          .as(s"hl_$c"),
+        // exact non-null count: the CBO's AggregateEstimation demands
+        // BOTH distinctCount and nullCount (hasCountStats) before it
+        // trusts an NDV — a sketch without the null count is ignored
+        count(col(c)).as(s"nn_$c"))) :+
       count(lit(1)).as("__n")
     val rows = df.groupBy(col(metaF)).agg(aggs.head, aggs.tail: _*).collect()
     rows.flatMap { r =>
@@ -676,6 +700,15 @@ object Versioned {
           val i = r.fieldIndex(s"bl_$c")
           if (r.isNullAt(i)) None
           else Some(s""""#bloom:$c":{"t":"b","b":"${r.getString(i)}"}""")
+        } ++
+        hllPresent.flatMap { c =>
+          val i = r.fieldIndex(s"hl_$c")
+          if (r.isNullAt(i)) None
+          else {
+            val nulls = rowCount - r.getLong(r.fieldIndex(s"nn_$c"))
+            Seq(s""""#hll:$c":{"t":"h","b":"${r.getString(i)}"}""",
+              s""""#nulls:$c":{"t":"l","mnl":$nulls,"mxl":$nulls}""")
+          }
         }
       val parts = extras ++ present.flatMap { c =>
         val mnI = r.fieldIndex(s"mn_$c")
@@ -732,6 +765,30 @@ object Versioned {
     readManifestEntries(spark, path, v)
 
   private[graft] def fileKeyOf(f: String): String = fileKey(f)
+
+  /** The recorded HLL NDV sketch (continuous base64) of column `c` in
+    * a manifest entry's stats, if present — what the DSv2 scan unions
+    * into a planner-facing distinct count. */
+  private[graft] def hllStatOf(sj: String, c: String): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(sj) \ s"#hll:$c" \ "b" match {
+      case JString(b) => Some(b)
+      case _ => None
+    }
+  }
+
+  /** The recorded exact null count of column `c` in a manifest entry's
+    * stats, if present (logged next to the HLL sketch — the planner's
+    * `hasCountStats` gate needs both). */
+  private[graft] def nullStatOf(sj: String, c: String): Option[Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(sj) \ s"#nulls:$c" \ "mnl" match {
+      case JInt(n) => Some(n.toLong)
+      case _ => None
+    }
+  }
 
   /** The recorded `#bytes` of a manifest entry's stats, if present —
     * what the streaming source's byte-based admission control reads. */

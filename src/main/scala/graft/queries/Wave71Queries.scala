@@ -184,13 +184,141 @@ object Wave71Queries {
       Similarity.bruteForceTopK(e, q, k = 5), k = 5, floor = 0.6)
   }
 
+  // ---- manifest NDV sketches driving a CBO broadcast decision ----
+
+  /** Manifest HLL → planner distinct counts → a PLAN-TIME flip. Two
+    * identical lake tables, one with `g` registered for stats (per-
+    * file HLL sketches logged at commit, union'd into `columnStats`
+    * by the DSv2 scan), one without. Under CBO the aggregate
+    * `groupBy(g)` on the sketched table is estimated at ~NDV(g)=5
+    * rows, so its join back to the fact side BROADCASTS at plan time;
+    * the unsketched twin falls back to size-based aggregate estimates
+    * and sort-merges. AQE could convert the latter only AFTER paying
+    * the shuffle's map side — at 100 TB the static right plan is the
+    * win, which is exactly what manifest NDV buys. Receipts pin both
+    * plans and the CBO's estimated aggregate row count; data columns
+    * prove the broadcast plan computes the right answer. */
+  def qLakeNdvCbo(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_ndv")
+    val withS = work.resolve("a").toString
+    val noS = work.resolve("b").toString
+    val cboPrev = s.conf.getOption("spark.sql.cbo.enabled")
+    val thrPrev = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val data = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+        (col("o_orderkey") % 5).as("g"))
+      graft.ops.Versioned.init(data.repartition(4), withS,
+        statsCols = Seq("g"))
+      graft.ops.Versioned.init(data.repartition(4), noS)
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      def shaped(dir: String) = {
+        val t = s.read.format("graft-lake").option("path", dir).load()
+        val agg = t.groupBy("g").agg(count(lit(1)).as("n_g"))
+        t.join(agg, "g")
+      }
+      val withPlan = shaped(withS).queryExecution.executedPlan.toString
+      val noPlan = shaped(noS).queryExecution.executedPlan.toString
+      // the estimate the CBO actually used for the sketched aggregate
+      val aggRows = shaped(withS).queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.stats.rowCount
+      }.flatten.headOption.getOrElse(BigInt(-1))
+      val rNdv = Q.receipt(
+        withPlan.contains("BroadcastHashJoin") &&
+          aggRows >= BigInt(1) && aggRows <= BigInt(10),
+        s"manifest NDV must broadcast the 5-group aggregate: " +
+          s"aggRows=$aggRows plan=${withPlan.take(400)}")
+      val rNo = Q.receipt(
+        noPlan.contains("SortMergeJoin") &&
+          !noPlan.contains("BroadcastHashJoin"),
+        s"without NDV the same shape must sort-merge: " +
+          s"plan=${noPlan.take(400)}")
+      val out = shaped(withS).groupBy("g")
+        .agg(count(lit(1)).as("n_orders"),
+          Q.dsum(col("p")).as("revenue"),
+          max(col("n_g")).as("n_g"))
+        .orderBy("g")
+      import s.implicits._
+      out.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), rNdv, rNo))
+        .toDF("g", "n_orders", "revenue", "n_g",
+          "ndv_broadcast", "no_ndv_sortmerge")
+    } finally {
+      cboPrev match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None => s.conf.unset("spark.sql.cbo.enabled")
+      }
+      thrPrev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None =>
+          s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      val p = new org.apache.hadoop.fs.Path(work.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  // ---- zero-copy clone through SQL ----
+
+  /** `CALL lake.clone` — the branch/experiment workflow's missing SQL
+    * verb (CREATE TABLE ... CLONE): version 1 of the clone carries the
+    * source's files BY REFERENCE (one metadata write at any table
+    * size — receipt pins shared == total), and writes to the clone
+    * stage under its own root (receipt pins the source unchanged). */
+  def qSqlClone(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.lake", "graft.sources.LakeCatalog")
+    val work = java.nio.file.Files.createTempDirectory("graft_sqlclone")
+    val a = work.resolve("a").toString
+    val b = work.resolve("b").toString
+    try {
+      val o = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      graft.ops.Versioned.init(
+        o.filter(col("k") % 2 === 0).repartition(4), a)
+      val r = s.sql(s"CALL lake.clone('$a', '$b')").head()
+      val rZero = Q.receipt(
+        r.getLong(0) == 1L && r.getLong(1) > 0L &&
+          r.getLong(2) == r.getLong(1),
+        s"shallow clone must share every file by reference: " +
+          s"v=${r.getLong(0)} files=${r.getLong(1)} shared=${r.getLong(2)}")
+      // diverge the clone; the source must not move
+      graft.ops.Versioned.append(
+        o.filter(col("k") % 2 === 1).repartition(2), b)
+      def m(dir: String) = {
+        val x = graft.ops.Versioned.read(s, dir)
+          .agg(count(lit(1)).as("n"), Q.dsum(col("p")).as("sp")).head()
+        (x.getLong(0), x.getDouble(1))
+      }
+      val (nSrc, spSrc) = m(a)
+      val (nCl, spCl) = m(b)
+      val rInd = Q.receipt(
+        graft.ops.Versioned.currentVersion(s, a).contains(1L) &&
+          nCl > nSrc,
+        s"clone writes must not touch the source: srcV=" +
+          s"${graft.ops.Versioned.currentVersion(s, a)} nCl=$nCl nSrc=$nSrc")
+      import s.implicits._
+      Seq((nSrc, spSrc, nCl, spCl, rZero, rInd))
+        .toDF("n_src", "sum_src", "n_clone", "sum_clone",
+          "zero_copy", "independent")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(work.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpcds_rollup"      -> qTpcdsRollup,
     "q_tpcds_gsets"       -> qTpcdsGsets,
     "q_tpcds_cube"        -> qTpcdsCube,
     "q_tpcds_q51"         -> qTpcdsQ51,
     "q_tpcds_topk_rollup" -> qTpcdsTopkRollup,
-    "q_ann_ivfpq"         -> qAnnIvfPq)
+    "q_ann_ivfpq"         -> qAnnIvfPq,
+    "q_lake_ndv_cbo"      -> qLakeNdvCbo,
+    "q_sql_clone"         -> qSqlClone)
 
   private val STAR =
     """lineitem
@@ -276,5 +404,20 @@ object Wave71Queries {
     "q_ann_ivfpq" ->
       """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |  CAST(5 AS INTEGER) AS k, CAST(1 AS INTEGER) AS recall_ok
-        |FROM embeddings WHERE vec_id < 10""".stripMargin)
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_lake_ndv_cbo" ->
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p,
+         |    o_orderkey % 5 AS g FROM orders)
+         |SELECT g, count(*) AS n_orders, ${Q.DSUM("p")} AS revenue,
+         |  count(*) AS n_g,
+         |  'ok' AS ndv_broadcast, 'ok' AS no_ndv_sortmerge
+         |FROM t GROUP BY g ORDER BY g""".stripMargin,
+    "q_sql_clone" ->
+      s"""WITH e AS (SELECT o_orderkey AS k, o_totalprice AS p
+         |  FROM orders WHERE o_orderkey % 2 = 0)
+         |SELECT (SELECT count(*) FROM e) AS n_src,
+         |  (SELECT ${Q.DSUM("p")} FROM e) AS sum_src,
+         |  (SELECT count(*) FROM orders) AS n_clone,
+         |  (SELECT ${Q.DSUM("o_totalprice")} FROM orders) AS sum_clone,
+         |  'ok' AS zero_copy, 'ok' AS independent""".stripMargin)
 }

@@ -306,6 +306,47 @@ object LakeProcedures {
           localize = !input.isNullAt(1) && input.getBoolean(1)))
     },
 
+    new Proc("clone",
+      "zero-copy shallow clone (CREATE TABLE ... CLONE): publish the " +
+        "source's current snapshot as version 1 of a new table by " +
+        "copying the manifest/schema/deletion-vector only — data " +
+        "files are shared by reference, so cloning a 100 TB table is " +
+        "one small metadata write. Writes to the clone stage under " +
+        "its own root; its first full rewrite ends the sharing") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("source", StringType, "lake table directory to clone"),
+        p("target", StringType, "directory for the new table"))
+      private val out = StructType(Seq(
+        StructField("cloned_version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_shared_files", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val src = input.getUTF8String(0).toString
+        val dst = input.getUTF8String(1).toString
+        val v = Versioned.clone(spark, src, dst)
+        result(out, v, Versioned.files(spark, dst).length.toLong,
+          Versioned.foreignFileCount(spark, dst))
+      }
+    },
+
+    new Proc("rename_table",
+      "move the table directory and rewrite every retained version's " +
+        "manifest paths (segment-aware); crash-safe and resumable") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        p("source", StringType, "current lake table directory"),
+        p("target", StringType, "new directory"))
+      private val out = StructType(Seq(
+        StructField("renamed", BooleanType, nullable = false),
+        StructField("version", LongType, nullable = false)))
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val src = input.getUTF8String(0).toString
+        val dst = input.getUTF8String(1).toString
+        Versioned.renameTable(spark, src, dst)
+        result(out, true,
+          Versioned.currentVersion(spark, dst).getOrElse(0L))
+      }
+    },
+
     new Proc("tag",
       "name a version (default: current) as a vacuum-protected ref " +
         "(Iceberg tag); read it back with VERSION AS OF '<name>'") {

@@ -327,6 +327,62 @@ final class LakeScan(path: String, version: Option[Long],
     // catch wide strings, the width product catches heavy columnar
     // compression — so it errs pessimistic in BOTH failure modes.
     // Older manifests without `#bytes` keep the width product.
+    //
+    // COLUMN stats: registered stats columns log a per-file
+    // DataSketches HLL at commit; sketches union losslessly, so the
+    // pruned footprint's DISTINCT COUNT is one driver-side fold over
+    // the manifest entries — no file opened. Reported through the
+    // DSv2 `columnStats()` surface, which Spark's `transformV2Stats`
+    // maps into per-attribute catalyst stats: with CBO enabled, a
+    // groupBy on a low-NDV lake key is then estimated at
+    // ~NDV output rows instead of falling back to the child's size —
+    // the estimate that flips a post-aggregation join to a broadcast
+    // AT PLAN TIME (AQE could only recover after paying the
+    // sort-merge shuffle's map side). A column whose sketch is
+    // missing from ANY pruned file reports nothing — conservative,
+    // like every estimate here. Column-mapping renames resolve
+    // through the field's physical name, matching the min/max probes.
+    val ndvByCol: Map[String, (Long, Long)] = required.fields.flatMap { f =>
+      val names = Seq(f.name, Versioned.physicalNameOf(f)).distinct
+      val parsed = plannedFiles(spark).map { case (_, stats) =>
+        stats.flatMap { sj =>
+          names.iterator.flatMap(n =>
+            Versioned.hllStatOf(sj, n).flatMap(b =>
+              Versioned.nullStatOf(sj, n).map(nl => (b, nl))))
+            .nextOption()
+        }
+      }
+      if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
+      else try {
+        val u = new org.apache.datasketches.hll.Union(12)
+        parsed.flatten.foreach { case (b, _) =>
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(
+            java.util.Base64.getDecoder.decode(b)))
+        }
+        Some(f.name -> (math.max(1L, math.round(u.getEstimate)),
+          parsed.flatten.map(_._2).sum))
+      } catch { case _: Exception => None } // malformed sketch: no stat
+    }.toMap
+    val colStats = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      ndvByCol.foreach { case (name, (ndv, nulls)) =>
+        m.put(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(name),
+          new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(ndv)
+            // AggregateEstimation's hasCountStats gate needs the null
+            // count too — logged exactly at commit, summed here
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nulls)
+          })
+      }
+      m
+    }
     new Statistics {
       override def numRows(): java.util.OptionalLong =
         if (counts.length == plannedFiles(spark).length && counts.nonEmpty)
@@ -345,6 +401,10 @@ final class LakeScan(path: String, version: Option[Long],
             else widthEst
           java.util.OptionalLong.of(est)
         } else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

@@ -275,6 +275,45 @@ class LakeDdlSpec extends SparkSuite {
     } finally rm(root)
   }
 
+  test("CALL lake.clone: zero-copy shallow clone through SQL — reads " +
+      "equal, every file shared by reference, writes stay independent") {
+    val root = tmp(); val a = s"$root/a"; val b = s"$root/b"
+    try {
+      spark.sql(s"CREATE TABLE lake.`$a` (k BIGINT, p DOUBLE)")
+      spark.sql(s"INSERT INTO lake.`$a` " +
+        "VALUES (1, 1.5D), (2, 2.5D), (3, 3.5D)")
+      val r = spark.sql(s"CALL lake.clone('$a', '$b')").head()
+      assert(r.getLong(0) == 1L)
+      val (nFiles, nShared) = (r.getLong(1), r.getLong(2))
+      assert(nFiles > 0L && nShared == nFiles,
+        s"shallow clone must share every file: $nFiles vs $nShared")
+      assert(spark.sql(s"SELECT sum(k) FROM lake.`$b`").head().getLong(0)
+        == 6L)
+      // independence: writes to the clone never touch the source
+      spark.sql(s"INSERT INTO lake.`$b` VALUES (10, 0.5D)")
+      assert(spark.sql(s"SELECT sum(k) FROM lake.`$b`").head().getLong(0)
+        == 16L)
+      assert(spark.sql(s"SELECT sum(k) FROM lake.`$a`").head().getLong(0)
+        == 6L)
+    } finally rm(root)
+  }
+
+  test("CALL lake.rename_table: directory move through SQL, reads " +
+      "follow, time travel intact") {
+    val root = tmp(); val a = s"$root/a"; val b = s"$root/b"
+    try {
+      spark.sql(s"CREATE TABLE lake.`$a` (k BIGINT)")
+      spark.sql(s"INSERT INTO lake.`$a` VALUES (1), (2)")
+      val r = spark.sql(s"CALL lake.rename_table('$a', '$b')").head()
+      assert(r.getBoolean(0) && r.getLong(1) == 2L)
+      assert(spark.sql(s"SELECT sum(k) FROM lake.`$b`").head().getLong(0)
+        == 3L)
+      assert(spark.sql(s"SELECT count(*) FROM lake.`$b` VERSION AS OF 1")
+        .head().getLong(0) == 0L)
+      assert(Versioned.currentVersion(spark, a).isEmpty)
+    } finally rm(root)
+  }
+
   test("unsupported DDL shapes fail loudly, not silently") {
     val root = tmp(); val dir = s"$root/t"
     try {

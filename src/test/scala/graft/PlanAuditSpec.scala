@@ -108,7 +108,14 @@ class PlanAuditSpec extends SparkSuite {
     // wave 34: both activity ledgers cross a 1-row data-span frame
     // (max day / max month) to clip partial trailing windows — the
     // scalar-stats single-row broadcast shape.
-    "q_rolling_dau", "q_growth_accounting")
+    "q_rolling_dau", "q_growth_accounting",
+    // wave 71: q_ann_ivfpq inherits the q_ann_ivf shape — the corpus
+    // crosses the BROADCAST nLists-row centroid frame for the argmin
+    // cell assignment (bounded candidate expansion, never data×data),
+    // and the recall audit's exact truth side is the q_ann_brute
+    // 10-query broadcast probe. Scoring itself is all equi-joins on
+    // (list_id) and (query_id, m, code).
+    "q_ann_ivfpq")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
