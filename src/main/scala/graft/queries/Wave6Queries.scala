@@ -74,8 +74,14 @@ object Wave6Queries {
     * — the shape survives a 100× corpus. */
   def qLmBigram(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).repartition(col("doc_id"))
+    // the bigram stream feeds BOTH the model counts and the per-doc
+    // scoring groupBy — persist it so the shingle/regex explode (the
+    // dominant per-row cost) runs once, not twice (the rm3TopK
+    // lesson; eviction degrades to recompute, so worst case is the
+    // old behavior)
     val bg = base.select(col("doc_id"), col("source"),
-      explode(Dedup.ngrams(col("text"), n = 2)).as("bg"))
+        explode(Dedup.ngrams(col("text"), n = 2)).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = base.select(col("doc_id"), col("source"),
       explode(TextStats.tokens(col("text"))).as("tok"))
     val uni = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
