@@ -69,15 +69,44 @@ object Bench {
       // target copy (most recent) wins over the committed seed
       readFloors(s"tools/bench-floors-$sfName.json") ++
         readFloors(s"target/bench-floors-$sfName.json")
+    // The measured action must reference EVERY output column: under a
+    // bare .count(), Catalyst's column pruning DELETES unreferenced
+    // aggregate functions from the counted plan — q_tpcds_rollup's
+    // three revenue aggregates (and the price columns feeding them)
+    // vanished, so its bench row timed a keys-only star join (r14
+    // finding, tools/TopkDebug.scala). Hashing every column into a
+    // summed xxhash64 and COLLECTING the one-row sum pins the full
+    // declared plan (a .count() on the sum would let pruning cascade
+    // right back through the hash). Map-typed columns are JSON-ified
+    // first — xxhash64 rejects maps.
+    def timedAction(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt match {
+          case _: org.apache.spark.sql.types.MapType => true
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fields.exists(f => hasMap(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType =>
+            hasMap(a.elementType)
+          case _ => false
+        }
+      val refs = df.schema.fields.map { f =>
+        val c = df.col(s"`${f.name}`")
+        if (hasMap(f.dataType)) to_json(c) else c
+      }
+      df.select(xxhash64(struct(refs: _*)).as("__h"))
+        .agg(sum(col("__h"))).collect()
+      ()
+    }
     val results = queries.map { case (name, fn) =>
       spark.catalog.clearCache()
       val w0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { timedAction(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val warmSec = (System.nanoTime() - w0) / 1e9
       def timedRun(): (Double, String) = {
         val t0 = System.nanoTime()
         val status =
-          try { fn(spark, sfDir).count(); "ok" }
+          try { timedAction(fn(spark, sfDir)); "ok" }
           catch { case e: Throwable =>
             System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
             "error"
@@ -104,10 +133,23 @@ object Bench {
     def f3(d: Double) = BigDecimal(d).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
     // refresh the persistent floors: best clean time ever observed
-    // per query (union keeps floors for queries skipped via ONLY=)
+    // per query (union keeps floors for queries skipped via ONLY=).
+    // Floors may also move UP: on a host slower than the seed host a
+    // down-only ratchet means every query exceeds 3× its floor
+    // forever and re-measures max samples on every run with no
+    // convergence. When a query exhausted its re-measures and ALL its
+    // samples agree (max ≤ 1.25× min), that consistent time IS this
+    // host's baseline — uniform "load" that never varies across
+    // samples is indistinguishable from host speed — so the floor
+    // re-baselines to it and the next run converges without
+    // re-measuring. A genuinely transient spike gives disagreeing
+    // samples and leaves the floor alone.
     val newFloors = floors ++ results.collect {
-      case (k, (sec, "ok", _, _, _)) =>
-        k -> math.min(sec, floors.getOrElse(k, Double.MaxValue))
+      case (k, (sec, "ok", _, _, samples)) =>
+        val f0 = floors.getOrElse(k, Double.MaxValue)
+        val consistent =
+          samples.size >= 3 && samples.max <= 1.25 * samples.min
+        k -> (if (consistent && sec > f0) sec else math.min(sec, f0))
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"target/bench-floors-$sfName.json"),

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** One-generation registry for operator-internal persisted frames.
+  *
+  * Several operators persist a shared intermediate (RM3's token
+  * stream, the bigram LM's shingle stream) because two or three plan
+  * subtrees consume it. The returned DataFrame is lazy, so the
+  * operator can't unpersist before its caller's action runs — and
+  * MEMORY_AND_DISK blocks that spill to disk are NOT evicted by
+  * memory pressure, so repeated calls in a long-lived session
+  * accumulate dead spill until session end (the bench only survived
+  * via its per-query `catalog.clearCache()`).
+  *
+  * [[swap]] bounds that to ONE live generation per operator: each
+  * call registers its freshly persisted frames under the operator's
+  * key and unpersists the PREVIOUS call's. Correctness is unaffected
+  * — an unpersisted frame that is re-actioned recomputes its
+  * partitions, i.e. worst case equals the uncached behavior.
+  */
+object ScopedCache {
+  private val prev =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+
+  /** Register this call's persisted `frames` under `key` (unique per
+    * operator + session) and unpersist the previous generation's. */
+  def swap(key: String, frames: Seq[DataFrame]): Unit = {
+    val old = prev.put(key, frames)
+    if (old != null) old.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Exception => () } // session already stopped
+    }
+  }
+}

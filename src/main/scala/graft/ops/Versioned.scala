@@ -658,22 +658,35 @@ object Versioned {
     val present = cols.filter(c => schema.fieldNames.contains(c))
     val bloomPresent = bloomCols.filter(c => schema.fieldNames.contains(c))
     // NDV sketches ride the SAME bounded aggregate: every registered
-    // stats column of a sketchable type (integral/string — Spark's
-    // HllSketchAgg input domain) logs a per-file DataSketches HLL
-    // next to its min/max. Sketches union losslessly, so the DSv2
+    // stats column of a sketchable type logs a per-file DataSketches
+    // HLL next to its min/max. Sketches union losslessly, so the DSv2
     // scan can report a table- (or pruned-footprint-) level distinct
     // count to the CBO without opening a file — the estimate that
     // turns a post-aggregation join on a low-NDV key into a broadcast
     // instead of a sort-merge. ~1.6 KB per (file, column) at the
     // default lgK=12 — manifest-cheap.
-    val hllPresent = present.filter(c => schema(c).dataType match {
-      case org.apache.spark.sql.types.LongType |
+    //
+    // Spark's hll_sketch_agg accepts ONLY int/bigint/string/binary
+    // (ExpectsInputTypes, no implicit widening — short/byte fail at
+    // analysis), so every sketchable type is mapped to a
+    // DISTINCT-PRESERVING long or string first. Integrals all go
+    // through long so every file's sketch hashes the same physical
+    // type regardless of the column's declared width; dates become
+    // epoch-days, timestamps epoch-micros, decimals their canonical
+    // string form (exact at the column's fixed scale — a double cast
+    // would collide above 2^53).
+    val hllInput: PartialFunction[
+        (String, org.apache.spark.sql.types.DataType), Column] = {
+      case (c, org.apache.spark.sql.types.LongType |
           org.apache.spark.sql.types.IntegerType |
           org.apache.spark.sql.types.ShortType |
-          org.apache.spark.sql.types.ByteType |
-          org.apache.spark.sql.types.StringType => true
-      case _ => false
-    })
+          org.apache.spark.sql.types.ByteType) => col(c).cast("long")
+      case (c, org.apache.spark.sql.types.StringType) => col(c)
+      case (c, org.apache.spark.sql.types.DateType) => unix_date(col(c)).cast("long")
+      case (c, org.apache.spark.sql.types.TimestampType) => unix_micros(col(c))
+      case (c, _: org.apache.spark.sql.types.DecimalType) => col(c).cast("string")
+    }
+    val hllPresent = present.filter(c => hllInput.isDefinedAt((c, schema(c).dataType)))
     val aggs = present.flatMap(c =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
       bloomPresent.map(c =>
@@ -682,7 +695,8 @@ object Versioned {
         regexp_replace(base64(graft.functions.Bloom.bloomAgg(col(c),
           bloomExpected, bloomBits)), "[\\r\\n]", "").as(s"bl_$c")) ++
       hllPresent.flatMap(c => Seq(
-        regexp_replace(base64(hll_sketch_agg(col(c))), "[\\r\\n]", "")
+        regexp_replace(base64(hll_sketch_agg(
+          hllInput((c, schema(c).dataType)))), "[\\r\\n]", "")
           .as(s"hl_$c"),
         // exact non-null count: the CBO's AggregateEstimation demands
         // BOTH distinctCount and nullCount (hasCountStats) before it
@@ -766,29 +780,44 @@ object Versioned {
 
   private[graft] def fileKeyOf(f: String): String = fileKey(f)
 
+  /** Pre-parsed stats document: parse each manifest entry's stats JSON
+    * ONCE per scan and probe the tree for every required column —
+    * string-based probes re-parsed per (file × column × probe), an
+    * O(files × cols) pile of full JSON parses on every planning pass
+    * of a large manifest. */
+  private[graft] type StatsDoc = org.json4s.JValue
+
+  private[graft] def parseStatsDoc(sj: String): Option[StatsDoc] =
+    try Some(org.json4s.jackson.JsonMethods.parse(sj))
+    catch { case _: Exception => None }
+
   /** The recorded HLL NDV sketch (continuous base64) of column `c` in
-    * a manifest entry's stats, if present — what the DSv2 scan unions
+    * a parsed stats document, if present — what the DSv2 scan unions
     * into a planner-facing distinct count. */
-  private[graft] def hllStatOf(sj: String, c: String): Option[String] = {
+  private[graft] def hllStatIn(doc: StatsDoc, c: String): Option[String] = {
     import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    JsonMethods.parse(sj) \ s"#hll:$c" \ "b" match {
+    doc \ s"#hll:$c" \ "b" match {
       case JString(b) => Some(b)
       case _ => None
     }
   }
 
-  /** The recorded exact null count of column `c` in a manifest entry's
-    * stats, if present (logged next to the HLL sketch — the planner's
-    * `hasCountStats` gate needs both). */
-  private[graft] def nullStatOf(sj: String, c: String): Option[Long] = {
+  /** The recorded exact null count of column `c` in a parsed stats
+    * document, if present (logged next to the HLL sketch — the
+    * planner's `hasCountStats` gate needs both). */
+  private[graft] def nullStatIn(doc: StatsDoc, c: String): Option[Long] = {
     import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    JsonMethods.parse(sj) \ s"#nulls:$c" \ "mnl" match {
+    doc \ s"#nulls:$c" \ "mnl" match {
       case JInt(n) => Some(n.toLong)
       case _ => None
     }
   }
+
+  private[graft] def hllStatOf(sj: String, c: String): Option[String] =
+    parseStatsDoc(sj).flatMap(hllStatIn(_, c))
+
+  private[graft] def nullStatOf(sj: String, c: String): Option[Long] =
+    parseStatsDoc(sj).flatMap(nullStatIn(_, c))
 
   /** The recorded `#bytes` of a manifest entry's stats, if present —
     * what the streaming source's byte-based admission control reads. */
@@ -2682,8 +2711,12 @@ object Versioned {
     val shared = refsO.map(_._1).toSet intersect refsN.map(_._1).toSet
     def expand(refs: Seq[(String, Option[String])],
         inline: Seq[(String, Option[String])]) =
-      refs.filterNot(r => shared(r._1))
-        .flatMap(r => readSegmentRows(spark, path, r._1)) ++ inline
+      (refs.filterNot(r => shared(r._1))
+        .flatMap(r => readSegmentRows(spark, path, r._1)) ++ inline)
+        // a file key listed both inline and inside a non-shared
+        // segment (segment rewrites in flight) must count ONCE —
+        // duplicates inflate streaming admission-control consumption
+        .distinctBy(_._1)
     val oldSet = expand(refsO, inlO).map(_._1).toSet
     val added = expand(refsN, inlN).filterNot(e => oldSet(e._1))
     (added.size.toLong,

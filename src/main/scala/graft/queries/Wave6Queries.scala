@@ -82,6 +82,9 @@ object Wave6Queries {
     val bg = base.select(col("doc_id"), col("source"),
         explode(Dedup.ngrams(col("text"), n = 2)).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one-generation cache discipline (see ScopedCache): the next
+    // call releases this call's spilled blocks, not session end
+    graft.ops.ScopedCache.swap(s"qLmBigram@${s.hashCode}", Seq(bg))
     val toks = base.select(col("doc_id"), col("source"),
       explode(TextStats.tokens(col("text"))).as("tok"))
     val uni = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))

@@ -342,16 +342,18 @@ final class LakeScan(path: String, version: Option[Long],
     // missing from ANY pruned file reports nothing — conservative,
     // like every estimate here. Column-mapping renames resolve
     // through the field's physical name, matching the min/max probes.
+    // parse each pruned entry's stats JSON ONCE, probe the parsed tree
+    // for every required column — not O(files × cols) full re-parses
+    val statDocs: Seq[Option[Versioned.StatsDoc]] =
+      plannedFiles(spark).map(_._2.flatMap(Versioned.parseStatsDoc))
     val ndvByCol: Map[String, (Long, Long)] = required.fields.flatMap { f =>
       val names = Seq(f.name, Versioned.physicalNameOf(f)).distinct
-      val parsed = plannedFiles(spark).map { case (_, stats) =>
-        stats.flatMap { sj =>
-          names.iterator.flatMap(n =>
-            Versioned.hllStatOf(sj, n).flatMap(b =>
-              Versioned.nullStatOf(sj, n).map(nl => (b, nl))))
-            .nextOption()
-        }
-      }
+      val parsed = statDocs.map(_.flatMap { doc =>
+        names.iterator.flatMap(n =>
+          Versioned.hllStatIn(doc, n).flatMap(b =>
+            Versioned.nullStatIn(doc, n).map(nl => (b, nl))))
+          .nextOption()
+      })
       if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
       else try {
         val u = new org.apache.datasketches.hll.Union(12)

@@ -77,8 +77,12 @@ final class LakeMicroBatchStream(path: String, schema: StructType,
       try Versioned.addedStats(spark, path, ver - 1, ver)
       catch {
         case e: java.io.FileNotFoundException =>
+          // the diff reads TWO manifests — name the one actually gone
+          val missing = Seq(ver - 1, ver).filter(_ >= 1)
+            .find(!Versioned.manifestExists(spark, path, _))
+            .getOrElse(ver)
           throw new IllegalStateException(
-            s"graft-lake stream: manifest of $path v$ver is " +
+            s"graft-lake stream: manifest of $path v$missing is " +
               "gone — most likely vacuumed. Re-seed the stream " +
               "with .option(\"startingVersion\", …) and a fresh " +
               "checkpoint.", e)

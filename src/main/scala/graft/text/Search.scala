@@ -142,6 +142,12 @@ object Search {
     val q2 = queryTerms.select("query_id", "term")
       .unionByName(expansion).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one-generation cache discipline: the NEXT rm3TopK call (not
+    // session end) releases this call's tok/q2 blocks — disk-spilled
+    // MEMORY_AND_DISK blocks are never evicted by memory pressure,
+    // so without this a long-lived session accumulates dead spill
+    graft.ops.ScopedCache.swap(
+      s"rm3TopK@${docsDf.sparkSession.hashCode}", Seq(tok, q2))
     bm25TopK(docsDf, q2, k, dlOpt, Some(tok))
   }
 

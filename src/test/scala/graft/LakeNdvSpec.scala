@@ -53,6 +53,68 @@ class LakeNdvSpec extends SparkSuite {
     } finally rm(work)
   }
 
+  test("short/byte stats columns sketch through the long cast — " +
+      "hll_sketch_agg accepts only int/bigint/string/binary, so the " +
+      "narrow integrals must not fail analysis (r14 regression)") {
+    val work = tmp(); val t = work.resolve("a").toString
+    try {
+      val narrow = data.select(
+        col("k"), col("g").cast("short").as("gs"),
+        col("g").cast("byte").as("gb"))
+      // init AND append both ride the shared staging aggregate —
+      // either would have thrown DATATYPE_MISMATCH before the cast
+      Versioned.init(narrow.repartition(2), t, statsCols = Seq("gs", "gb"))
+      Versioned.append(narrow.limit(50).repartition(2), t)
+      val entries = Versioned.manifestEntries(spark, t, 2L)
+      assert(entries.nonEmpty && entries.forall(_._2.exists(sj =>
+        sj.contains("\"#hll:gs\"") && sj.contains("\"#hll:gb\""))))
+      val rel = spark.read.format("graft-lake").option("path", t).load()
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r
+        }.get
+      val ndvs = rel.stats.attributeStats.collect {
+        case (a, st) if Set("gs", "gb")(a.name) =>
+          a.name -> st.distinctCount
+      }.toMap
+      assert(ndvs.get("gs").flatten.exists(n => n >= 4 && n <= 6) &&
+        ndvs.get("gb").flatten.exists(n => n >= 4 && n <= 6),
+        s"expected NDV ~5 for gs/gb, got $ndvs")
+    } finally rm(work)
+  }
+
+  test("date and decimal stats columns sketch distinct-preservingly " +
+      "(epoch-days / canonical string) and surface planner NDVs") {
+    val work = tmp(); val t = work.resolve("a").toString
+    try {
+      val typed = Tables.load(spark, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderdate").as("dt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        (col("o_orderkey") % 7).cast("decimal(4,1)").as("gd"))
+      Versioned.init(typed.repartition(3), t, statsCols = Seq("dt", "gd"))
+      val entries = Versioned.manifestEntries(spark, t, 1L)
+      assert(entries.nonEmpty && entries.forall(_._2.exists(sj =>
+        sj.contains("\"#hll:dt\"") && sj.contains("\"#hll:gd\""))),
+        "date + decimal columns must log sketches")
+      val rel = spark.read.format("graft-lake").option("path", t).load()
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r
+        }.get
+      val ndvs = rel.stats.attributeStats.collect {
+        case (a, st) if Set("dt", "gd")(a.name) =>
+          a.name -> st.distinctCount
+      }.toMap
+      val trueDt = typed.select("dt").distinct().count()
+      assert(ndvs.get("gd").flatten.exists(n => n >= 6 && n <= 8),
+        s"expected NDV ~7 for decimal gd, got $ndvs")
+      assert(ndvs.get("dt").flatten.exists(n =>
+          n >= BigInt((trueDt * 0.8).toLong) &&
+          n <= BigInt((trueDt * 1.2).toLong)),
+        s"expected NDV ~$trueDt for date dt, got $ndvs")
+    } finally rm(work)
+  }
+
   test("CBO + manifest NDV flips the post-aggregation join to a " +
       "plan-time broadcast; the unsketched twin sort-merges") {
     val work = tmp()
