@@ -93,7 +93,8 @@ object SparkEntry {
     graft.queries.Wave68Queries.queries ++
     graft.queries.Wave69Queries.queries ++
     graft.queries.Wave70Queries.queries ++
-    graft.queries.Wave71Queries.queries
+    graft.queries.Wave71Queries.queries ++
+    graft.queries.Wave72Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -173,5 +174,6 @@ object SparkEntry {
     graft.queries.Wave68Queries.oracles ++
     graft.queries.Wave69Queries.oracles ++
     graft.queries.Wave70Queries.oracles ++
-    graft.queries.Wave71Queries.oracles
+    graft.queries.Wave71Queries.oracles ++
+    graft.queries.Wave72Queries.oracles
 }

@@ -819,6 +819,33 @@ object Versioned {
   private[graft] def nullStatOf(sj: String, c: String): Option[Long] =
     parseStatsDoc(sj).flatMap(nullStatIn(_, c))
 
+  /** The recorded integral min/max of column `c` in a parsed stats
+    * document ("t":"l" entries). Surfaced as planner column bounds:
+    * Spark's JoinEstimation intersects the two keys' value intervals
+    * BEFORE the NDV formula, and a ColumnStat without bounds reads as
+    * an empty interval — every CBO join estimate collapses to 0 rows
+    * (and zeroed stats wipe the column NDVs the aggregate estimate
+    * above the join needs). */
+  private[graft] def longMinMaxIn(doc: StatsDoc,
+      c: String): Option[(Long, Long)] = {
+    import org.json4s._
+    (doc \ c \ "mnl", doc \ c \ "mxl") match {
+      case (JInt(mn), JInt(mx)) => Some((mn.toLong, mx.toLong))
+      case _ => None
+    }
+  }
+
+  /** The recorded floating min/max of column `c` ("t":"d" entries). */
+  private[graft] def doubleMinMaxIn(doc: StatsDoc,
+      c: String): Option[(Double, Double)] = {
+    import org.json4s._
+    (doc \ c \ "mnd", doc \ c \ "mxd") match {
+      case (JDouble(mn), JDouble(mx)) => Some((mn, mx))
+      case (JInt(mn), JInt(mx)) => Some((mn.toDouble, mx.toDouble))
+      case _ => None
+    }
+  }
+
   /** The recorded `#bytes` of a manifest entry's stats, if present —
     * what the streaming source's byte-based admission control reads. */
   private[graft] def entryBytes(sj: Option[String]): Option[Long] =

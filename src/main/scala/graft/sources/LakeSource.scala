@@ -365,11 +365,58 @@ final class LakeScan(path: String, version: Option[Long],
           parsed.flatten.map(_._2).sum))
       } catch { case _: Exception => None } // malformed sketch: no stat
     }.toMap
+    // value BOUNDS for numeric stats columns, folded over the pruned
+    // footprint (min of file minima / max of file maxima) and typed to
+    // the column's JVM value class — JoinEstimation intersects the two
+    // join keys' value intervals BEFORE its NDV formula, and a
+    // ColumnStat with NDV but NO bounds reads as an empty interval:
+    // every CBO join estimate collapses to 0 rows and the zeroed join
+    // output wipes the group-key NDVs the aggregate estimate above
+    // needs. Bounds + NDV together are what make a multi-join report
+    // over lake tables CBO-plannable end to end. Conservative like the
+    // NDV: a column missing bounds in ANY pruned file reports none.
+    val boundsByCol: Map[String, (Any, Any)] = required.fields.flatMap { f =>
+      val names = Seq(f.name, Versioned.physicalNameOf(f)).distinct
+      import org.apache.spark.sql.types._
+      def typedLong(v: Long): Any = f.dataType match {
+        case ByteType => java.lang.Byte.valueOf(v.toByte)
+        case ShortType => java.lang.Short.valueOf(v.toShort)
+        case IntegerType => java.lang.Integer.valueOf(v.toInt)
+        case LongType => java.lang.Long.valueOf(v)
+        case _ => null
+      }
+      def typedDouble(v: Double): Any = f.dataType match {
+        case FloatType => java.lang.Float.valueOf(v.toFloat)
+        case DoubleType => java.lang.Double.valueOf(v)
+        case _ => null
+      }
+      val perFile: Seq[Option[(Any, Any)]] = statDocs.map(_.flatMap { doc =>
+        names.iterator.flatMap { n =>
+          Versioned.longMinMaxIn(doc, n)
+            .map { case (mn, mx) => (typedLong(mn), typedLong(mx)) }
+            .orElse(Versioned.doubleMinMaxIn(doc, n)
+              .map { case (mn, mx) => (typedDouble(mn), typedDouble(mx)) })
+            .filter { case (mn, mx) => mn != null && mx != null }
+        }.nextOption()
+      })
+      if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+      else {
+        def cmp(a: Any, b: Any): Int =
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+        val all = perFile.flatten
+        Some(f.name ->
+          (all.map(_._1).minBy(identity[Any])(Ordering.fromLessThan(
+            (x, y) => cmp(x, y) < 0)),
+           all.map(_._2).maxBy(identity[Any])(Ordering.fromLessThan(
+            (x, y) => cmp(x, y) < 0))))
+      }
+    }.toMap
     val colStats = {
       val m = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       ndvByCol.foreach { case (name, (ndv, nulls)) =>
+        val bounds = boundsByCol.get(name)
         m.put(
           org.apache.spark.sql.connector.expressions.Expressions
             .column(name),
@@ -381,6 +428,12 @@ final class LakeScan(path: String, version: Option[Long],
             // count too — logged exactly at commit, summed here
             override def nullCount(): java.util.OptionalLong =
               java.util.OptionalLong.of(nulls)
+            override def min(): java.util.Optional[Object] =
+              bounds.fold(java.util.Optional.empty[Object]())(b =>
+                java.util.Optional.of(b._1.asInstanceOf[Object]))
+            override def max(): java.util.Optional[Object] =
+              bounds.fold(java.util.Optional.empty[Object]())(b =>
+                java.util.Optional.of(b._2.asInstanceOf[Object]))
           })
       }
       m

@@ -115,7 +115,12 @@ class PlanAuditSpec extends SparkSuite {
     // and the recall audit's exact truth side is the q_ann_brute
     // 10-query broadcast probe. Scoring itself is all equi-joins on
     // (list_id) and (query_id, m, code).
-    "q_ann_ivfpq")
+    "q_ann_ivfpq",
+    // wave 72: q_tpcds_q23_cte decorrelates BOTH its CTE thresholds
+    // (per-part average line count, 1.5× average customer revenue) as
+    // 1-row broadcast crosses — the q_tpch_q22 scalar-subquery shape,
+    // twice.
+    "q_tpcds_q23_cte")
 
   test("every registry query plans; no unintended cartesian products") {
     val d = sf("sf0.001")
