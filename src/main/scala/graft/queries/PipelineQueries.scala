@@ -143,17 +143,19 @@ object PipelineQueries {
       Similarity.bruteForceTopK(e, q, k = 5), k = 5, floor = 0.5)
   }
 
-  /** IVF ANN recall audit — same shape as [[qAnnLsh]]. nProbe=4 of
-    * nLists=16 measures 0.52–0.64 recall on the near-uniform test
-    * embeddings (probing 1/4 of a partitioning that barely clusters
-    * random vectors ≈ recall slightly above 1/2); floor 0.4 flags a
-    * collapse with margin. */
+  /** IVF ANN recall audit — same shape as [[qAnnLsh]]. The r14 fixed
+    * dial (16 lists / 4 probes) lost recall as the corpus grew
+    * (0.52 → 0.64); the auto dial (nLists = ⌈√n⌉, half probed —
+    * [[Similarity.ivfTopK]]'s default since r15) measures 0.82 / 0.88
+    * / 0.92 at sf0.001/0.01/0.1 (`tools/AnnDialSweep`), RISING with
+    * corpus size at a constant probed fraction. Floor 0.7 sits under
+    * the measured band with margin. */
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val q = e.filter(col("vec_id") < lit(10L))
     Similarity.recallAtK(
       Similarity.ivfTopK(e, q, k = 5),
-      Similarity.bruteForceTopK(e, q, k = 5), k = 5, floor = 0.4)
+      Similarity.bruteForceTopK(e, q, k = 5), k = 5, floor = 0.7)
   }
 
   // ---- multimodal ----

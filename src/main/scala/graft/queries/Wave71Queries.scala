@@ -172,16 +172,22 @@ object Wave71Queries {
   // ---- IVF+PQ composite ANN ----
 
   /** Recall-audit row (the `q_ann_pq` shape): found set is
-    * approximation-specific, the audit is oracle-checkable. Dial:
-    * 8 cells / 5 probed, 16×32 residual codes, 64-candidate exact
-    * re-rank; floor 0.6 under the measured band. */
+    * approximation-specific, the audit is oracle-checkable. Dial
+    * SCALES with the corpus (the r14 fixed 8/5/64 dial decayed
+    * 0.88 → 0.76 as SF grew): nLists = ⌈√n⌉, 60 % probed, shortlist
+    * 4√n — measured recall@5 0.94 / 0.96 / 0.94 at sf0.001/0.01/0.1
+    * (`tools/AnnDialSweep`), flat across corpus size because both the
+    * cell count and the re-rank budget grow with √n. Floor 0.8 under
+    * the band with margin. */
   def qAnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = Q.spread(Tables.load(s, d, "embeddings"))
+    val root = math.ceil(math.sqrt(e.count().toDouble)).toInt
     val q = e.filter(col("vec_id") < lit(10L))
     Similarity.recallAtK(
-      Similarity.ivfPqTopK(e, q, k = 5, nLists = 8, nProbe = 5,
-        nSub = 16, nCodes = 32, shortlist = 64),
-      Similarity.bruteForceTopK(e, q, k = 5), k = 5, floor = 0.6)
+      Similarity.ivfPqTopK(e, q, k = 5, nLists = root,
+        nProbe = math.max(1, math.ceil(root * 0.6).toInt),
+        nSub = 16, nCodes = 32, shortlist = math.max(64, 4 * root)),
+      Similarity.bruteForceTopK(e, q, k = 5), k = 5, floor = 0.8)
   }
 
   // ---- manifest NDV sketches driving a CBO broadcast decision ----
