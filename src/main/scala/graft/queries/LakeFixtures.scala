@@ -47,6 +47,13 @@ object LakeFixtures {
       dir
     })
 
+  /** [[build]] for callers outside this object: JVM-lifetime memo of
+    * any immutable derived directory fixture (clustered layouts,
+    * multi-commit replay bases). Only READ-ONLY fixtures may memoize —
+    * anything a query mutates must stay per-run. */
+  def memoDir(key: String, prefix: String)(init: String => Unit): String =
+    build(key, prefix)(init)
+
   /** Full orders, range-clustered on the customer key into 16 files —
     * the erasure-locality layout (one customer ⇒ one file). */
   def ordersRange16(s: SparkSession, d: String): String =

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 
 import graft.io.Tables
 import graft.ops.Versioned
+import graft.streaming.Events
 import graft.text.{Dedup, TextStats}
 
 /** Round-7 wave 10 — lake/stream convergence and the sampling/statistics
@@ -71,26 +72,33 @@ object Wave10Queries {
     * replays init + 3 merges in pure SQL (within-batch dedup, last-
     * batch-wins, anti-join + union). */
   def qStreamMerge(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_smerge").toString
-    val lakePath = s"$dir/lake"
-    try {
+    // staged odd-doc batches are immutable per sf dir — JVM-memoized
+    // (Events.stagedInputs); checkpoint and the MUTATED lake clone
+    // stay per-run (a reused checkpoint would skip every batch and
+    // leave the fresh clone unmerged)
+    val dir = Events.stagedInputs(s"smerge|$d") { dir0 =>
       val all = fpDocs(s, d)
-      Versioned.clone(s, LakeFixtures.docsEvensFp(s, d), lakePath)
-      val hfs = new org.apache.hadoop.fs.Path(dir)
+      val hfs = new org.apache.hadoop.fs.Path(dir0)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       (0 to 2).foreach { b =>
-        val stage = s"$dir/stage/b$b"
+        val stage = s"$dir0/stage/b$b"
         all.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === b)
           .coalesce(1).write.mode("overwrite").parquet(stage)
         val part = hfs.listStatus(new org.apache.hadoop.fs.Path(stage))
           .map(_.getPath).find(_.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"no staged part file for batch $b"))
-        val in = new org.apache.hadoop.fs.Path(s"$dir/in/b$b.parquet")
+        val in = new org.apache.hadoop.fs.Path(s"$dir0/in/b$b.parquet")
         hfs.mkdirs(in.getParent)
         hfs.rename(part, in)
         // the file source replays oldest-mtime first — pin batch order
         hfs.setTimes(in, 10000L * (b + 1), -1L)
       }
+    }
+    val ck = Events.scratchCheckpoint("smerge")
+    val work = java.nio.file.Files.createTempDirectory("graft_smerge").toString
+    val lakePath = s"$work/lake"
+    try {
+      Versioned.clone(s, LakeFixtures.docsEvensFp(s, d), lakePath)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("source", StringType),
         StructField("fp", StringType)))
@@ -107,7 +115,7 @@ object Wave10Queries {
             ()
           }
         }
-        .option("checkpointLocation", s"$dir/ckpt")
+        .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       // wait for AvailableNow self-termination (see Events.runToCompletion
@@ -129,8 +137,10 @@ object Wave10Queries {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), nv))
         .toDF("source", "n_docs", "n_from_stream", "n_versions")
     } finally {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Seq(ck, work).foreach { p0 =>
+        val p = new org.apache.hadoop.fs.Path(p0)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }
   }
 

@@ -31,54 +31,53 @@ object Wave21Queries {
     * the final per-type leaderboard (the rows of each key's LAST
     * emission) matches the all-batch recompute the oracle runs. */
   def qStreamTopk(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_topk").toString
-    try {
-      val hfs = new org.apache.hadoop.fs.Path(dir)
+    // staged batch files are immutable per sf dir — memoized for the
+    // JVM's life (Events.stagedInputs), so the three full events
+    // scans + single-task writes are paid once, not per run
+    val dir = Events.stagedInputs(s"topk|$d") { dir0 =>
+      val hfs = new org.apache.hadoop.fs.Path(dir0)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val ev = Tables.load(s, d, "events")
         .select(col("event_id"), col("event_type"), col("user_id"))
       (0 to 2).foreach { b =>
-        val stage = s"$dir/stage/b$b"
+        val stage = s"$dir0/stage/b$b"
         ev.filter(col("event_id") % 3 === b)
           .coalesce(1).write.mode("overwrite").parquet(stage)
         val part = hfs.listStatus(new org.apache.hadoop.fs.Path(stage))
           .map(_.getPath).find(_.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"no staged part file for batch $b"))
-        val in = new org.apache.hadoop.fs.Path(s"$dir/in/b$b.parquet")
+        val in = new org.apache.hadoop.fs.Path(s"$dir0/in/b$b.parquet")
         hfs.mkdirs(in.getParent)
         hfs.rename(part, in)
         hfs.setTimes(in, 10000L * (b + 1), -1L)
       }
-      val schema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("event_type", StringType),
-        StructField("user_id", LongType)))
-      import s.implicits._
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
-        .select(col("event_type"), col("user_id")).as[TopKIn]
-      val out = stream.groupByKey(_.event_type)
-        .transformWithState(new StatefulTopK(3), TimeMode.None(),
-          OutputMode.Update())
-        .toDF()
-      val emissions = Events.runToCompletion(s, out, mode = "update",
-        wideState = true)
-      // per-key max via a window, not a self-join — the memory sink's
-      // view exposes the same attribute ids on both sides of a join
-      emissions
-        .withColumn("mx", max(col("emit_seq")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
-        .filter(col("emit_seq") === col("mx"))
-        .select(col("event_type"), col("rank"), col("user_id"), col("cnt"))
-        .orderBy("event_type", "rank")
-        // materialize before the finally-cleanup deletes the staged files
-        .collect().toSeq
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .toDF("event_type", "rank", "user_id", "cnt")
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    import s.implicits._
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .select(col("event_type"), col("user_id")).as[TopKIn]
+    val out = stream.groupByKey(_.event_type)
+      .transformWithState(new StatefulTopK(3), TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+    val emissions = Events.runToCompletion(s, out, mode = "update",
+      wideState = true)
+    // per-key max via a window, not a self-join — the memory sink's
+    // view exposes the same attribute ids on both sides of a join
+    emissions
+      .withColumn("mx", max(col("emit_seq")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("emit_seq") === col("mx"))
+      .select(col("event_type"), col("rank"), col("user_id"), col("cnt"))
+      .orderBy("event_type", "rank")
+      // materialize before a later run drops the memory-sink view
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toDF("event_type", "rank", "user_id", "cnt")
   }
 
   // ---- Benford first-digit audit ----

@@ -29,24 +29,24 @@ object Wave22Queries {
     * stats skipping composes UNDER partition pruning and works for
     * any clustered column the layout never partitioned by. */
   def qDataSkipping(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
-    try {
+    // the clustered layout is deterministic and READ-ONLY after the
+    // build — memoized for the JVM's life (the r14 sf1 sweep measured
+    // the per-run full-lineitem rewrite as this row's whole cost; the
+    // probe itself reads 2 files)
+    val dir = LakeFixtures.memoDir(s"skip|$d", "graft_skip") { dir0 =>
       val li = Tables.load(s, d, "lineitem")
         .withColumn("bucket",
           concat(year(col("l_shipdate")).cast("string"), lit("q"),
             quarter(col("l_shipdate")).cast("string")))
-      Skipping.writeWithStats(li, dir, "bucket", "l_shipdate")
-      val (pruned, total, read) =
-        Skipping.readRange(s, dir, "bucket", "l_shipdate", probeFrom, probeTo)
-      val r = pruned.agg(count(lit(1)).as("n_rows"),
-        round(Q.dsum(Q.revenue), 2).as("revenue")).head()
-      import s.implicits._
-      Seq((total, read, r.getLong(0), r.getDouble(1)))
-        .toDF("n_files_total", "n_files_read", "n_rows", "revenue")
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Skipping.writeWithStats(li, dir0, "bucket", "l_shipdate")
     }
+    val (pruned, total, read) =
+      Skipping.readRange(s, dir, "bucket", "l_shipdate", probeFrom, probeTo)
+    val r = pruned.agg(count(lit(1)).as("n_rows"),
+      round(Q.dsum(Q.revenue), 2).as("revenue")).head()
+    import s.implicits._
+    Seq((total, read, r.getLong(0), r.getDouble(1)))
+      .toDF("n_files_total", "n_files_read", "n_rows", "revenue")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.ops.Versioned
+import graft.streaming.Events
 import graft.text.Dedup
 
 /** Round-9 wave 44 — the streaming right-to-be-forgotten loop:
@@ -35,27 +36,32 @@ object Wave44Queries {
     shiftrightunsigned(Dedup.md5Hash64(concat_ws("#", cols: _*)), 4)
 
   def qStreamDv(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sdv").toString
-    val lakePath = LakeFixtures.cloneOf(s,
-      LakeFixtures.ordersRange16(s, d), "graft_sdv_lake")
-    try {
-      val hfs = new org.apache.hadoop.fs.Path(dir)
+    // the three staged request batches are constants — memoized for
+    // the JVM's life; the checkpoint and the MUTATED lake clone stay
+    // per-run (a reused checkpoint would skip every batch and leave
+    // the fresh clone untouched)
+    val dir = Events.stagedInputs("sdv_batches") { dir0 =>
+      val hfs = new org.apache.hadoop.fs.Path(dir0)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // three erasure-request batches: customers 1, 2, 3 (present at
-      // every scale factor, so every batch commits a version)
       import s.implicits._
       (0 to 2).foreach { b =>
-        val stage = s"$dir/stage/b$b"
+        val stage = s"$dir0/stage/b$b"
         Seq(b + 1L).toDF("c").coalesce(1)
           .write.mode("overwrite").parquet(stage)
         val part = hfs.listStatus(new org.apache.hadoop.fs.Path(stage))
           .map(_.getPath).find(_.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"no staged part file for batch $b"))
-        val in = new org.apache.hadoop.fs.Path(s"$dir/in/b$b.parquet")
+        val in = new org.apache.hadoop.fs.Path(s"$dir0/in/b$b.parquet")
         hfs.mkdirs(in.getParent)
         hfs.rename(part, in)
         hfs.setTimes(in, 10000L * (b + 1), -1L)
       }
+    }
+    val ck = Events.scratchCheckpoint("sdv")
+    val lakePath = LakeFixtures.cloneOf(s,
+      LakeFixtures.ordersRange16(s, d), "graft_sdv_lake")
+    try {
+      import s.implicits._
       val v1Files = Versioned.files(s, lakePath, Some(1L))
       val stream = s.readStream
         .schema(StructType(Seq(StructField("c", LongType))))
@@ -72,7 +78,7 @@ object Wave44Queries {
             }
           }
         }
-        .option("checkpointLocation", s"$dir/ckpt")
+        .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try {
@@ -99,7 +105,7 @@ object Wave44Queries {
         .toDF("n_rows", "sum_price", "xor_fp", "zero_rewrite",
           "dv_complete", "n_versions")
     } finally {
-      Seq(dir, lakePath).foreach { p0 =>
+      Seq(ck, lakePath).foreach { p0 =>
         val p = new org.apache.hadoop.fs.Path(p0)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }

@@ -292,17 +292,20 @@ object Wave70Queries {
     * startable at all: the initial snapshot streams in bounded
     * slices instead of one cluster-choking batch. */
   def qStreamPaced(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_paced")
-    val dir = work.resolve("t").toString
+    // the 3-commit table is READ-ONLY for the paced consumer —
+    // JVM-memoized; only the checkpoint + memory sink are per-run
+    val dir = LakeFixtures.memoDir(s"paced3|$d", "graft_paced") { dir0 =>
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      Versioned.init(o.filter(col("k") % 3 === 0).repartition(3), dir0)
+      Versioned.append(o.filter(col("k") % 3 === 1).repartition(2), dir0)
+      Versioned.append(o.filter(col("k") % 3 === 2).repartition(2), dir0)
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_paced_run")
     val cp = work.resolve("cp").toString
     val sink = s"graft_paced_${java.util.UUID.randomUUID()
       .toString.take(8)}"
     try {
-      val o = Tables.load(s, d, "orders")
-        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
-      Versioned.init(o.filter(col("k") % 3 === 0).repartition(3), dir)
-      Versioned.append(o.filter(col("k") % 3 === 1).repartition(2), dir)
-      Versioned.append(o.filter(col("k") % 3 === 2).repartition(2), dir)
       val q = s.readStream.format("graft-lake").option("path", dir)
         .option("maxFilesPerTrigger", 3).load()
         .writeStream.format("memory").queryName(sink)

@@ -469,6 +469,40 @@ object Events {
   private val lateStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** JVM-lifetime memo of staged STREAM-INPUT fixtures (the
+    * mtime-ordered batch files a replay query feeds its file source).
+    * The staged bytes are a pure function of the builder's key, and
+    * the file-source queries only READ them — so the build cost
+    * (full-table scans + single-task writes, the dominant fixed cost
+    * of the replay-shape rows) is paid once per JVM, not on every
+    * bench warm-up + timed run + re-measure (the r14 lateStageCache
+    * lesson, generalized). The checkpoint and any MUTATED fixture
+    * (lake clones) stay per-invocation — isolation lives there, not
+    * in the immutable inputs. */
+  private val inputStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def stagedInputs(key: String)(build: String => Unit): String =
+    inputStageCache.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stage").toString
+      build(dir)
+      dir
+    })
+
+  /** Per-invocation checkpoint scratch on the RAM-backed dir when
+    * available — the runToCompletion discipline, for the replay
+    * queries that drive their own writeStream (foreachBatch sinks). */
+  def scratchCheckpoint(name: String): String = {
+    val root = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    }
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(root), s"graft_ck_$name").toString
+  }
+
   /** The whole POST-PASS-1 state (input dir with b0, parquet sink,
     * checkpoint) is ALSO a pure function of (sf dir, cut): it is the
     * scenario's FIXTURE — "a streaming job has been running" — while
