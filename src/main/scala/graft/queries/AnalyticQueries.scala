@@ -34,13 +34,25 @@ object AnalyticQueries {
 
   /** Frame-spec window: 7-day rolling average + running total of daily
     * revenue (rowsBetween), partition-free ONLY because the series is
-    * one row per day — at scale this would partition by asset/series. */
+    * one row per day — at scale this would partition by asset/series.
+    *
+    * The RUNNING total accumulates in DECIMAL(30,8) (the q51
+    * discipline): a double running sum diverges between engines at
+    * sf1 magnitudes (~1e11) because Spark folds the frame
+    * sequentially while DuckDB's windowed sum aggregates a segment
+    * tree — same values, different addition order, 1-ulp drift that
+    * round(…, 4) then exposes. Decimal addition is associative-exact,
+    * so the running value is order-independent; rounded in the
+    * decimal domain and cast once at output. */
   def qRolling(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("day"))
     CoreQueries.dailyRevenue(s, d)
       .withColumn("avg7", round(avg(col("price")).over(w.rowsBetween(-6, 0)), 6))
-      .withColumn("running", round(sum(col("price")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .withColumn("running",
+        round(sum(col("price").cast(org.apache.spark.sql.types
+            .DecimalType(30, 8)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+          .cast("double"))
       .select(col("day"), col("price"), col("avg7"), col("running"))
       .orderBy("day")
   }
@@ -159,7 +171,7 @@ object AnalyticQueries {
          |  FROM lineitem GROUP BY 1)
          |SELECT day, price,
          |  round(avg(price) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7,
-         |  round(sum(price) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+         |  CAST(CAST(round(sum(CAST(price AS DECIMAL(30,8))) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS VARCHAR) AS DOUBLE) AS running
          |FROM daily ORDER BY day""".stripMargin,
     "q_top_per_group" ->
       """SELECT o_orderstatus, rk, o_orderkey, o_totalprice FROM (

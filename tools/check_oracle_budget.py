@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""check_oracle with a per-query wall budget (builder tooling): each
+oracle SQL runs in a forked worker killed at --budget seconds. Rows
+whose TRUTH REPLAY is super-linear (the all-pairs similarity oracles)
+time out instead of grinding for hours — they are reported as QUAD and
+attested separately by the sampled-truth batch (tools/sampled_truth.py).
+Usage: check_oracle_budget.py <sfDir> <verifyOut> [budgetSec]"""
+import sys, json, glob, multiprocessing as mp
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+budget = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
+
+
+def check_one(name, sql, q):
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        q.put(f"FAIL {name}: no spark output"); return
+    try:
+        got = con.sql(f"SELECT * FROM '{files[0]}'").fetchall()
+        gotrel = con.sql(f"SELECT * FROM '{files[0]}' LIMIT 0")
+        gotcols, gottypes = list(gotrel.columns), [str(t) for t in gotrel.types]
+        exp = con.sql(sql).fetchall()
+        exprel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        expcols, exptypes = list(exprel.columns), [str(t) for t in exprel.types]
+    except Exception as e:
+        q.put(f"FAIL {name}: {e}"); return
+    if sorted(gotcols) != sorted(expcols):
+        q.put(f"FAIL {name}: cols {sorted(gotcols)} != {sorted(expcols)}"); return
+
+    def norm(t):
+        return ("INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                               "UTINYINT", "USMALLINT", "UINTEGER",
+                               "UBIGINT") else t)
+    gottypes = [norm(t) for t in gottypes]
+    exptypes = [norm(t) for t in exptypes]
+    gt = dict(zip(gotcols, gottypes)); et = dict(zip(expcols, exptypes))
+    typebad = [(c, gt[c], et[c]) for c in sorted(gotcols) if gt[c] != et[c]]
+    if typebad:
+        q.put(f"FAIL {name}: column types differ: " +
+              ", ".join(f"{c} {g}!={e}" for c, g, e in typebad))
+        return
+    if len(got) != len(exp):
+        q.put(f"FAIL {name}: rows {len(got)} != {len(exp)}"); return
+    gi = [gotcols.index(c) for c in sorted(gotcols)]
+    ei = [expcols.index(c) for c in sorted(expcols)]
+    for r, (g, e) in enumerate(zip(got, exp)):
+        gv = tuple(g[i] for i in gi); ev = tuple(e[i] for i in ei)
+        if gv != ev:
+            q.put(f"FAIL {name}: row {r}\n  got {gv}\n  exp {ev}"); return
+    q.put(f"OK   {name} ({len(got)} rows)")
+
+
+if __name__ == "__main__":
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    fail, quad = 0, []
+    for name, sql in sorted(oracle.items()):
+        q = mp.Queue()
+        p = mp.Process(target=check_one, args=(name, sql, q))
+        p.start(); p.join(budget)
+        if p.is_alive():
+            p.terminate(); p.join()
+            quad.append(name)
+            print(f"QUAD {name}: oracle exceeded {budget:.0f}s budget", flush=True)
+            continue
+        msg = q.get() if not q.empty() else f"FAIL {name}: worker died"
+        print(msg, flush=True)
+        if msg.startswith("FAIL"):
+            fail += 1
+    print(f"checked={len(oracle)} quad_deferred={len(quad)} failures={fail}")
+    if quad:
+        print("QUAD list: " + ",".join(quad))
+    sys.exit(1 if fail else 0)
