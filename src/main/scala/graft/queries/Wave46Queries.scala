@@ -83,12 +83,21 @@ object Wave46Queries {
   def qZorderLake(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_zl").toString
     try {
+      // the trailing dimension is a HASH SPREAD of the customer key,
+      // not the raw key: scaled corpora (tools/ScaleUp) shift both
+      // o_orderkey and o_custkey by replica, so the raw pair is
+      // replica-correlated — a c-probe then maps to one k-band and
+      // the LINEAR layout prunes it too, vacuously failing the
+      // z-beats-linear receipt (r15 sf1 sweep). The Knuth-hash spread
+      // decorrelates the dimensions at every scale, which is the
+      // two-independent-probe-dimensions scenario z-order exists for.
       val base = Tables.load(s, d, "orders")
-        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        .select(col("o_orderkey").as("k"),
+          ((col("o_custkey") * lit(2654435761L)) % lit(100000L)).as("c"),
           col("o_totalprice").as("p"))
       Versioned.init(base.repartition(8), dir, statsCols = Seq("k", "c"))
       val (kLo, kHi) = (100d, 600d)
-      val (cLo, cHi) = (40d, 110d)
+      val (cLo, cHi) = (40000d, 42000d)
       // linear layout first: leading-dimension probes prune, trailing
       // ones read everything
       Versioned.compact(s, dir, targetFiles = 8, clusterBy = Seq("k", "c"))
@@ -154,10 +163,11 @@ object Wave46Queries {
          |  (SELECT count(*) FROM t WHERE k % 101 = 0) AS inserted
          |FROM fp""".stripMargin,
     "q_zorder_lake" ->
-      s"""WITH b AS (SELECT o_orderkey AS k, o_custkey AS c,
+      s"""WITH b AS (SELECT o_orderkey AS k,
+         |    (o_custkey * 2654435761) % 100000 AS c,
          |    o_totalprice AS p,
          |    md5_number_upper(CAST(o_orderkey AS VARCHAR) || '#' ||
-         |      CAST(o_custkey AS VARCHAR) || '#' ||
+         |      CAST((o_custkey * 2654435761) % 100000 AS VARCHAR) || '#' ||
          |      CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
          |        AS VARCHAR)) >> 4 AS fp
          |  FROM orders)
@@ -165,7 +175,7 @@ object Wave46Queries {
          |  ${Q.DSUM("p")} AS sum_price,
          |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
          |  'ok' AS z_prunes, 'ok' AS z_beats_linear
-         |FROM b WHERE c BETWEEN 40 AND 110
+         |FROM b WHERE c BETWEEN 40000 AND 42000
          |UNION ALL
          |SELECT 'k', count(*), ${Q.DSUM("p")},
          |  CAST(bit_xor(fp) AS BIGINT), 'ok', 'ok'
