@@ -261,18 +261,26 @@ object Wave17Queries {
     * dirty twin with ONE character deleted (position seeded by the
     * key, always past the first word so the blocking key survives),
     * and the matcher must link each dirty record back. Blocking =
-    * equi-join on the first word (24 blocks → candidate pairs are
-    * n²/24 per corpus shard instead of n²; at 100 TB the block key
-    * would be a higher-cardinality prefix/phonetic key, same plan
-    * shape); verify = codegen'd Levenshtein ≤ 2; resolve = best
-    * (distance, key) candidate per dirty record. The scoreboard
-    * counts exact-key matches vs collisions — entity resolution's
-    * honest confusion row, identical in both engines because every
-    * tie-break is deterministic. */
+    * equi-join on (first word, length band): Levenshtein ≤ 2 implies
+    * |len(a) − len(b)| ≤ 2, so the dirty side explodes into its five
+    * admissible clean lengths and the length JOINS instead of
+    * post-filtering — the standard ER length-band refinement. With a
+    * fixed 24-word vocabulary a first-word-only block is Ω(n²/24)
+    * candidates (the r15 sf1 sweep measured exactly the quadratic:
+    * 92× wall for 10× data); the composite key divides by the length
+    * spread too. Verify = codegen'd Levenshtein with the THRESHOLD
+    * form (early exit at distance > 2: O(threshold·len) per pair, not
+    * O(len²)); resolve = best (distance, key) candidate per dirty
+    * record. At 100 TB the block key would be a higher-cardinality
+    * prefix/phonetic key — same plan shape. The scoreboard counts
+    * exact-key matches vs collisions — entity resolution's honest
+    * confusion row, identical in both engines because every tie-break
+    * is deterministic. */
   def qEntityMatch(s: SparkSession, d: String): DataFrame = {
     val k = col("doc_id")
     val clean = docs(s, d).select(k.as("ck"), entName(k).as("cname"),
       entWord((k * 5 + 1) % 24).as("block"))
+      .withColumn("clen", length(col("cname")))
     val named = docs(s, d).select(k.as("dk"), entName(k).as("nm"))
       .select(col("dk"), col("nm"), length(col("nm")).as("len"),
         length(substring_index(col("nm"), " ", 1)).as("fw"))
@@ -283,10 +291,14 @@ object Wave17Queries {
         col("nm").substr(pos + 1, lit(1000))).as("dname"))
       .select(col("dk"), col("dname"),
         substring_index(col("dname"), " ", 1).as("block"))
-    val cand = dirty.join(clean, "block")
+    // candidates must agree on (block, length within ±2): the length
+    // band rides the JOIN KEY via a bounded 5-way explode
+    val probe = dirty.withColumn("clen", explode(array(
+      (-2 to 2).map(i => length(col("dname")) + lit(i)): _*)))
+    val cand = probe.join(clean, Seq("block", "clen"))
       .select(col("dk"), col("ck"),
-        levenshtein(col("dname"), col("cname")).as("dist"))
-      .filter(col("dist") <= 2)
+        levenshtein(col("dname"), col("cname"), 2).as("dist"))
+      .filter(col("dist").between(0, 2)) // threshold form returns −1 past it
     val best = cand.withColumn("rn", row_number().over(
         Window.partitionBy("dk").orderBy(col("dist"), col("ck"))))
       .filter(col("rn") === 1)
