@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The measured action: reference EVERY output column (see the long
+    * comment at the call site — a bare .count() lets column pruning
+    * delete the aggregates being timed) and COLLECT the one-row sum.
+    * Shared with tools/ProfileQuery so standalone profiling times the
+    * same plan the bench does. */
+  private[graft] def timedAction(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.exists(f => hasMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hasMap(a.elementType)
+        case _ => false
+      }
+    val refs = df.schema.fields.map { f =>
+      val c = df.col(s"`${f.name}`")
+      if (hasMap(f.dataType)) to_json(c) else c
+    }
+    df.select(xxhash64(struct(refs: _*)).as("__h"))
+      .agg(sum(col("__h"))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -79,25 +104,6 @@ object Bench {
     // declared plan (a .count() on the sum would let pruning cascade
     // right back through the hash). Map-typed columns are JSON-ified
     // first — xxhash64 rejects maps.
-    def timedAction(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions._
-      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
-        dt match {
-          case _: org.apache.spark.sql.types.MapType => true
-          case s: org.apache.spark.sql.types.StructType =>
-            s.fields.exists(f => hasMap(f.dataType))
-          case a: org.apache.spark.sql.types.ArrayType =>
-            hasMap(a.elementType)
-          case _ => false
-        }
-      val refs = df.schema.fields.map { f =>
-        val c = df.col(s"`${f.name}`")
-        if (hasMap(f.dataType)) to_json(c) else c
-      }
-      df.select(xxhash64(struct(refs: _*)).as("__h"))
-        .agg(sum(col("__h"))).collect()
-      ()
-    }
     val results = queries.map { case (name, fn) =>
       spark.catalog.clearCache()
       val w0 = System.nanoTime()

@@ -260,27 +260,29 @@ object Wave17Queries {
   /** Blocked fuzzy entity resolution: every clean catalog entry gets a
     * dirty twin with ONE character deleted (position seeded by the
     * key, always past the first word so the blocking key survives),
-    * and the matcher must link each dirty record back. Blocking =
-    * equi-join on (first word, length band): Levenshtein ≤ 2 implies
-    * |len(a) − len(b)| ≤ 2, so the dirty side explodes into its five
-    * admissible clean lengths and the length JOINS instead of
-    * post-filtering — the standard ER length-band refinement. With a
-    * fixed 24-word vocabulary a first-word-only block is Ω(n²/24)
-    * candidates (the r15 sf1 sweep measured exactly the quadratic:
-    * 92× wall for 10× data); the composite key divides by the length
-    * spread too. Verify = codegen'd Levenshtein with the THRESHOLD
-    * form (early exit at distance > 2: O(threshold·len) per pair, not
-    * O(len²)); resolve = best (distance, key) candidate per dirty
-    * record. At 100 TB the block key would be a higher-cardinality
-    * prefix/phonetic key — same plan shape. The scoreboard counts
-    * exact-key matches vs collisions — entity resolution's honest
-    * confusion row, identical in both engines because every tie-break
-    * is deterministic. */
+    * and the matcher must link each dirty record back. Candidate
+    * generation is DELETION-NEIGHBORHOOD indexing (the SymSpell
+    * design): lev(a, b) ≤ 2 implies {a minus ≤1 chars} ∩
+    * {b minus ≤2 chars} ≠ ∅ for this corpus shape (the dirty record
+    * is already one deletion deep), so candidates come from an EXACT
+    * equi-join on hashed deletion variants — O(n·len²) generated
+    * rows, NEVER a block-pair product. The r15 sf1 sweep caught the
+    * old first-word block as the registry's one quadratic row: a
+    * fixed 24-word vocabulary makes block pairs Ω(n²/24) no matter
+    * how the verify is tuned (92× wall for 10× data; a length-band
+    * refinement bought only 1.3× because the synthetic name lengths
+    * concentrate). Verify keeps the original semantics exactly —
+    * first-word block equality + thresholded Levenshtein ≤ 2 (early
+    * exit, O(threshold·len) per candidate) — so the result set (and
+    * the DuckDB oracle, which replays the block-join definition) is
+    * unchanged; only the candidate PATH scales. Resolve = best
+    * (distance, key) per dirty record; the scoreboard counts
+    * exact-key matches vs collisions, identical in both engines
+    * because every tie-break is deterministic. */
   def qEntityMatch(s: SparkSession, d: String): DataFrame = {
     val k = col("doc_id")
     val clean = docs(s, d).select(k.as("ck"), entName(k).as("cname"),
       entWord((k * 5 + 1) % 24).as("block"))
-      .withColumn("clen", length(col("cname")))
     val named = docs(s, d).select(k.as("dk"), entName(k).as("nm"))
       .select(col("dk"), col("nm"), length(col("nm")).as("len"),
         length(substring_index(col("nm"), " ", 1)).as("fw"))
@@ -289,13 +291,33 @@ object Wave17Queries {
     val dirty = named.select(col("dk"),
       concat(col("nm").substr(lit(1), pos - 1),
         col("nm").substr(pos + 1, lit(1000))).as("dname"))
-      .select(col("dk"), col("dname"),
-        substring_index(col("dname"), " ", 1).as("block"))
-    // candidates must agree on (block, length within ±2): the length
-    // band rides the JOIN KEY via a bounded 5-way explode
-    val probe = dirty.withColumn("clen", explode(array(
-      (-2 to 2).map(i => length(col("dname")) + lit(i)): _*)))
-    val cand = probe.join(clean, Seq("block", "clen"))
+      .select(col("dk"), col("dname"))
+    // deletion variants, hashed: only (id, long) rides the shuffle —
+    // names rejoin id-keyed after the candidate set has collapsed
+    val dv = dirty.select(col("dk"), explode(expr(
+      """array_union(array(dname),
+        |  transform(sequence(1, length(dname)), i ->
+        |    concat(substring(dname, 1, i-1),
+        |           substring(dname, i+1, 100000))))""".stripMargin))
+        .as("v"))
+      .select(col("dk"), xxhash64(col("v")).as("vh"))
+    val cv = clean.select(col("ck"), explode(expr(
+      """array_union(array_union(array(cname),
+        |  transform(sequence(1, length(cname)), i ->
+        |    concat(substring(cname, 1, i-1),
+        |           substring(cname, i+1, 100000)))),
+        |  flatten(transform(sequence(1, length(cname) - 1), i ->
+        |    transform(sequence(i + 1, length(cname)), j ->
+        |      concat(substring(cname, 1, i-1),
+        |             substring(cname, i+1, j-i-1),
+        |             substring(cname, j+1, 100000))))))""".stripMargin))
+        .as("v"))
+      .select(col("ck"), xxhash64(col("v")).as("vh"))
+    val candIds = dv.join(cv, "vh").select(col("dk"), col("ck")).distinct()
+    val cand = candIds.join(dirty, "dk").join(clean, "ck")
+      // exact-precision verify reproduces the ORIGINAL candidate rule
+      // (hash collisions and non-block variant hits die here)
+      .filter(substring_index(col("dname"), " ", 1) === col("block"))
       .select(col("dk"), col("ck"),
         levenshtein(col("dname"), col("cname"), 2).as("dist"))
       .filter(col("dist").between(0, 2)) // threshold form returns −1 past it

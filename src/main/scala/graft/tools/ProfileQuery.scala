@@ -30,9 +30,14 @@ object ProfileQuery {
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       spark.catalog.clearCache()
+      // rows via an untimed count; timed runs use the BENCH action
+      // (all-columns hash) so profiling times the same plan the bench
+      // does — a .count() here profiled the PRUNED plan and sent r15
+      // chasing a q_twap "regression" the query didn't have
+      val n = fn(spark, sfDir).count()
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        graft.Bench.timedAction(fn(spark, sfDir))
         println(f"PROFILE $nm run$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
