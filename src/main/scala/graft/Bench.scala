@@ -150,12 +150,20 @@ object Bench {
     // re-baselines to it and the next run converges without
     // re-measuring. A genuinely transient spike gives disagreeing
     // samples and leaves the floor alone.
+    // r16 (r15 ADVICE #2): an upward re-baseline is capped at 2× the
+    // old floor — the ≤3 samples deciding it are taken seconds apart,
+    // so a sustained co-tenant job inflates all of them uniformly and
+    // would otherwise ratchet the persisted floor up permanently,
+    // weakening the 3×-floor spike adjudication until a clean run
+    // happens to beat it. A genuinely slower host converges in a few
+    // runs of ≤2× steps instead of one unbounded jump.
     val newFloors = floors ++ results.collect {
       case (k, (sec, "ok", _, _, samples)) =>
         val f0 = floors.getOrElse(k, Double.MaxValue)
         val consistent =
           samples.size >= 3 && samples.max <= 1.25 * samples.min
-        k -> (if (consistent && sec > f0) sec else math.min(sec, f0))
+        k -> (if (consistent && sec > f0) math.min(sec, 2.0 * f0)
+              else math.min(sec, f0))
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"target/bench-floors-$sfName.json"),

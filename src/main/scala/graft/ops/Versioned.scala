@@ -687,8 +687,23 @@ object Versioned {
       case (c, _: org.apache.spark.sql.types.DecimalType) => col(c).cast("string")
     }
     val hllPresent = present.filter(c => hllInput.isDefinedAt((c, schema(c).dataType)))
+    // r16 (r15 ADVICE #1): date/timestamp stats columns fold to
+    // epoch-day / epoch-micros longs IN-PLAN — min/max commute with
+    // the monotonic conversion, and no java.sql external round-trip
+    // ever touches the JVM default timezone. Without bounds these
+    // columns surfaced NDV-only ColumnStats, which JoinEstimation
+    // reads as an EMPTY value interval: every CBO join keyed on a
+    // date/timestamp/decimal stats column collapsed to 0-row
+    // estimates — the exact failure the long/double bounds work fixed,
+    // re-introduced for the three types the NDV expansion added.
+    def boundInput(c: String): Column = schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(c)).cast("long")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c)
+    }
     val aggs = present.flatMap(c =>
-      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
+      Seq(min(boundInput(c)).as(s"mn_$c"), max(boundInput(c)).as(s"mx_$c"))) ++
       bloomPresent.map(c =>
         // Spark's base64 chunks with CR/LF (MIME) — illegal inside a
         // JSON string; strip to the continuous RFC4648 form
@@ -732,10 +747,21 @@ object Versioned {
           case org.apache.spark.sql.types.LongType |
               org.apache.spark.sql.types.IntegerType |
               org.apache.spark.sql.types.ShortType |
-              org.apache.spark.sql.types.ByteType =>
+              org.apache.spark.sql.types.ByteType |
+              // dates/timestamps arrive pre-folded to longs (above)
+              org.apache.spark.sql.types.DateType |
+              org.apache.spark.sql.types.TimestampType =>
             val mn = r.getAs[Number](mnI).longValue()
             val mx = r.getAs[Number](mxI).longValue()
             Some(s""""$c":{"t":"l","mnl":$mn,"mxl":$mx}""")
+          case dt: org.apache.spark.sql.types.DecimalType
+              if dt.precision <= 18 =>
+            // unscaled long at the column's fixed scale — exact (a
+            // double render would collide above 2^53, like the HLL
+            // input's canonical-string rationale)
+            def unscaled(i: Int): Long = r.getAs[java.math.BigDecimal](i)
+              .setScale(dt.scale).unscaledValue().longValueExact()
+            Some(s""""$c":{"t":"l","mnl":${unscaled(mnI)},"mxl":${unscaled(mxI)}}""")
           case org.apache.spark.sql.types.DoubleType |
               org.apache.spark.sql.types.FloatType =>
             val mn = r.getAs[Number](mnI).doubleValue()

@@ -61,21 +61,31 @@ object ExtraQueries {
     * plus per-quantile accuracy flags `|approx − exact| ≤ 2% · exact`.
     * The oracle emits literal 1s for the flags — a degraded or broken
     * sketch flips a flag and fails the hash, which is exactly the
-    * verification a sketch admits. */
+    * verification a sketch admits.
+    *
+    * r16: ONE exact-percentile buffer and ONE sketch evaluated at the
+    * percentage ARRAY, instead of three independent aggregate buffers
+    * of each kind over the same column (`Percentile` sorts its
+    * value-count map once and interpolates every requested p from it —
+    * the scalar form is the 1-element array, so the interpolated
+    * values are bit-identical; the flags compare the same sketch
+    * family under the same 2% band). Per-group agg state drops from
+    * 6 value maps/sketches to 2. */
   def qApproxPercentile(s: SparkSession, d: String): DataFrame = {
-    def ok(p: Double, exact: Column) = {
-      val approx = expr(s"approx_percentile(l_extendedprice, $p)")
-      (abs(approx - exact) <= lit(0.02) * exact).cast("int")
-    }
-    def ex(p: Double) = expr(s"percentile(l_extendedprice, $p)")
+    val ps = "array(0.5, 0.9, 0.99)"
+    def exact(i: Int) = col("ex").getItem(i)
+    def ok(i: Int) =
+      (abs(col("ap").getItem(i) - exact(i)) <= lit(0.02) * exact(i))
+        .cast("int")
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(round(ex(0.5), 6).as("p50_exact"),
-           round(ex(0.9), 6).as("p90_exact"),
-           round(ex(0.99), 6).as("p99_exact"),
-           ok(0.5, ex(0.5)).as("p50_ok"),
-           ok(0.9, ex(0.9)).as("p90_ok"),
-           ok(0.99, ex(0.99)).as("p99_ok"))
+      .agg(expr(s"percentile(l_extendedprice, $ps)").as("ex"),
+           expr(s"approx_percentile(l_extendedprice, $ps)").as("ap"))
+      .select(col("l_returnflag"),
+        round(exact(0), 6).as("p50_exact"),
+        round(exact(1), 6).as("p90_exact"),
+        round(exact(2), 6).as("p99_exact"),
+        ok(0).as("p50_ok"), ok(1).as("p90_ok"), ok(2).as("p99_ok"))
       .orderBy("l_returnflag")
   }
 

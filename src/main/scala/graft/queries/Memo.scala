@@ -103,6 +103,17 @@ object Memo {
     parquet(s, s"bm25dl|$d")(
       graft.text.Search.docLengths(docs(s, d)))
 
+  /** The quality-model feature battery over the planted-junk corpus
+    * (doc_id, source, t, planted, is_train, junk, toks, f1..f6) —
+    * immutable per corpus dir, consumed by all three quality queries
+    * (model / eval / roc), each of which previously re-derived the
+    * planted corpus + 6-signal battery from scratch (11.4 s combined
+    * at sf0.1, the largest coherent block in the r15 bench). */
+  def qualityFeatures(s: SparkSession, d: String): DataFrame =
+    parquet(s, s"qualfeat|$d")(
+      graft.text.QualityModel.features(
+        graft.text.QualityModel.planted(docs(s, d))))
+
   /** Min-label connected components over [[cosPairs]]. */
   def cosCC(s: SparkSession, d: String): DataFrame =
     parquet(s, s"coscc|$d")(

@@ -186,17 +186,26 @@ object Wave11Queries {
     * occurrence (min doc_id) is this doc — the saturation curve: as a
     * corpus grows, falling novelty quantifies how much genuinely new
     * content each source still contributes. One shingle explode, one
-    * uniform-key groupBy (min doc_id per shingle), one equi-join
-    * back — keyed on the md5-64 of the shingle, not the shingle
-    * STRING (same discipline as q_line_dedup: the fixed 8-byte key
-    * shrinks both shuffles by the mean shingle width; the oracle
-    * hashes identically via md5_number_upper). */
+    * min-over-window keyed on the md5-64 of the shingle (not the
+    * shingle STRING — same discipline as q_line_dedup: the fixed
+    * 8-byte key shrinks the shuffle by the mean shingle width; the
+    * oracle hashes identically via md5_number_upper).
+    *
+    * r16: the former groupBy(min)-then-join-back shape fed the SAME
+    * hashed-shingle frame into two DIFFERENT exchange subtrees
+    * (partial-agg vs raw probe), so exchange reuse could not fire and
+    * the explode + md5 of every shingle in the corpus ran TWICE, and
+    * the gh key shuffled twice. min-over-Window.partitionBy(gh)
+    * attaches the identical first_doc to every exploded row in ONE
+    * pass: one explode, one gh exchange. The attached value is
+    * pointwise equal to the join's (min doc_id per gh), so the
+    * aggregate — and the oracle hash — is unchanged. */
   def qNgramNovelty(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d).select(col("doc_id"),
       explode(Dedup.shingles(coalesce(col("text"), lit("")))).as("g"))
       .select(col("doc_id"), Dedup.md5Hash64(col("g")).as("gh"))
-    val first = sh.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = sh.join(first, "gh")
+    val perDoc = sh.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy("gh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

@@ -71,7 +71,7 @@ object Wave16Queries {
     * battery, the grid-exact class statistics, and the full log-odds
     * expression. */
   def qQualityModel(s: SparkSession, d: String): DataFrame =
-    QualityModel.scored(docs(s, d))
+    QualityModel.scoredFrom(Memo.qualityFeatures(s, d))
       .select(col("doc_id"), col("planted").cast("int").as("planted"),
         (col("z") > 0).cast("int").as("model_junk"),
         (round(TextStats.qualityScore(col("t")), 6) < 0.5).cast("int")
@@ -83,7 +83,7 @@ object Wave16Queries {
     * 39 TP / 409 FP at sf0.01) — the "dominates the heuristic gate"
     * claim as a hashed registry row. */
   def qQualityModelEval(s: SparkSession, d: String): DataFrame =
-    QualityModel.scored(docs(s, d))
+    QualityModel.scoredFrom(Memo.qualityFeatures(s, d))
       .withColumn("model_junk", col("z") > 0)
       .withColumn("heur_junk",
         round(TextStats.qualityScore(col("t")), 6) < 0.5)
@@ -105,7 +105,7 @@ object Wave16Queries {
     100.0, 1000.0)
 
   def qQualityRoc(s: SparkSession, d: String): DataFrame =
-    QualityModel.scored(docs(s, d))
+    QualityModel.scoredFrom(Memo.qualityFeatures(s, d))
       .withColumn("thr", explode(array(rocThresholds.map(lit): _*)))
       .groupBy("thr")
       .agg(sum((col("planted") && col("z") > col("thr")).cast("long"))

@@ -73,20 +73,27 @@ object Wave6Queries {
     * per-doc join broadcasts nothing and shuffles on (source, bigram)
     * — the shape survives a 100× corpus. */
   def qLmBigram(s: SparkSession, d: String): DataFrame = {
+    // r16: tokenize ONCE — the regex split is the dominant per-row
+    // cost and the old shape ran it twice (once building the persisted
+    // bigram stream, once for the unigram stream). The token ARRAYS
+    // are persisted and both streams derive from them; the bigram
+    // stream stays persisted too because it feeds both the model
+    // counts and the per-doc scoring groupBy (eviction degrades to
+    // recompute, so worst case equals the uncached behavior).
     val base = docs(s, d).repartition(col("doc_id"))
-    // the bigram stream feeds BOTH the model counts and the per-doc
-    // scoring groupBy — persist it so the shingle/regex explode (the
-    // dominant per-row cost) runs once, not twice (the rm3TopK
-    // lesson; eviction degrades to recompute, so worst case is the
-    // old behavior)
+      .select(col("doc_id"), col("source"),
+        TextStats.tokens(col("text")).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bg = base.select(col("doc_id"), col("source"),
-        explode(Dedup.ngrams(col("text"), n = 2)).as("bg"))
+        explode(Dedup.ngramsFromTokens(col("tk"), n = 2)).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one-generation cache discipline (see ScopedCache): the next
-    // call releases this call's spilled blocks, not session end
-    graft.ops.ScopedCache.swap(s"qLmBigram@${s.hashCode}", Seq(bg))
+    // call releases this call's spilled blocks, not session end;
+    // collision-free per-session key (r15 ADVICE #4)
+    graft.ops.ScopedCache.swap(
+      graft.ops.ScopedCache.sessionKey("qLmBigram", s), Seq(base, bg))
     val toks = base.select(col("doc_id"), col("source"),
-      explode(TextStats.tokens(col("text"))).as("tok"))
+      explode(col("tk")).as("tok"))
     val uni = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
     val tot = uni.groupBy("source").agg(sum(col("c")).as("n"))
     val c12 = bg.groupBy("source", "bg").agg(count(lit(1)).as("c12"))

@@ -383,6 +383,16 @@ final class LakeScan(path: String, version: Option[Long],
         case ShortType => java.lang.Short.valueOf(v.toShort)
         case IntegerType => java.lang.Integer.valueOf(v.toInt)
         case LongType => java.lang.Long.valueOf(v)
+        // r16 (r15 ADVICE #1): the commit side now logs epoch-day /
+        // epoch-micros / unscaled-at-scale longs for these types —
+        // surface them as the CATALYST-INTERNAL value classes
+        // ColumnStat carries for them (Int days, Long micros,
+        // Decimal), the same encoding ANALYZE TABLE would store, so
+        // JoinEstimation's value intervals are non-empty
+        case DateType => java.lang.Integer.valueOf(v.toInt)
+        case TimestampType => java.lang.Long.valueOf(v)
+        case dt: DecimalType if dt.precision <= 18 =>
+          Decimal(v, dt.precision, dt.scale)
         case _ => null
       }
       def typedDouble(v: Double): Any = f.dataType match {

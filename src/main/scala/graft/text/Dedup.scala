@@ -52,12 +52,18 @@ object Dedup {
   /** [[shingles]] WITHOUT the distinct collapse — every occurrence kept,
     * for frequency-sensitive consumers (n-gram language models count
     * occurrences; dedup shingling wants sets). */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = TextStats.tokens(text)
+  def ngrams(text: Column, n: Int): Column =
+    ngramsFromTokens(TextStats.tokens(text), n)
+
+  /** [[ngrams]] over an ALREADY-TOKENIZED array — for callers that
+    * tokenize the corpus once and derive several streams from the
+    * cached token arrays (the regex split is the dominant per-row
+    * cost; see qLmBigram). Identical values to [[ngrams]] by
+    * construction. */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
     shortDocGuard(toks, n, transform(
       sequence(lit(0), size(toks) - lit(n)),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
 
   def NGRAMS(e: String, n: Int): String =
     s"""list_transform(

@@ -195,9 +195,18 @@ object QualityModel {
 
   /** End-to-end: planted corpus → features → broadcast 1-row stats →
     * per-doc rounded log-odds z (junk ⇔ z > 0). */
-  def scored(docs: DataFrame): DataFrame = {
-    val featured = features(planted(docs))
+  def scored(docs: DataFrame): DataFrame =
+    scoredFrom(features(planted(docs)))
+
+  /** [[scored]] from an ALREADY-FEATURED frame (doc_id, planted,
+    * is_train, junk, t, toks, f1..f6) — the entry point the registry's
+    * memoized shared fixture uses so the three quality queries derive
+    * stats + z from one materialization of the feature battery instead
+    * of three rebuilds (r15 verdict "What's missing" #2). The fit and
+    * score are unchanged expressions over the same feature values
+    * (parquet round-trips doubles/strings/arrays exactly), so the
+    * oracle hash is identical. */
+  def scoredFrom(featured: DataFrame): DataFrame =
     featured.crossJoin(broadcast(stats(featured)))
       .withColumn("z", zCol)
-  }
 }

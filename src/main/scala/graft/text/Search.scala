@@ -146,8 +146,13 @@ object Search {
     // session end) releases this call's tok/q2 blocks — disk-spilled
     // MEMORY_AND_DISK blocks are never evicted by memory pressure,
     // so without this a long-lived session accumulates dead spill
+    // collision-free per-session key (r15 ADVICE #4): hashCode is
+    // collision-prone across sessions — two sessions colliding would
+    // unpersist each other's live generation (correct via recompute,
+    // but a silent cache loss); ScopedCache mints a UUID per session
     graft.ops.ScopedCache.swap(
-      s"rm3TopK@${docsDf.sparkSession.hashCode}", Seq(tok, q2))
+      graft.ops.ScopedCache.sessionKey("rm3TopK", docsDf.sparkSession),
+      Seq(tok, q2))
     bm25TopK(docsDf, q2, k, dlOpt, Some(tok))
   }
 

@@ -89,9 +89,11 @@ class LakeNdvSpec extends SparkSuite {
     try {
       val typed = Tables.load(spark, d, "orders").select(
         col("o_orderkey").as("k"), col("o_orderdate").as("dt"),
+        to_date(col("o_orderdate")).as("dd"),
         col("o_totalprice").cast("decimal(12,2)").as("price"),
         (col("o_orderkey") % 7).cast("decimal(4,1)").as("gd"))
-      Versioned.init(typed.repartition(3), t, statsCols = Seq("dt", "gd"))
+      Versioned.init(typed.repartition(3), t,
+        statsCols = Seq("dt", "dd", "gd"))
       val entries = Versioned.manifestEntries(spark, t, 1L)
       assert(entries.nonEmpty && entries.forall(_._2.exists(sj =>
         sj.contains("\"#hll:dt\"") && sj.contains("\"#hll:gd\""))),
@@ -112,6 +114,35 @@ class LakeNdvSpec extends SparkSuite {
           n >= BigInt((trueDt * 0.8).toLong) &&
           n <= BigInt((trueDt * 1.2).toLong)),
         s"expected NDV ~$trueDt for date dt, got $ndvs")
+      // r16 (r15 ADVICE #1): these columns must ALSO surface min/max
+      // bounds — an NDV-bearing ColumnStat WITHOUT bounds reads as an
+      // empty value interval in JoinEstimation and collapses CBO join
+      // estimates on the column to 0 rows. Catalyst-internal
+      // encodings: timestamps epoch-micros Longs, dates epoch-day
+      // Ints, decimals Decimal at the declared scale.
+      val bounds = rel.stats.attributeStats.collect {
+        case (a, st) if Set("dt", "dd", "gd")(a.name) =>
+          a.name -> (st.min, st.max)
+      }.toMap
+      val (dtMin, dtMax) = bounds("dt")
+      assert(dtMin.exists(_.isInstanceOf[java.lang.Long]) &&
+          dtMax.exists(_.isInstanceOf[java.lang.Long]) &&
+          dtMin.get.asInstanceOf[java.lang.Long] <=
+            dtMax.get.asInstanceOf[java.lang.Long],
+        s"timestamp stats column must carry epoch-micros Long bounds, got $bounds")
+      val (ddMin, ddMax) = bounds("dd")
+      assert(ddMin.exists(_.isInstanceOf[Integer]) &&
+          ddMax.exists(_.isInstanceOf[Integer]) &&
+          ddMin.get.asInstanceOf[Integer] <= ddMax.get.asInstanceOf[Integer],
+        s"date stats column must carry epoch-day Int bounds, got $bounds")
+      // internal consistency: micros/86.4e9 spans the same days
+      assert(math.floorDiv(dtMin.get.asInstanceOf[java.lang.Long],
+          86400000000L) == ddMin.get.asInstanceOf[Integer].toLong,
+        s"date and timestamp bounds must agree on the first day, got $bounds")
+      val (gdMin, gdMax) = bounds("gd")
+      assert(gdMin.exists(_.isInstanceOf[org.apache.spark.sql.types.Decimal])
+          && gdMax.exists(_.toString == "6.0"),
+        s"decimal stats column must carry Decimal bounds 0.0..6.0, got $bounds")
     } finally rm(work)
   }
 

@@ -69,6 +69,12 @@ class PlanAuditSpec extends SparkSuite {
     // q_curation_model inherits the LangId cross via its lang gate.
     "q_lang_id2", "q_lang_id2_eval", "q_curation_model",
     "q_quality_model", "q_quality_model_eval", "q_quality_roc",
+    // r16: q_profile_orders zips its two 1-row aggregate results
+    // (basic stats × distinct counts — split so the distinct Expand
+    // never rides a SortAggregate with the min/max string buffers) —
+    // the single-row-broadcast shape again, never a data-sized
+    // product.
+    "q_profile_orders",
     // wave 17: q_triangles crosses the 1-row corpus-count frame (the
     // link modulus, the q_link_graph shape) and assembles its single
     // output row from three 1-row audit frames; the wedge/closure

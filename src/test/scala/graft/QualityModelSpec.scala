@@ -67,4 +67,30 @@ class QualityModelSpec extends SparkSuite {
     val f4 = byFlavor.map(r => r.getInt(0) -> r.getDouble(4)).toMap
     assert(f4(0) == 1.0 && f4(2) < 0.1)
   }
+
+  test("scoredFrom over a parquet round-trip of the feature frame is " +
+      "bit-identical to scored (the r16 memoized-fixture contract)") {
+    // the registry's Memo.qualityFeatures materializes features() to
+    // parquet once and all three quality queries re-read it; this pins
+    // that the round-trip (doubles, strings, token arrays) changes NO
+    // z value and no heuristic input
+    val dir = java.nio.file.Files.createTempDirectory("graft_qmtest")
+      .resolve("f").toString
+    try {
+      val featured = QualityModel.features(QualityModel.planted(docs))
+      featured.write.parquet(dir)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id")
+          .select(col("doc_id"), col("z"),
+            round(TextStats.qualityScore(col("t")), 6).as("h"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      val direct = rows(QualityModel.scored(docs))
+      val viaParquet = rows(QualityModel.scoredFrom(spark.read.parquet(dir)))
+      assert(direct.sameElements(viaParquet))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+    }
+  }
 }

@@ -4,11 +4,19 @@ oracle SQL runs in a forked worker killed at --budget seconds. Rows
 whose TRUTH REPLAY is super-linear (the all-pairs similarity oracles)
 time out instead of grinding for hours — they are reported as QUAD and
 attested separately by the sampled-truth batch (tools/sampled_truth.py).
-Usage: check_oracle_budget.py <sfDir> <verifyOut> [budgetSec]"""
-import sys, json, glob, multiprocessing as mp
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-budget = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
+A non-empty QUAD set EXITS NONZERO (r15 ADVICE #3) unless every
+deferred row already has a sampled-truth attestation in the same
+output dir (sampled_truth.py writes sampled_truth.json) or
+--allow-quad is passed — so CI wiring that checks only the exit
+status can never silently skip the deferred attestation.
+Usage: check_oracle_budget.py <sfDir> <verifyOut> [budgetSec] [--allow-quad]"""
+import sys, json, glob, os, multiprocessing as mp
+
+allow_quad = "--allow-quad" in sys.argv
+argv = [a for a in sys.argv if a != "--allow-quad"]
+sfdir, outdir = argv[1], argv[2]
+budget = float(argv[3]) if len(argv) > 3 else 300.0
 
 
 def check_one(name, sql, q):
@@ -74,4 +82,18 @@ if __name__ == "__main__":
     print(f"checked={len(oracle)} quad_deferred={len(quad)} failures={fail}")
     if quad:
         print("QUAD list: " + ",".join(quad))
+        # r15 ADVICE #3 / VERDICT #7: a deferred row is only PASSING if
+        # its sampled-truth attestation exists (and passed) in this
+        # output dir — otherwise the sweep fails loudly rather than
+        # letting exit-status-only CI treat unattested quadratic rows
+        # as green. --allow-quad opts out explicitly.
+        attested = {}
+        st_path = os.path.join(outdir, "sampled_truth.json")
+        if os.path.exists(st_path):
+            attested = json.load(open(st_path)).get("results", {})
+        unattested = [n for n in quad if attested.get(n) != "ok"]
+        if unattested and not allow_quad:
+            print("QUAD unattested (no passing sampled-truth result): " +
+                  ",".join(unattested))
+            fail += len(unattested)
     sys.exit(1 if fail else 0)

@@ -54,12 +54,14 @@ HANDLED = [
 ]
 
 fail = 0
+results = {}
 for name, keys, basemap in HANDLED:
     if name not in oracle:
         print(f"SKIP {name}: no oracle registered"); continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        print(f"FAIL {name}: no engine output"); fail += 1; continue
+        print(f"FAIL {name}: no engine output"); fail += 1
+        results[name] = "fail"; continue
     ka, kb = keys
     pa, pb = basemap.format(c=ka), basemap.format(c=kb)
     got = con.sql(
@@ -71,9 +73,11 @@ for name, keys, basemap in HANDLED:
             f"SELECT * FROM ({oracle[name]}) ORDER BY {ka}, {kb}"
         ).fetchall()
     except Exception as e:
-        print(f"FAIL {name}: oracle on sample: {e}"); fail += 1; continue
+        print(f"FAIL {name}: oracle on sample: {e}"); fail += 1
+        results[name] = "fail"; continue
     if got == exp:
         print(f"OK   {name} sampled-truth ({len(got)} pairs, M={M})")
+        results[name] = "ok"
     else:
         extra = set(map(tuple, got)) - set(map(tuple, exp))
         missing = set(map(tuple, exp)) - set(map(tuple, got))
@@ -81,6 +85,13 @@ for name, keys, basemap in HANDLED:
               f"extra={len(extra)} missing={len(missing)} "
               f"e.g. extra={list(extra)[:2]} missing={list(missing)[:2]}")
         fail += 1
+        results[name] = "fail"
 
 print("ALL OK" if fail == 0 else f"{fail} FAILURES")
+# Durable attestation record (r16): check_oracle_budget.py consults
+# this file so a QUAD-deferred row without a sampled-truth result in
+# the SAME output dir fails the budget sweep's exit code — the
+# deferred attestation can no longer be silently skipped.
+json.dump({"modulus": M, "results": results},
+          open(f"{outdir}/sampled_truth.json", "w"), indent=1)
 sys.exit(1 if fail else 0)
