@@ -98,14 +98,21 @@ object Wave4Queries {
       .orderBy("doc_id")
 
   /** Bigrams exclusive to a single source — the novelty/duplication
-    * fingerprint of each feed in a multi-source corpus. */
+    * fingerprint of each feed in a multi-source corpus.
+    *
+    * r16: the (source, bigram) stream is explicitly DISTINCT, so
+    * `countDistinct(source)` per bigram is plain `count(*)` — the old
+    * form stacked a four-phase SortAggregate dedup (distinct-aggregate
+    * machinery re-deduplicating already-distinct rows, with min's
+    * string buffer forcing sort aggregation) and shuffled the bigram
+    * strings two extra times. Identical output by construction. */
   def qSourceExclusiveBigrams(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").repartition(col("doc_id"))
       .select(col("source"),
         explode(graft.text.Dedup.shingles(col("text"), n = 2)).as("bigram"))
       .distinct()
       .groupBy("bigram")
-      .agg(countDistinct(col("source")).as("n_sources"),
+      .agg(count(lit(1)).as("n_sources"),
            min(col("source")).as("only_source"))
       .filter(col("n_sources") === 1)
       .groupBy(col("only_source").as("source"))
