@@ -42,14 +42,27 @@ object Wave69Queries {
         .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
           col("o_totalprice").as("p"))
       Versioned.init(base.repartition(8), dir, statsCols = Seq("k", "c"))
+      // the k-probe interval is RECEIPT-ONLY (the oracle pins the
+      // literal 'ok'; probe CONTENT comes from the c-probe below, whose
+      // bounds therefore stay literal) — derive it from the table's
+      // actual k-span so it is selective at EVERY scale factor. r16
+      // found the old fixed [1, 1000] probe covered 2/3 of sf0.001's
+      // k-span [0, 1499]: with 8 z-ordered files each k-interval is
+      // ~half the range, so NO file could prune and the receipt
+      // false-failed on fixture geometry (the q_zorder_lake sf1
+      // lesson, at the other end of the scale). A span/8 box sits
+      // inside one z-half at any SF.
+      val ext = base.agg(min(col("k")), max(col("k"))).head()
+      val (kLo, kHi) = (ext.getLong(0).toDouble,
+        ext.getLong(0) + (ext.getLong(1) - ext.getLong(0)) / 8.0)
       val rc = s.sql(s"CALL lake.optimize_cluster('$dir', 8, 'k')")
         .head()
       // leading dimension prunes after the linear cluster
-      val kc = Versioned.readRange(s, dir, "k", 1d, 1000d)
+      val kc = Versioned.readRange(s, dir, "k", kLo, kHi)
       val rz = s.sql(s"CALL lake.optimize_zorder('$dir', 8, 'k, c')")
         .head()
       // BOTH dimensions prune after the z-order
-      val zk = Versioned.readRange(s, dir, "k", 1d, 1000d)
+      val zk = Versioned.readRange(s, dir, "k", kLo, kHi)
       val zc = Versioned.readRange(s, dir, "c", 100d, 180d)
       val probe = zc.df.filter(col("c").between(100L, 180L))
         .withColumn("fp", fpCol(col("k"), col("c"),
