@@ -103,6 +103,17 @@ object Memo {
     parquet(s, s"bm25dl|$d")(
       graft.text.Search.docLengths(docs(s, d)))
 
+  /** The exploded (doc_id, term) corpus token stream — the postings
+    * source all four BM25/RM3 retrieval rows consume. The regex token
+    * split is the dominant per-row cost of every retrieval query;
+    * like [[docLengths]] it is a pure function of the corpus, so the
+    * split runs once per (JVM, corpus dir) and every pass reads the
+    * bounded parquet back (r16). */
+  def docTerms(s: SparkSession, d: String): DataFrame =
+    parquet(s, s"bm25tok|$d")(
+      docs(s, d).select(col("doc_id"),
+        explode(graft.text.TextStats.tokens(col("text"))).as("term")))
+
   /** The quality-model feature battery over the planted-junk corpus
     * (doc_id, source, t, planted, is_train, junk, toks, f1..f6) —
     * immutable per corpus dir, consumed by all three quality queries

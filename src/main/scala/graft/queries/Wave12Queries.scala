@@ -52,7 +52,8 @@ object Wave12Queries {
         col("rk").as("truth_rk"))
     val sys = Search.bm25TopK(docs(s, d),
         Wave8Queries.bm25Terms.toDF("query_id", "term"), k = evalK,
-        dlOpt = Some(Memo.docLengths(s, d)))
+        dlOpt = Some(Memo.docLengths(s, d)),
+        tokOpt = Some(Memo.docTerms(s, d)))
       .select(col("query_id").cast("bigint").as("query_id"),
         col("doc_id"), col("rk").as("sys_rk"))
     val idcg = (1 to evalK).map(i => (evalK + 1 - i)

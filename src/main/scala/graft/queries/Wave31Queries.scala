@@ -23,7 +23,8 @@ object Wave31Queries {
     Search.rm3TopK(Tables.load(s, d, "documents"),
       Wave8Queries.bm25Terms.toDF("query_id", "term"),
       kFeedback = 10, nExpand = 5, k = 10,
-      dlOpt = Some(Memo.docLengths(s, d)))
+      dlOpt = Some(Memo.docLengths(s, d)),
+      tokOpt = Some(Memo.docTerms(s, d)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -53,7 +53,8 @@ object Wave8Queries {
   def qBm25Search(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Search.bm25TopK(docs(s, d), bm25Terms.toDF("query_id", "term"), k = 10,
-      dlOpt = Some(Memo.docLengths(s, d)))
+      dlOpt = Some(Memo.docLengths(s, d)),
+      tokOpt = Some(Memo.docTerms(s, d)))
   }
 
   // ---- product-quantization ANN ----

@@ -63,7 +63,8 @@ object Wave9Queries {
     import s.implicits._
     val bm = Search.bm25TopK(docs(s, d),
         Wave8Queries.bm25Terms.toDF("query_id", "term"), k = 10,
-        dlOpt = Some(Memo.docLengths(s, d)))
+        dlOpt = Some(Memo.docLengths(s, d)),
+        tokOpt = Some(Memo.docTerms(s, d)))
       .select(col("query_id").cast("bigint").as("query_id"),
         col("doc_id"), col("rk").as("bm25_rk"))
     val e = embs(s, d)

@@ -107,7 +107,8 @@ object Search {
     * BM25 passes keep their no-global-index property. */
   def rm3TopK(docsDf: DataFrame, queryTerms: DataFrame,
       kFeedback: Int = 10, nExpand: Int = 5, k: Int = 10,
-      dlOpt: Option[DataFrame] = None): DataFrame = {
+      dlOpt: Option[DataFrame] = None,
+      tokOpt: Option[DataFrame] = None): DataFrame = {
     // tokenize the corpus ONCE and share it across the three consumers
     // (first-pass postings, feedback tf, second-pass postings): the
     // regex token split is the dominant per-row cost, and without the
@@ -115,9 +116,14 @@ object Search {
     // wall on q_rm3_search. MEMORY_AND_DISK degrades gracefully: an
     // evicted block recomputes its partition, i.e. worst case equals
     // the uncached behavior, so this is safe at any corpus size.
-    val tok = docsDf.select(col("doc_id"),
+    // r16: callers that hold a disk-memoized (doc_id, term) stream
+    // (Memo.docTerms — same values by construction) inject it via
+    // tokOpt; the internal persist then never materializes and the
+    // swap below releases only this call's own frames.
+    val tokFresh = tokOpt.isEmpty
+    val tok = tokOpt.getOrElse(docsDf.select(col("doc_id"),
         explode(TextStats.tokens(col("text"))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val top = bm25TopK(docsDf, queryTerms, kFeedback, dlOpt, Some(tok))
       .select(col("query_id"), col("doc_id"))
     val dl = dlOpt.getOrElse(docLengths(docsDf))
@@ -152,7 +158,7 @@ object Search {
     // but a silent cache loss); ScopedCache mints a UUID per session
     graft.ops.ScopedCache.swap(
       graft.ops.ScopedCache.sessionKey("rm3TopK", docsDf.sparkSession),
-      Seq(tok, q2))
+      if (tokFresh) Seq(tok, q2) else Seq(q2))
     bm25TopK(docsDf, q2, k, dlOpt, Some(tok))
   }
 
