@@ -100,17 +100,29 @@ object Wave19Queries {
     val arr = filter(
       graft.text.TextStats.tokens(lower(coalesce(col("text"), lit("")))),
       t => t.rlike("^[a-z]{3,}$"))
-    val toks = docs(s, d)
-      .select(explode(arr).as("tok"))
+    // r16: tokenize ONCE — the filtered token-array frame feeds BOTH
+    // the vocabulary count and the adjacent-pair zip; the old shape ran
+    // the split + per-token rlike over the whole corpus TWICE (the two
+    // Generate subtrees have different parents, so exchange reuse can't
+    // fire). Same one-generation persist discipline as qLmBigram;
+    // repartitioned first so a single-file parquet source doesn't pin
+    // the split to one core.
+    val base = docs(s, d).repartition(col("doc_id"))
+      .select(arr.as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.ScopedCache.swap(
+      graft.ops.ScopedCache.sessionKey("qTextrank", s), Seq(base))
+    val ts = col("ts")
+    val toks = base.select(explode(ts).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("c").desc, col("tok"))))
       .filter(col("rn") <= trVocab)
       .select(col("tok"))
-    val pairs = docs(s, d)
+    val pairs = base
       .select(explode(arrays_zip(
-        slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
-        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))))).as("pr"))
+        slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0))))).as("pr"))
       .select(col("pr.0").as("tok"), col("pr.1").as("nxt"))
       .filter(col("tok") =!= col("nxt"))
       .join(broadcast(vocab), "tok")

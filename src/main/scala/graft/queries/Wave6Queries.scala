@@ -397,9 +397,21 @@ object Wave6Queries {
       .unionAll(base.select(cdn.as("src"), site2.as("dst")))
     val edges = rawEdges.groupBy("src", "dst").agg(count(lit(1)).as("w"))
     val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+    // r16: the weighted edge list and node set are loop INVARIANTS, but
+    // each Dedup.truncate round is EAGER — without a persist every one
+    // of the 5 rounds re-ran the full-corpus edge derivation (two doc_id
+    // projections + groupBy + join), 5 corpus scans for an ≤(7+11)-node
+    // model. Persisted once (bounded: ≤ 7·11·2 edge rows), each round is
+    // a broadcast join over the tiny cached frames — the qTextrank loop
+    // discipline, with the one-generation ScopedCache swap.
     val weighted = edges.join(wout, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.ScopedCache.swap(
+      graft.ops.ScopedCache.sessionKey("domainRank", docFrame.sparkSession),
+      Seq(weighted, nodes))
     val nFrame = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
